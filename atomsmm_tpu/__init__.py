@@ -1,0 +1,66 @@
+"""atomsmm_tpu — a TPU-native molecular dynamics engine with the capabilities
+of atoms-ufrj/atomsmm (see SURVEY.md for the reference analysis and its
+evidentiary status, BASELINE.md for targets).
+
+Public facade mirroring atomsmm/__init__.py: forces, systems, integrators,
+propagators, reporters, computers, utils are all re-exported here.
+"""
+
+__version__ = "0.1.0"
+
+from . import units
+from .context import Context, StateSnapshot
+from .forces import (
+    CustomBondForce,
+    CustomNonbondedForce,
+    DampedSmoothedForce,
+    FarNonbondedForce,
+    HarmonicAngleForce,
+    HarmonicBondForce,
+    NearNonbondedForce,
+    NonbondedExceptionsForce,
+    NonbondedForce,
+    PeriodicTorsionForce,
+    SoftcoreLennardJonesForce,
+)
+from .integrate.integrators import (
+    GlobalThermostatIntegrator,
+    Integrator,
+    MultipleTimeScaleIntegrator,
+    PropagatorIntegrator,
+    VelocityVerletIntegrator,
+)
+from .integrate.propagators import (
+    BoostPropagator,
+    ChainedPropagator,
+    NoseHooverChainPropagator,
+    OrnsteinUhlenbeckPropagator,
+    Propagator,
+    RespaPropagator,
+    SplitPropagator,
+    SuzukiYoshidaPropagator,
+    TranslationPropagator,
+    TrotterSuzukiPropagator,
+    VelocityRescalingPropagator,
+    VelocityVerletPropagator,
+)
+from .potential import (
+    force_fn,
+    group_energies,
+    potential_energy,
+    split_potential_energy,
+)
+from .state import (
+    State,
+    kinetic_energy,
+    make_state,
+    maxwell_boltzmann_velocities,
+    remove_com_motion,
+)
+from .system import System, make_exclusions_array
+from .utils import (
+    InputError,
+    count_degrees_of_freedom,
+    find_nonbonded_force,
+    hijack_force,
+)

@@ -1,0 +1,180 @@
+"""Context — the execution object binding (System, Integrator, State).
+
+Counterpart of openmm.Context under atomsmm's usage (SURVEY.md §3.2):
+`step(n)` runs the jitted step function n times in a single device-side
+fori_loop (one Python->device crossing, like the reference's single
+Python->C++ crossing); `get_state` is the openmm.Context.getState analog
+including per-force-group energy decomposition; `set_parameter` is the global
+context-parameter mechanism (lambda_vdw etc. — SURVEY.md §2b N9) implemented
+as plain traced arguments, so changing a parameter never recompiles.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .potential import (
+    force_fn,
+    group_energies,
+    potential_energy,
+    split_potential_energy,
+)
+from .state import (
+    State,
+    kinetic_energy,
+    make_state,
+    maxwell_boltzmann_velocities,
+    remove_com_motion,
+)
+from .utils import count_degrees_of_freedom, pytree_dataclass, replace
+
+
+def refresh_force_caches(system, state, globals):
+    """Recompute every force cache present in State.extra at the current
+    positions/parameters (run before each device-side stepping loop, so
+    parameter changes — e.g. lambda — can never leave a stale cache)."""
+    from .integrate.propagators import parse_force_cache_tag
+
+    updates = {}
+    for key in state.extra:
+        if key.startswith("fcache_"):
+            groups = parse_force_cache_tag(key)
+            _, f = force_fn(system, groups)(state.x, state.box, globals)
+            updates[key] = f
+    return state.with_extra(**updates) if updates else state
+
+
+@pytree_dataclass
+class StateSnapshot:
+    """What openmm.State carries (positions/velocities/forces/energies),
+    plus the per-group decomposition the reference obtains via
+    getState(groups={g})."""
+
+    positions: jnp.ndarray = None
+    velocities: jnp.ndarray = None
+    box: jnp.ndarray = None
+    forces: jnp.ndarray = None
+    potential_energy: jnp.ndarray = None
+    kinetic_energy: jnp.ndarray = None
+    group_energies: Dict[int, jnp.ndarray] = None
+    energy_split: Dict[str, jnp.ndarray] = None
+    step: jnp.ndarray = None
+
+
+class Context:
+    def __init__(self, system, integrator, state: Optional[State] = None,
+                 seed: int = 0):
+        self.system = system
+        self.integrator = integrator
+        self.parameters: Dict[str, jnp.ndarray] = {}
+        if state is None:
+            x = jnp.zeros((system.num_particles, 3))
+            state = make_state(x, box=system.default_box, seed=seed)
+        # Defensive copy: step() donates the state buffers to the device loop,
+        # so the Context must own them (user arrays may be shared elsewhere).
+        state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
+        self.state = integrator.initialize(system, state)
+        self._step_fn = integrator.make_step()
+        self._run = jax.jit(self._make_run(), donate_argnums=(1,))
+        self._observe = jax.jit(self._make_observe())
+
+    # -- construction of jitted entry points -------------------------------
+
+    def _make_run(self):
+        step_fn = self._step_fn
+
+        def run(system, state, globals, n):
+            # `system` is an argument (not a closed-over constant) so its
+            # parameter arrays live as runtime buffers, not baked constants.
+            state = refresh_force_caches(system, state, globals)
+
+            def body(i, s):
+                return step_fn(system, s, globals)
+
+            return jax.lax.fori_loop(0, n, body, state)
+
+        return run
+
+    def _make_observe(self):
+        def observe(system, state, globals):
+            e_split = split_potential_energy(system, state.x, state.box, globals)
+            e_groups = group_energies(system, state.x, state.box, globals)
+            e_pot = e_split["Total"]
+            grad = jax.grad(
+                lambda x: potential_energy(system, x, state.box, globals)
+            )(state.x)
+            return StateSnapshot(
+                positions=state.x,
+                velocities=state.v,
+                box=state.box,
+                forces=-grad,
+                potential_energy=e_pot,
+                kinetic_energy=kinetic_energy(system.masses, state.v),
+                group_energies=e_groups,
+                energy_split=e_split,
+                step=state.step,
+            )
+
+        return observe
+
+    # -- openmm.Context-like surface ---------------------------------------
+
+    def set_positions(self, x):
+        x = jnp.array(x, self.state.x.dtype, copy=True)
+        self.state = replace(self.state, x=x)
+
+    def set_velocities(self, v):
+        v = jnp.array(v, self.state.v.dtype, copy=True)
+        self.state = replace(self.state, v=v)
+
+    def set_velocities_to_temperature(self, temperature, seed: int = 0):
+        rng = jax.random.PRNGKey(seed)
+        v = maxwell_boltzmann_velocities(
+            rng, self.system.masses, temperature, self.state.x.dtype
+        )
+        if self.system.remove_com_motion:
+            v = remove_com_motion(self.system.masses, v)
+        self.set_velocities(v)
+
+    def set_periodic_box(self, box):
+        self.state = replace(self.state, box=jnp.asarray(box, self.state.x.dtype))
+
+    def set_parameter(self, name: str, value):
+        self.parameters[name] = jnp.asarray(value, self.state.x.dtype)
+
+    def get_parameter(self, name: str):
+        return self.parameters[name]
+
+    def step(self, n: int):
+        """Advance n outer steps entirely on device."""
+        self.state = self._run(
+            self.system, self.state, self.parameters, jnp.int32(n)
+        )
+        return self
+
+    def get_state(self) -> StateSnapshot:
+        return self._observe(self.system, self.state, self.parameters)
+
+    # -- convenience -------------------------------------------------------
+
+    @property
+    def degrees_of_freedom(self) -> int:
+        return count_degrees_of_freedom(self.system)
+
+    def temperature(self):
+        from .units import BOLTZMANN
+
+        ke = kinetic_energy(self.system.masses, self.state.v)
+        return 2.0 * ke / (self.degrees_of_freedom * BOLTZMANN)
+
+    def conserved_energy(self):
+        """Potential + kinetic + thermostat/extended contributions — the
+        quantity whose drift validates an integrator."""
+        snap = self.get_state()
+        return (
+            snap.potential_energy
+            + snap.kinetic_energy
+            + self.integrator.conserved_extra(self.state)
+        )

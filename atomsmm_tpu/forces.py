@@ -1,0 +1,412 @@
+"""Force objects — the counterpart of atomsmm/forces.py (SURVEY.md §2a).
+
+In the reference, each force class builds an openmm Custom*Force whose energy
+is a Lepton string compiled by OpenMM's C++ JIT. Here each force is a pytree
+dataclass whose `energy(x, box, globals)` method is a traced JAX function;
+XLA fusion replaces Lepton, `jax.grad` replaces hand-coded force kernels, and
+the "force group" integer drives the RESPA split exactly as in the reference.
+
+Implemented classes and their reference counterparts:
+  NonbondedForce            — openmm.NonbondedForce (cutoff/RF; PME in ops/pme.py)
+  NonbondedExceptionsForce  — atomsmm/forces.py::NonbondedExceptionsForce
+  NearNonbondedForce        — atomsmm/forces.py::NearNonbondedForce
+  FarNonbondedForce         — atomsmm/forces.py::FarNonbondedForce
+  DampedSmoothedForce       — atomsmm/forces.py::DampedSmoothedForce
+  SoftcoreLennardJonesForce — atomsmm/forces.py::SoftcoreLennardJonesForce
+  HarmonicBondForce / HarmonicAngleForce / PeriodicTorsionForce — openmm bonded
+  CustomNonbondedForce / CustomBondForce — openmm Custom*Force (energy function
+                              is a Python callable instead of a Lepton string)
+
+All per-particle parameter arrays are dynamic pytree leaves, so jitted step
+functions never recompile when parameters (or globals such as lambda) change.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops import pairfuncs
+from .ops.bonded import (
+    harmonic_angle_energy,
+    harmonic_bond_energy,
+    periodic_torsion_energy,
+)
+from .ops.pairs import dense_pair_energy, pairlist_energy
+from .units import ONE_4PI_EPS0
+from .utils import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class Force:
+    """Base force: subclasses define energy(x, box, globals) -> scalar."""
+
+    group: int = static_field(default=0)
+
+    @property
+    def name(self) -> str:
+        return type(self).__name__
+
+    def energy(self, x, box, globals):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def uses_neighbors(self) -> bool:
+        return False
+
+
+# --------------------------------------------------------------------------
+# Nonbonded forces
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class NonbondedForce(Force):
+    """Full LJ + Coulomb nonbonded force with per-particle (charge, sigma,
+    epsilon), Lorentz-Berthelot combining, and exclusions.
+
+    method:
+      'nocutoff' — plain LJ + Coulomb over all pairs
+      'cutoff'   — switched LJ + reaction-field Coulomb within r_cut
+      'pme'      — switched LJ (cutoff) + PME Coulomb (direct + reciprocal +
+                   corrections); see ops/pme.py
+    """
+
+    charge: jnp.ndarray = None
+    sigma: jnp.ndarray = None
+    epsilon: jnp.ndarray = None
+    exclusions: jnp.ndarray = None  # (N, M) int32, padded with -1
+    r_cut: Any = 1.0
+    r_switch: Any = 0.9
+    eps_rf: Any = 1e15
+    ewald_alpha: Any = 0.0  # set when method == 'pme'
+    method: str = static_field(default="cutoff")
+    use_switch: bool = static_field(default=True)
+    grid_shape: Tuple[int, int, int] = static_field(default=(0, 0, 0))
+    spline_order: int = static_field(default=4)
+    chunk: int = static_field(default=256)
+
+    def _pair_fn(self):
+        method, use_switch = self.method, self.use_switch
+        r_cut, r_switch, eps_rf = self.r_cut, self.r_switch, self.eps_rf
+        alpha = self.ewald_alpha
+
+        def pair(r, pi, pj):
+            sigma, epsilon = pairfuncs.lorentz_berthelot(
+                pi["sigma"], pj["sigma"], pi["epsilon"], pj["epsilon"]
+            )
+            qq = pi["charge"] * pj["charge"]
+            u_lj = pairfuncs.lj(r, sigma, epsilon)
+            if method == "nocutoff":
+                return u_lj + pairfuncs.coulomb(r, qq)
+            if use_switch:
+                from .ops.switching import switch_quintic
+
+                u_lj = u_lj * switch_quintic(r, r_switch, r_cut)
+            if method == "cutoff":
+                u_c = pairfuncs.reaction_field_coulomb(r, qq, r_cut, eps_rf)
+            else:  # 'pme': real-space (direct) Ewald term
+                u_c = pairfuncs.damped_coulomb(r, qq, alpha)
+            return u_lj + u_c
+
+        return pair
+
+    def energy(self, x, box, globals):
+        per_particle = {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+        r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
+        e = dense_pair_energy(
+            self._pair_fn(), x, box, per_particle, self.exclusions,
+            r_cut, chunk=self.chunk,
+        )
+        if self.method == "pme":
+            from .ops.pme import pme_reciprocal_energy, pme_corrections
+
+            e_rec = pme_reciprocal_energy(
+                x, box, self.charge, self.ewald_alpha, self.grid_shape,
+                self.spline_order,
+            )
+            e_corr = pme_corrections(
+                x, box, self.charge, self.exclusions, self.ewald_alpha
+            )
+            e = e + e_rec + e_corr
+        return e
+
+    def uses_neighbors(self) -> bool:
+        return self.method != "nocutoff"
+
+
+@pytree_dataclass
+class NonbondedExceptionsForce(Force):
+    """1-4 exception pairs as a bond-like force, so they can live in the
+    innermost RESPA group (atomsmm/forces.py::NonbondedExceptionsForce).
+
+    E = 4 eps [(s/r)^12 - (s/r)^6] + k qq / r per listed pair, no cutoff.
+    """
+
+    pairs: jnp.ndarray = None       # (P, 2) int32
+    chargeprod: jnp.ndarray = None  # (P,) [e^2]
+    sigma: jnp.ndarray = None       # (P,)
+    epsilon: jnp.ndarray = None     # (P,)
+    valid: jnp.ndarray = None       # (P,) bool mask for padding
+
+    def energy(self, x, box, globals):
+        def pair(r, p):
+            return (
+                pairfuncs.lj(r, p["sigma"], p["epsilon"])
+                + ONE_4PI_EPS0 * p["chargeprod"] / r
+            )
+
+        params = {
+            "chargeprod": self.chargeprod,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+        return pairlist_energy(pair, x, box, self.pairs, params, self.valid)
+
+
+@pytree_dataclass
+class NearNonbondedForce(Force):
+    """Short-range RESPA force (atomsmm/forces.py::NearNonbondedForce):
+    shifted-force LJ + shifted-force damped Coulomb, switched over
+    [r_switch, r_cut]. With subtract=True the energy is negated — that is the
+    "minus near" component inside FarNonbondedForce, making near + far == full
+    by construction.
+    """
+
+    charge: jnp.ndarray = None
+    sigma: jnp.ndarray = None
+    epsilon: jnp.ndarray = None
+    exclusions: jnp.ndarray = None
+    r_cut: Any = 0.8
+    r_switch: Any = 0.7
+    alpha: Any = 0.0  # Coulomb damping constant [1/nm]
+    subtract: bool = static_field(default=False)
+    chunk: int = static_field(default=256)
+
+    def _pair_fn(self):
+        r_cut, r_switch, alpha = self.r_cut, self.r_switch, self.alpha
+        subtract = self.subtract
+
+        def pair(r, pi, pj):
+            sigma, epsilon = pairfuncs.lorentz_berthelot(
+                pi["sigma"], pj["sigma"], pi["epsilon"], pj["epsilon"]
+            )
+            qq = pi["charge"] * pj["charge"]
+            return pairfuncs.near_pair_energy(
+                r, sigma, epsilon, qq, alpha, r_switch, r_cut, subtract=subtract
+            )
+
+        return pair
+
+    def energy(self, x, box, globals):
+        per_particle = {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+        return dense_pair_energy(
+            self._pair_fn(), x, box, per_particle, self.exclusions,
+            self.r_cut, chunk=self.chunk,
+        )
+
+    def uses_neighbors(self) -> bool:
+        return True
+
+
+@pytree_dataclass
+class FarNonbondedForce(Force):
+    """Complement force for RESPA (atomsmm/forces.py::FarNonbondedForce):
+    the full nonbonded force plus the negated near force, so that
+    near (group i) + far (group j) == full nonbonded, exactly.
+    """
+
+    full: NonbondedForce = None
+    minus_near: NearNonbondedForce = None
+
+    def energy(self, x, box, globals):
+        return self.full.energy(x, box, globals) + self.minus_near.energy(
+            x, box, globals
+        )
+
+    def uses_neighbors(self) -> bool:
+        return True
+
+
+@pytree_dataclass
+class DampedSmoothedForce(Force):
+    """Damped-shifted Coulomb + LJ, smoothed over [r_switch, r_cut]
+    (atomsmm/forces.py::DampedSmoothedForce; Fennell & Gezelter JCP 2006)."""
+
+    charge: jnp.ndarray = None
+    sigma: jnp.ndarray = None
+    epsilon: jnp.ndarray = None
+    exclusions: jnp.ndarray = None
+    r_cut: Any = 1.0
+    r_switch: Any = 0.9
+    alpha: Any = 2.0
+    chunk: int = static_field(default=256)
+
+    def energy(self, x, box, globals):
+        r_cut, r_switch, alpha = self.r_cut, self.r_switch, self.alpha
+
+        def pair(r, pi, pj):
+            sigma, epsilon = pairfuncs.lorentz_berthelot(
+                pi["sigma"], pj["sigma"], pi["epsilon"], pj["epsilon"]
+            )
+            qq = pi["charge"] * pj["charge"]
+            return pairfuncs.damped_smoothed_energy(
+                r, sigma, epsilon, qq, alpha, r_switch, r_cut
+            )
+
+        per_particle = {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+        return dense_pair_energy(
+            pair, x, box, per_particle, self.exclusions, r_cut, chunk=self.chunk
+        )
+
+    def uses_neighbors(self) -> bool:
+        return True
+
+
+@pytree_dataclass
+class SoftcoreLennardJonesForce(Force):
+    """Beutler softcore LJ between an interaction group (solute <-> solvent),
+    scaled by the global parameter `lambda_vdw`
+    (atomsmm/forces.py::SoftcoreLennardJonesForce).
+    """
+
+    sigma: jnp.ndarray = None
+    epsilon: jnp.ndarray = None
+    solute: jnp.ndarray = None  # (N,) {0,1} indicator
+    exclusions: jnp.ndarray = None
+    r_cut: Any = 1.0
+    r_switch: Any = 0.9
+    use_switch: bool = static_field(default=True)
+    lambda_name: str = static_field(default="lambda_vdw")
+    chunk: int = static_field(default=256)
+
+    def energy(self, x, box, globals):
+        lamb = globals[self.lambda_name]
+        r_cut, r_switch, use_switch = self.r_cut, self.r_switch, self.use_switch
+
+        def pair(r, pi, pj):
+            sigma, epsilon = pairfuncs.lorentz_berthelot(
+                pi["sigma"], pj["sigma"], pi["epsilon"], pj["epsilon"]
+            )
+            u = pairfuncs.softcore_lj(r, sigma, epsilon, lamb)
+            if use_switch:
+                from .ops.switching import switch_quintic
+
+                u = u * switch_quintic(r, r_switch, r_cut)
+            # interaction group: exactly one of (i, j) in the solute set
+            cross = pi["solute"] + pj["solute"] - 2.0 * pi["solute"] * pj["solute"]
+            return u * cross
+
+        per_particle = {
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+            "solute": self.solute,
+        }
+        return dense_pair_energy(
+            pair, x, box, per_particle, self.exclusions, r_cut, chunk=self.chunk
+        )
+
+    def uses_neighbors(self) -> bool:
+        return True
+
+
+@pytree_dataclass
+class CustomNonbondedForce(Force):
+    """Arbitrary pair potential: `energy_function(r, pi, pj, globals)` plays
+    the role of an openmm.CustomNonbondedForce Lepton string (JAX tracing
+    replaces Lepton — SURVEY.md §2b N2). per_particle maps parameter name to
+    an (N,) array, gathered into pi/pj dicts per pair."""
+
+    per_particle: Dict[str, jnp.ndarray] = None
+    exclusions: jnp.ndarray = None
+    r_cut: Any = 1.0
+    energy_function: Callable = static_field(default=None)
+    chunk: int = static_field(default=256)
+
+    def energy(self, x, box, globals):
+        fn = self.energy_function
+
+        def pair(r, pi, pj):
+            return fn(r, pi, pj, globals)
+
+        return dense_pair_energy(
+            pair, x, box, self.per_particle, self.exclusions, self.r_cut,
+            chunk=self.chunk,
+        )
+
+    def uses_neighbors(self) -> bool:
+        return True
+
+
+@pytree_dataclass
+class CustomBondForce(Force):
+    """Arbitrary bond-pair potential over an explicit pair list."""
+
+    pairs: jnp.ndarray = None
+    per_bond: Dict[str, jnp.ndarray] = None
+    valid: jnp.ndarray = None
+    energy_function: Callable = static_field(default=None)
+
+    def energy(self, x, box, globals):
+        fn = self.energy_function
+
+        def pair(r, params):
+            return fn(r, params, globals)
+
+        return pairlist_energy(pair, x, box, self.pairs, self.per_bond, self.valid)
+
+
+# --------------------------------------------------------------------------
+# Bonded forces
+# --------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class HarmonicBondForce(Force):
+    """E = sum 0.5 k (r - r0)^2 (openmm.HarmonicBondForce; pad with k = 0)."""
+
+    idx: jnp.ndarray = None  # (B, 2)
+    r0: jnp.ndarray = None
+    k: jnp.ndarray = None
+
+    def energy(self, x, box, globals):
+        return harmonic_bond_energy(x, self.idx, self.r0, self.k)
+
+
+@pytree_dataclass
+class HarmonicAngleForce(Force):
+    """E = sum 0.5 k (theta - theta0)^2 (openmm.HarmonicAngleForce)."""
+
+    idx: jnp.ndarray = None  # (A, 3)
+    theta0: jnp.ndarray = None
+    k: jnp.ndarray = None
+
+    def energy(self, x, box, globals):
+        return harmonic_angle_energy(x, self.idx, self.theta0, self.k)
+
+
+@pytree_dataclass
+class PeriodicTorsionForce(Force):
+    """E = sum k (1 + cos(n phi - phase)) (openmm.PeriodicTorsionForce)."""
+
+    idx: jnp.ndarray = None  # (T, 4)
+    periodicity: jnp.ndarray = None
+    phase: jnp.ndarray = None
+    k: jnp.ndarray = None
+
+    def energy(self, x, box, globals):
+        return periodic_torsion_energy(
+            x, self.idx, self.periodicity, self.phase, self.k
+        )

@@ -1,0 +1,165 @@
+"""User-facing integrators assembled from propagators
+(counterpart of atomsmm/integrators.py; SURVEY.md §2a).
+
+The reference's `_AtomsMM_Integrator` subclasses openmm.CustomIntegrator and
+its propagator emits an instruction program; ours holds a Propagator and
+compiles it into a single jitted step function State -> State. `describe()`
+plays the role of the reference's pretty-printed `__str__` instruction dump
+(the de-facto integrator debugger).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from ..state import State
+from ..utils import replace
+from .propagators import (
+    BoostPropagator,
+    NoseHooverChainPropagator,
+    Propagator,
+    RespaPropagator,
+    StepContext,
+    TranslationPropagator,
+    TrotterSuzukiPropagator,
+    VelocityVerletPropagator,
+)
+
+
+class Integrator:
+    """Base integrator (atomsmm/integrators.py::_AtomsMM_Integrator).
+
+    Attributes:
+      dt: outer step size [ps] (static — baked into the compiled step).
+      propagator: the operator-splitting program for one outer step.
+    """
+
+    def __init__(self, dt: float):
+        self.dt = float(dt)
+        self.propagator: Propagator = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def initialize(self, system, state: State) -> State:
+        """Register this integrator's extended variables in the state
+        (the analog of CustomIntegrator.addGlobalVariable/addPerDofVariable)."""
+        extras = self.propagator.extra_variables(system, state)
+        # copy each leaf: propagators may return one array under several keys,
+        # which would make step()'s buffer donation see the same buffer twice
+        missing = {
+            k: jnp.array(v, copy=True)
+            for k, v in extras.items()
+            if k not in state.extra
+        }
+        return state.with_extra(**missing) if missing else state
+
+    def make_step(self):
+        """Build the jittable step function (system, state, globals) -> state —
+        the body that lax.scan/fori_loop iterates (SURVEY.md §3.2). `system`
+        is an explicit argument so its parameter arrays stay runtime inputs
+        (never baked into the compiled program as constants)."""
+
+        def step(system, state: State, globals: Optional[Dict] = None) -> State:
+            ctx = StepContext(system, globals, self.dt)
+            state = self.propagator.apply(ctx, state, 1.0)
+            return replace(state, step=state.step + 1)
+
+        return step
+
+    # -- introspection -----------------------------------------------------
+
+    def describe(self) -> str:
+        header = f"{type(self).__name__}(dt={self.dt} ps)"
+        return "\n".join([header] + self.propagator.describe(1.0))
+
+    def __str__(self):
+        return self.describe()
+
+    def conserved_extra(self, state) -> jnp.ndarray:
+        """Thermostat/barostat contribution to the conserved quantity
+        (0 for pure NVE); subclasses with baths override."""
+        return jnp.zeros((), state.v.dtype)
+
+
+class PropagatorIntegrator(Integrator):
+    """Wrap an arbitrary propagator (atomsmm Propagator.integrator())."""
+
+    def __init__(self, dt, propagator: Propagator):
+        super().__init__(dt)
+        self.propagator = propagator
+
+
+class VelocityVerletIntegrator(Integrator):
+    """Plain velocity Verlet over all force groups."""
+
+    def __init__(self, dt):
+        super().__init__(dt)
+        self.propagator = VelocityVerletPropagator()
+
+
+class GlobalThermostatIntegrator(Integrator):
+    """NVE core propagator + a global thermostat applied symmetrically:
+    thermostat(t/2) nve(t) thermostat(t/2)
+    (atomsmm/integrators.py::GlobalThermostatIntegrator)."""
+
+    def __init__(self, dt, thermostat: Propagator, nve: Optional[Propagator] = None):
+        super().__init__(dt)
+        self.thermostat = thermostat
+        nve = nve or VelocityVerletPropagator()
+        self.propagator = TrotterSuzukiPropagator(nve, thermostat)
+
+    def conserved_extra(self, state):
+        if hasattr(self.thermostat, "conserved_extra"):
+            return self.thermostat.conserved_extra(state)
+        return jnp.zeros((), state.v.dtype)
+
+
+class MultipleTimeScaleIntegrator(Integrator):
+    """r-RESPA over force groups 0..L as produced by RESPASystem
+    (atomsmm/integrators.py::MultipleTimeScaleIntegrator).
+
+    Args:
+      dt: outermost step size [ps].
+      loops: substep counts per level, innermost (group 0) first; loops[-1]
+        is usually 1.
+      temperature, time_scale: if given, attach a Nosé-Hoover chain bath.
+      location: RESPA level at which the bath is spliced (-1 = outside the
+        outermost level, the reference's default "global" placement).
+      nchain/nsy/nloops: NH chain shape (see NoseHooverChainPropagator).
+      degrees_of_freedom: required when a bath is attached.
+    """
+
+    def __init__(
+        self,
+        dt,
+        loops,
+        temperature: Optional[float] = None,
+        time_scale: float = 0.1,
+        degrees_of_freedom: Optional[int] = None,
+        location: int = -1,
+        nchain: int = 2,
+        nsy: int = 3,
+        nloops: int = 1,
+        core: Optional[Propagator] = None,
+        baths: Optional[Dict[int, Propagator]] = None,
+    ):
+        super().__init__(dt)
+        baths = dict(baths or {})
+        self.thermostat = None
+        if temperature is not None:
+            if degrees_of_freedom is None:
+                raise ValueError(
+                    "degrees_of_freedom is required when temperature is set"
+                )
+            self.thermostat = NoseHooverChainPropagator(
+                temperature, degrees_of_freedom, time_scale,
+                nchain=nchain, nsy=nsy, nloops=nloops,
+            )
+            baths[location] = self.thermostat
+        self.propagator = RespaPropagator(loops, core=core, baths=baths)
+
+    def conserved_extra(self, state):
+        if self.thermostat is not None:
+            return self.thermostat.conserved_extra(state)
+        return jnp.zeros((), state.v.dtype)

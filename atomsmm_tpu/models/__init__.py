@@ -1,0 +1,9 @@
+"""Benchmark model systems (BASELINE.md configs).
+
+The reference's tests build systems from AMBER files in tests/data (q-SPC/FW
+water, emim/BF4, phenol+water — SURVEY.md §4); with no such files available
+here (empty reference mount, SURVEY.md §0) these builders construct the same
+physical systems programmatically, with documented force-field parameters.
+"""
+from .argon import argon_system
+from .water import water_system

@@ -1,0 +1,154 @@
+"""q-SPC/Fw flexible water — BASELINE.md configs 2 and 5.
+
+Force field (Paesani et al., J. Chem. Phys. 125, 184507 (2006), q-SPC/Fw):
+  qO = -0.84 e, qH = +0.42 e
+  LJ on oxygen only: sigma = 0.3165492 nm, epsilon = 0.6502856 kJ/mol
+  harmonic bond: r0 = 0.1 nm,    k = 443153.38 kJ/mol/nm^2
+  harmonic angle: theta0 = 112.0 deg, k = 317.5656 kJ/mol/rad^2
+Flexible (no constraints) — exactly why the reference's RESPA split matters:
+the stiff intramolecular terms form group 0, near nonbonded group 1, far
+group 2 (SURVEY.md §3.1).
+
+Initial condition: molecules on a cubic lattice at liquid density
+(33.328 molecules/nm^3 by default), random orientations.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..forces import HarmonicAngleForce, HarmonicBondForce, NonbondedForce
+from ..system import System, make_exclusions_array
+
+Q_O = -0.84
+Q_H = 0.42
+SIGMA_O = 0.3165492  # nm
+EPSILON_O = 0.1554253 * 4.184  # kJ/mol
+MASS_O = 15.9994
+MASS_H = 1.008
+BOND_R0 = 0.1  # nm
+BOND_K = 1059.162 * 4.184 * 100.0  # kJ/mol/nm^2
+ANGLE_T0 = 112.0 * np.pi / 180.0  # rad
+ANGLE_K = 75.90 * 4.184  # kJ/mol/rad^2
+WATER_NUMBER_DENSITY = 33.328  # molecules / nm^3 at ~298 K, 1 atm
+
+
+def _water_geometry():
+    """One molecule at equilibrium geometry: O at origin, H's in the xy plane."""
+    r, t = BOND_R0, ANGLE_T0
+    h1 = np.array([r * np.sin(t / 2), r * np.cos(t / 2), 0.0])
+    h2 = np.array([-r * np.sin(t / 2), r * np.cos(t / 2), 0.0])
+    return np.stack([np.zeros(3), h1, h2])  # (3, 3): O, H1, H2
+
+
+def _random_rotations(n, rs):
+    """Uniform random rotation matrices via quaternion sampling."""
+    q = rs.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q.T
+    return np.stack(
+        [
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def water_positions(n_molecules: int, box_l: float, seed: int = 0):
+    rs = np.random.RandomState(seed)
+    n_side = int(np.ceil(n_molecules ** (1.0 / 3.0)))
+    spacing = box_l / n_side
+    grid = (np.arange(n_side) + 0.5) * spacing
+    centers = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), -1)
+    centers = centers.reshape(-1, 3)[:n_molecules]
+    mol = _water_geometry()  # (3, 3)
+    rot = _random_rotations(n_molecules, rs)  # (M, 3, 3)
+    atoms = centers[:, None, :] + np.einsum("mij,aj->mai", rot, mol)
+    return atoms.reshape(-1, 3)
+
+
+def water_system(
+    n_molecules: int = 216,
+    method: str = "cutoff",
+    r_cut: float = 0.9,
+    r_switch: float = 0.8,
+    number_density: float = WATER_NUMBER_DENSITY,
+    seed: int = 0,
+    dtype=None,
+    chunk: int = 256,
+    pme_grid=None,
+    pme_alpha: float | None = None,
+):
+    """Build (System, positions, box) for n_molecules of q-SPC/Fw water.
+
+    Atom order: [O, H, H] per molecule. Group assignment: all forces in group 0
+    (use systems.RESPASystem to split into bonded/near/far).
+    """
+    dtype = dtype or jnp.result_type(float)
+    m = n_molecules
+    n = 3 * m
+    box_l = (m / number_density) ** (1.0 / 3.0)
+    x = water_positions(m, box_l, seed)
+
+    o = 3 * np.arange(m)
+    bonds = np.concatenate(
+        [np.stack([o, o + 1], 1), np.stack([o, o + 2], 1)]
+    ).astype(np.int32)
+    angles = np.stack([o + 1, o, o + 2], 1).astype(np.int32)  # H-O-H, O central
+    excl_pairs = np.concatenate(
+        [np.stack([o, o + 1], 1), np.stack([o, o + 2], 1), np.stack([o + 1, o + 2], 1)]
+    )
+
+    charge = np.tile([Q_O, Q_H, Q_H], m)
+    sigma = np.tile([SIGMA_O, 1.0, 1.0], m)  # sigma irrelevant when eps = 0
+    epsilon = np.tile([EPSILON_O, 0.0, 0.0], m)
+    masses = np.tile([MASS_O, MASS_H, MASS_H], m)
+
+    nb_kwargs = dict(
+        group=0,
+        charge=jnp.asarray(charge, dtype),
+        sigma=jnp.asarray(sigma, dtype),
+        epsilon=jnp.asarray(epsilon, dtype),
+        exclusions=make_exclusions_array(n, excl_pairs),
+        r_cut=jnp.asarray(r_cut, dtype),
+        r_switch=jnp.asarray(r_switch, dtype),
+        eps_rf=jnp.asarray(1e15, dtype),
+        method=method,
+        use_switch=True,
+        chunk=chunk,
+    )
+    if method == "pme":
+        from ..ops.pme import choose_pme_parameters
+
+        alpha, grid = choose_pme_parameters(
+            r_cut, np.array([box_l] * 3), alpha=pme_alpha, grid=pme_grid
+        )
+        nb_kwargs.update(
+            ewald_alpha=jnp.asarray(alpha, dtype), grid_shape=tuple(grid)
+        )
+    nonbonded = NonbondedForce(**nb_kwargs)
+
+    bond_force = HarmonicBondForce(
+        group=0,
+        idx=jnp.asarray(bonds),
+        r0=jnp.full((len(bonds),), BOND_R0, dtype),
+        k=jnp.full((len(bonds),), BOND_K, dtype),
+    )
+    angle_force = HarmonicAngleForce(
+        group=0,
+        idx=jnp.asarray(angles),
+        theta0=jnp.full((m,), ANGLE_T0, dtype),
+        k=jnp.full((m,), ANGLE_K, dtype),
+    )
+
+    box = jnp.full((3,), box_l, dtype)
+    system = System(
+        masses=jnp.asarray(masses, dtype),
+        forces=(nonbonded, bond_force, angle_force),
+        molecule=jnp.asarray(np.repeat(np.arange(m), 3), jnp.int32),
+        default_box=box,
+        num_molecules=m,
+    )
+    return system, jnp.asarray(x, dtype), box

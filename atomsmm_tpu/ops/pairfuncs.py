@@ -1,0 +1,108 @@
+"""Pairwise energy expressions (the analog of atomsmm's Lepton energy strings).
+
+Each function maps (r, per-pair parameters, globals) -> energy [kJ/mol] and is
+finite for r in (0, rcut]; masking of out-of-range / excluded / padded pairs is
+the evaluator's job (ops/pairs.py, ops/neighbors.py). JAX tracing + XLA fusion
+replace OpenMM's Lepton JIT (SURVEY.md §2b N2).
+
+Combining rules are Lorentz-Berthelot (sigma arithmetic, epsilon geometric),
+matching openmm.NonbondedForce, from which the reference forces import their
+parameters (atomsmm/forces.py `importFrom` idiom).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..units import ONE_4PI_EPS0
+from .switching import switch_quintic
+
+
+def lorentz_berthelot(sigma_i, sigma_j, eps_i, eps_j):
+    sigma = 0.5 * (sigma_i + sigma_j)
+    epsilon = jnp.sqrt(eps_i * eps_j)
+    return sigma, epsilon
+
+
+def lj(r, sigma, epsilon):
+    """Lennard-Jones 4 eps [(s/r)^12 - (s/r)^6]."""
+    s6 = (sigma / r) ** 6
+    return 4.0 * epsilon * s6 * (s6 - 1.0)
+
+
+def coulomb(r, qq):
+    """Plain Coulomb k qq / r; qq = qi*qj [e^2]."""
+    return ONE_4PI_EPS0 * qq / r
+
+def damped_coulomb(r, qq, alpha):
+    """Damped (Wolf-style) Coulomb k qq erfc(alpha r)/r.
+
+    alpha = 0 reduces exactly to plain Coulomb. Used by the reference's
+    DampedSmoothedForce / NearNonbondedForce real-space terms and as the PME
+    direct-space term.
+    """
+    return ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * r) / r
+
+
+def reaction_field_coulomb(r, qq, r_cut, eps_rf):
+    """Cutoff Coulomb with reaction-field correction (openmm CutoffPeriodic):
+
+    k qq (1/r + k_rf r^2 - c_rf), k_rf = (eps-1)/((2 eps+1) rc^3), c_rf chosen
+    so u(rc) = 0. eps_rf is a traced scalar; pass a large value (~1e15) for a
+    conducting boundary (k_rf -> 1/(2 rc^3) numerically).
+    """
+    k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * r_cut**3)
+    c_rf = 1.0 / r_cut + k_rf * r_cut**2
+    return ONE_4PI_EPS0 * qq * (1.0 / r + k_rf * r * r - c_rf)
+
+
+def softcore_lj(r, sigma, epsilon, lamb, alpha=0.5):
+    """Beutler-style softcore LJ (atomsmm/forces.py::SoftcoreLennardJonesForce):
+
+    u = 4 eps lambda [ (1/x)^2 - 1/x ],  x = alpha (1-lambda) + (r/sigma)^6.
+
+    lambda = 1 recovers plain LJ; lambda = 0 turns the interaction off with a
+    bounded core (finite at r=0).
+    """
+    x = alpha * (1.0 - lamb) + (r / sigma) ** 6
+    inv = 1.0 / x
+    return 4.0 * epsilon * lamb * inv * (inv - 1.0)
+
+
+# --- Composite near/far forms used by the RESPA split -----------------------
+
+
+def near_pair_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut,
+                     subtract: bool = False):
+    """Inner/short-range RESPA pair energy (atomsmm/forces.py::NearNonbondedForce).
+
+    Shifted-force LJ + shifted-force damped Coulomb, each multiplied by the
+    quintic switching function over [r_switch, r_cut] when r_switch < r_cut.
+    Energy AND force go continuously to zero at r_cut, which is what makes it
+    usable as the high-frequency RESPA level. With `subtract` the negated form
+    is returned (the far force's "minus near" half, ::FarNonbondedForce).
+    """
+
+    def base(rr):
+        s6 = (sigma / rr) ** 6
+        u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
+        u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * rr) / rr
+        return u_lj + u_c
+
+    # shifted-force: u(r) - u(rc) - u'(rc)(r - rc), derivative via jvp at trace
+    # time (replaces the reference's symbolically shifted Lepton strings).
+    u_rc, du_rc = jax.jvp(base, (r_cut,), (jnp.ones_like(r_cut),))
+    u = (base(r) - u_rc - du_rc * (r - r_cut)) * switch_quintic(r, r_switch, r_cut)
+    return -u if subtract else u
+
+
+def damped_smoothed_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut):
+    """atomsmm/forces.py::DampedSmoothedForce: (LJ + damped Coulomb) * S(r).
+
+    The damped-shifted formulation of Fennell & Gezelter (JCP 2006) with a
+    smoothing (switching) polynomial instead of the force shift.
+    """
+    s6 = (sigma / r) ** 6
+    u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
+    u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * r) / r
+    return (u_lj + u_c) * switch_quintic(r, r_switch, r_cut)

@@ -1,0 +1,25 @@
+"""Periodic boundary helpers (orthorhombic boxes).
+
+All benchmark systems of the reference (q-SPC/FW water, emim/BF4, phenol in
+water, LJ argon — BASELINE.md configs) use rectangular boxes, so the minimum
+image convention is the cheap, branch-free `dx - box*round(dx/box)` form that
+XLA fuses into the pair kernels.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def minimum_image(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-image displacement for orthorhombic box; dx (..., 3), box (3,)."""
+    return dx - box * jnp.round(dx / box)
+
+
+def wrap_positions(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Wrap positions into [0, box)."""
+    return x - box * jnp.floor(x / box)
+
+
+def pair_displacement(xi: jnp.ndarray, xj: jnp.ndarray, box: jnp.ndarray):
+    """Minimum-image displacement xi - xj, any broadcastable shapes (...,3)."""
+    return minimum_image(xi - xj, box)
