@@ -36,12 +36,14 @@ def refresh_force_caches(system, state, globals):
     positions/parameters (run before each device-side stepping loop, so
     parameter changes — e.g. lambda — can never leave a stale cache)."""
     from .integrate.propagators import parse_force_cache_tag
+    from .ops.neighbors import make_aux
 
+    aux = make_aux(system, state.extra)
     updates = {}
     for key in state.extra:
         if key.startswith("fcache_"):
             groups = parse_force_cache_tag(key)
-            _, f = force_fn(system, groups)(state.x, state.box, globals)
+            _, f = force_fn(system, groups)(state.x, state.box, globals, aux)
             updates[key] = f
     return state.with_extra(**updates) if updates else state
 
@@ -75,23 +77,43 @@ class Context:
         # Defensive copy: step() donates the state buffers to the device loop,
         # so the Context must own them (user arrays may be shared elsewhere).
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
+        if system.neighbors is not None:
+            from .ops.neighbors import neighbor_list_extras
+
+            state = state.with_extra(
+                **jax.jit(neighbor_list_extras)(
+                    system.neighbors, state.x, state.box
+                )
+            )
         self.state = integrator.initialize(system, state)
         self._step_fn = integrator.make_step()
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         self._observe = jax.jit(self._make_observe())
+        self.check_overflow = system.neighbors is not None
 
     # -- construction of jitted entry points -------------------------------
 
     def _make_run(self):
         step_fn = self._step_fn
 
+        def maybe_update_neighbors(system, s):
+            if system.neighbors is None:
+                return s
+            from .ops.neighbors import update_neighbors
+
+            return s.with_extra(
+                **update_neighbors(system.neighbors, s.extra, s.x, s.box)
+            )
+
         def run(system, state, globals, n):
             # `system` is an argument (not a closed-over constant) so its
             # parameter arrays live as runtime buffers, not baked constants.
+            state = maybe_update_neighbors(system, state)
             state = refresh_force_caches(system, state, globals)
 
             def body(i, s):
-                return step_fn(system, s, globals)
+                s = step_fn(system, s, globals)
+                return maybe_update_neighbors(system, s)
 
             return jax.lax.fori_loop(0, n, body, state)
 
@@ -99,17 +121,28 @@ class Context:
 
     def _make_observe(self):
         def observe(system, state, globals):
-            e_split = split_potential_energy(system, state.x, state.box, globals)
-            e_groups = group_energies(system, state.x, state.box, globals)
+            if system.neighbors is not None:
+                from .ops.neighbors import update_neighbors
+
+                state = state.with_extra(
+                    **update_neighbors(
+                        system.neighbors, state.extra, state.x, state.box
+                    )
+                )
+            from .ops.neighbors import make_aux
+
+            aux = make_aux(system, state.extra)
+            e_split = split_potential_energy(
+                system, state.x, state.box, globals, aux
+            )
+            e_groups = group_energies(system, state.x, state.box, globals, aux)
             e_pot = e_split["Total"]
-            grad = jax.grad(
-                lambda x: potential_energy(system, x, state.box, globals)
-            )(state.x)
+            _, forces = force_fn(system)(state.x, state.box, globals, aux)
             return StateSnapshot(
                 positions=state.x,
                 velocities=state.v,
                 box=state.box,
-                forces=-grad,
+                forces=forces,
                 potential_energy=e_pot,
                 kinetic_energy=kinetic_energy(system.masses, state.v),
                 group_energies=e_groups,
@@ -152,6 +185,14 @@ class Context:
         self.state = self._run(
             self.system, self.state, self.parameters, jnp.int32(n)
         )
+        if self.check_overflow:
+            from .ops.neighbors import NBR_OVERFLOW
+
+            if bool(self.state.extra[NBR_OVERFLOW]):
+                raise RuntimeError(
+                    "cell-list capacity overflow: increase cell_capacity (or "
+                    "density_safety) in the system's NeighborSpec"
+                )
         return self
 
     def get_state(self) -> StateSnapshot:

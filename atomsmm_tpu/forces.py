@@ -2,12 +2,21 @@
 
 In the reference, each force class builds an openmm Custom*Force whose energy
 is a Lepton string compiled by OpenMM's C++ JIT. Here each force is a pytree
-dataclass whose `energy(x, box, globals)` method is a traced JAX function;
-XLA fusion replaces Lepton, `jax.grad` replaces hand-coded force kernels, and
-the "force group" integer drives the RESPA split exactly as in the reference.
+dataclass whose `energy(x, box, globals, aux)` method is a traced JAX
+function; XLA fusion replaces Lepton, `jax.grad` replaces hand-coded force
+kernels, and the "force group" integer drives the RESPA split exactly as in
+the reference.
+
+Evaluation paths for nonbonded forces:
+  * dense — chunked masked O(N^2) (ops/pairs.py); the deterministic reference
+    path, used for tests/goldens and when no neighbor list is available;
+  * neighbors — fixed-capacity (N, K) neighbor list (ops/neighbors.py), the
+    production TPU path; `aux` carries the list (built/updated by Context).
+    Forces on this path are explicit gather-only sums, exposed through
+    `energy_and_forces` (used by potential.force_fn instead of autodiff).
 
 Implemented classes and their reference counterparts:
-  NonbondedForce            — openmm.NonbondedForce (cutoff/RF; PME in ops/pme.py)
+  NonbondedForce            — openmm.NonbondedForce (cutoff/RF; PME via ops/pme.py)
   NonbondedExceptionsForce  — atomsmm/forces.py::NonbondedExceptionsForce
   NearNonbondedForce        — atomsmm/forces.py::NearNonbondedForce
   FarNonbondedForce         — atomsmm/forces.py::FarNonbondedForce
@@ -33,14 +42,28 @@ from .ops.bonded import (
     harmonic_bond_energy,
     periodic_torsion_energy,
 )
+from .ops.neighbors import (
+    NBR_BUCKET,
+    cell_pair_energy,
+    cell_pair_energy_forces,
+)
 from .ops.pairs import dense_pair_energy, pairlist_energy
 from .units import ONE_4PI_EPS0
 from .utils import pytree_dataclass, static_field
 
 
+def _has_neighbors(aux) -> bool:
+    return aux is not None and NBR_BUCKET in aux
+
+
 @pytree_dataclass
 class Force:
-    """Base force: subclasses define energy(x, box, globals) -> scalar."""
+    """Base force: subclasses define energy(x, box, globals, aux) -> scalar.
+
+    Subclasses with an explicit force formula also define
+    energy_and_forces(x, box, globals, aux) -> (scalar, (N, 3)); others are
+    differentiated by potential.force_fn.
+    """
 
     group: int = static_field(default=0)
 
@@ -48,11 +71,44 @@ class Force:
     def name(self) -> str:
         return type(self).__name__
 
-    def energy(self, x, box, globals):  # pragma: no cover - abstract
+    def energy(self, x, box, globals, aux=None):  # pragma: no cover - abstract
         raise NotImplementedError
 
     def uses_neighbors(self) -> bool:
         return False
+
+
+class _PairForceMixin:
+    """Shared dense/neighbor dispatch for pair forces. Subclasses provide
+    _pair_fn(globals) -> (r, pi, pj) -> energy and _per_particle()."""
+
+    def _nb_energy(self, x, box, globals, aux, r_cut):
+        pair_fn = self._pair_fn(globals)
+        pp = self._per_particle()
+        if _has_neighbors(aux):
+            return cell_pair_energy(
+                pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
+            )
+        return dense_pair_energy(
+            pair_fn, x, box, pp, self.exclusions, r_cut, chunk=self.chunk
+        )
+
+    def _nb_energy_forces(self, x, box, globals, aux, r_cut):
+        pair_fn = self._pair_fn(globals)
+        pp = self._per_particle()
+        if _has_neighbors(aux):
+            return cell_pair_energy_forces(
+                pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
+            )
+        e, g = jax.value_and_grad(
+            lambda xx: dense_pair_energy(
+                pair_fn, xx, box, pp, self.exclusions, r_cut, chunk=self.chunk
+            )
+        )(x)
+        return e, -g
+
+    def uses_neighbors(self) -> bool:
+        return True
 
 
 # --------------------------------------------------------------------------
@@ -61,15 +117,16 @@ class Force:
 
 
 @pytree_dataclass
-class NonbondedForce(Force):
+class NonbondedForce(_PairForceMixin, Force):
     """Full LJ + Coulomb nonbonded force with per-particle (charge, sigma,
     epsilon), Lorentz-Berthelot combining, and exclusions.
 
     method:
-      'nocutoff' — plain LJ + Coulomb over all pairs
+      'nocutoff' — plain LJ + Coulomb over all pairs (dense only)
       'cutoff'   — switched LJ + reaction-field Coulomb within r_cut
-      'pme'      — switched LJ (cutoff) + PME Coulomb (direct + reciprocal +
-                   corrections); see ops/pme.py
+      'pme'      — switched LJ (cutoff) + PME Coulomb: damped direct-space
+                   pair term + reciprocal FFT + self/exclusion corrections
+                   (ops/pme.py)
     """
 
     charge: jnp.ndarray = None
@@ -86,7 +143,14 @@ class NonbondedForce(Force):
     spline_order: int = static_field(default=4)
     chunk: int = static_field(default=256)
 
-    def _pair_fn(self):
+    def _per_particle(self):
+        return {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+
+    def _pair_fn(self, globals=None):
         method, use_switch = self.method, self.use_switch
         r_cut, r_switch, eps_rf = self.r_cut, self.r_switch, self.eps_rf
         alpha = self.ewald_alpha
@@ -111,29 +175,32 @@ class NonbondedForce(Force):
 
         return pair
 
-    def energy(self, x, box, globals):
-        per_particle = {
-            "charge": self.charge,
-            "sigma": self.sigma,
-            "epsilon": self.epsilon,
-        }
-        r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
-        e = dense_pair_energy(
-            self._pair_fn(), x, box, per_particle, self.exclusions,
-            r_cut, chunk=self.chunk,
-        )
-        if self.method == "pme":
-            from .ops.pme import pme_reciprocal_energy, pme_corrections
+    def _recip_energy(self, x, box):
+        from .ops.pme import pme_corrections, pme_reciprocal_energy
 
-            e_rec = pme_reciprocal_energy(
-                x, box, self.charge, self.ewald_alpha, self.grid_shape,
-                self.spline_order,
-            )
-            e_corr = pme_corrections(
-                x, box, self.charge, self.exclusions, self.ewald_alpha
-            )
-            e = e + e_rec + e_corr
+        e_rec = pme_reciprocal_energy(
+            x, box, self.charge, self.ewald_alpha, self.grid_shape,
+            self.spline_order,
+        )
+        e_corr = pme_corrections(
+            x, box, self.charge, self.exclusions, self.ewald_alpha
+        )
+        return e_rec + e_corr
+
+    def energy(self, x, box, globals, aux=None):
+        r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
+        e = self._nb_energy(x, box, globals, aux, r_cut)
+        if self.method == "pme":
+            e = e + self._recip_energy(x, box)
         return e
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
+        e, f = self._nb_energy_forces(x, box, globals, aux, r_cut)
+        if self.method == "pme":
+            e2, g2 = jax.value_and_grad(lambda xx: self._recip_energy(xx, box))(x)
+            e, f = e + e2, f - g2
+        return e, f
 
     def uses_neighbors(self) -> bool:
         return self.method != "nocutoff"
@@ -153,7 +220,7 @@ class NonbondedExceptionsForce(Force):
     epsilon: jnp.ndarray = None     # (P,)
     valid: jnp.ndarray = None       # (P,) bool mask for padding
 
-    def energy(self, x, box, globals):
+    def energy(self, x, box, globals, aux=None):
         def pair(r, p):
             return (
                 pairfuncs.lj(r, p["sigma"], p["epsilon"])
@@ -169,7 +236,7 @@ class NonbondedExceptionsForce(Force):
 
 
 @pytree_dataclass
-class NearNonbondedForce(Force):
+class NearNonbondedForce(_PairForceMixin, Force):
     """Short-range RESPA force (atomsmm/forces.py::NearNonbondedForce):
     shifted-force LJ + shifted-force damped Coulomb, switched over
     [r_switch, r_cut]. With subtract=True the energy is negated — that is the
@@ -187,7 +254,14 @@ class NearNonbondedForce(Force):
     subtract: bool = static_field(default=False)
     chunk: int = static_field(default=256)
 
-    def _pair_fn(self):
+    def _per_particle(self):
+        return {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+
+    def _pair_fn(self, globals=None):
         r_cut, r_switch, alpha = self.r_cut, self.r_switch, self.alpha
         subtract = self.subtract
 
@@ -202,19 +276,11 @@ class NearNonbondedForce(Force):
 
         return pair
 
-    def energy(self, x, box, globals):
-        per_particle = {
-            "charge": self.charge,
-            "sigma": self.sigma,
-            "epsilon": self.epsilon,
-        }
-        return dense_pair_energy(
-            self._pair_fn(), x, box, per_particle, self.exclusions,
-            self.r_cut, chunk=self.chunk,
-        )
+    def energy(self, x, box, globals, aux=None):
+        return self._nb_energy(x, box, globals, aux, self.r_cut)
 
-    def uses_neighbors(self) -> bool:
-        return True
+    def energy_and_forces(self, x, box, globals, aux=None):
+        return self._nb_energy_forces(x, box, globals, aux, self.r_cut)
 
 
 @pytree_dataclass
@@ -227,17 +293,22 @@ class FarNonbondedForce(Force):
     full: NonbondedForce = None
     minus_near: NearNonbondedForce = None
 
-    def energy(self, x, box, globals):
-        return self.full.energy(x, box, globals) + self.minus_near.energy(
-            x, box, globals
+    def energy(self, x, box, globals, aux=None):
+        return self.full.energy(x, box, globals, aux) + self.minus_near.energy(
+            x, box, globals, aux
         )
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        e1, f1 = self.full.energy_and_forces(x, box, globals, aux)
+        e2, f2 = self.minus_near.energy_and_forces(x, box, globals, aux)
+        return e1 + e2, f1 + f2
 
     def uses_neighbors(self) -> bool:
         return True
 
 
 @pytree_dataclass
-class DampedSmoothedForce(Force):
+class DampedSmoothedForce(_PairForceMixin, Force):
     """Damped-shifted Coulomb + LJ, smoothed over [r_switch, r_cut]
     (atomsmm/forces.py::DampedSmoothedForce; Fennell & Gezelter JCP 2006)."""
 
@@ -250,7 +321,14 @@ class DampedSmoothedForce(Force):
     alpha: Any = 2.0
     chunk: int = static_field(default=256)
 
-    def energy(self, x, box, globals):
+    def _per_particle(self):
+        return {
+            "charge": self.charge,
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+        }
+
+    def _pair_fn(self, globals=None):
         r_cut, r_switch, alpha = self.r_cut, self.r_switch, self.alpha
 
         def pair(r, pi, pj):
@@ -262,21 +340,17 @@ class DampedSmoothedForce(Force):
                 r, sigma, epsilon, qq, alpha, r_switch, r_cut
             )
 
-        per_particle = {
-            "charge": self.charge,
-            "sigma": self.sigma,
-            "epsilon": self.epsilon,
-        }
-        return dense_pair_energy(
-            pair, x, box, per_particle, self.exclusions, r_cut, chunk=self.chunk
-        )
+        return pair
 
-    def uses_neighbors(self) -> bool:
-        return True
+    def energy(self, x, box, globals, aux=None):
+        return self._nb_energy(x, box, globals, aux, self.r_cut)
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        return self._nb_energy_forces(x, box, globals, aux, self.r_cut)
 
 
 @pytree_dataclass
-class SoftcoreLennardJonesForce(Force):
+class SoftcoreLennardJonesForce(_PairForceMixin, Force):
     """Beutler softcore LJ between an interaction group (solute <-> solvent),
     scaled by the global parameter `lambda_vdw`
     (atomsmm/forces.py::SoftcoreLennardJonesForce).
@@ -292,8 +366,15 @@ class SoftcoreLennardJonesForce(Force):
     lambda_name: str = static_field(default="lambda_vdw")
     chunk: int = static_field(default=256)
 
-    def energy(self, x, box, globals):
-        lamb = globals[self.lambda_name]
+    def _per_particle(self):
+        return {
+            "sigma": self.sigma,
+            "epsilon": self.epsilon,
+            "solute": self.solute,
+        }
+
+    def _pair_fn(self, globals=None):
+        lamb = (globals or {}).get(self.lambda_name, 1.0)
         r_cut, r_switch, use_switch = self.r_cut, self.r_switch, self.use_switch
 
         def pair(r, pi, pj):
@@ -309,21 +390,17 @@ class SoftcoreLennardJonesForce(Force):
             cross = pi["solute"] + pj["solute"] - 2.0 * pi["solute"] * pj["solute"]
             return u * cross
 
-        per_particle = {
-            "sigma": self.sigma,
-            "epsilon": self.epsilon,
-            "solute": self.solute,
-        }
-        return dense_pair_energy(
-            pair, x, box, per_particle, self.exclusions, r_cut, chunk=self.chunk
-        )
+        return pair
 
-    def uses_neighbors(self) -> bool:
-        return True
+    def energy(self, x, box, globals, aux=None):
+        return self._nb_energy(x, box, globals, aux, self.r_cut)
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        return self._nb_energy_forces(x, box, globals, aux, self.r_cut)
 
 
 @pytree_dataclass
-class CustomNonbondedForce(Force):
+class CustomNonbondedForce(_PairForceMixin, Force):
     """Arbitrary pair potential: `energy_function(r, pi, pj, globals)` plays
     the role of an openmm.CustomNonbondedForce Lepton string (JAX tracing
     replaces Lepton — SURVEY.md §2b N2). per_particle maps parameter name to
@@ -335,19 +412,23 @@ class CustomNonbondedForce(Force):
     energy_function: Callable = static_field(default=None)
     chunk: int = static_field(default=256)
 
-    def energy(self, x, box, globals):
+    def _per_particle(self):
+        return self.per_particle
+
+    def _pair_fn(self, globals=None):
         fn = self.energy_function
+        g = globals or {}
 
         def pair(r, pi, pj):
-            return fn(r, pi, pj, globals)
+            return fn(r, pi, pj, g)
 
-        return dense_pair_energy(
-            pair, x, box, self.per_particle, self.exclusions, self.r_cut,
-            chunk=self.chunk,
-        )
+        return pair
 
-    def uses_neighbors(self) -> bool:
-        return True
+    def energy(self, x, box, globals, aux=None):
+        return self._nb_energy(x, box, globals, aux, self.r_cut)
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        return self._nb_energy_forces(x, box, globals, aux, self.r_cut)
 
 
 @pytree_dataclass
@@ -359,11 +440,12 @@ class CustomBondForce(Force):
     valid: jnp.ndarray = None
     energy_function: Callable = static_field(default=None)
 
-    def energy(self, x, box, globals):
+    def energy(self, x, box, globals, aux=None):
         fn = self.energy_function
+        g = globals or {}
 
         def pair(r, params):
-            return fn(r, params, globals)
+            return fn(r, params, g)
 
         return pairlist_energy(pair, x, box, self.pairs, self.per_bond, self.valid)
 
@@ -381,7 +463,7 @@ class HarmonicBondForce(Force):
     r0: jnp.ndarray = None
     k: jnp.ndarray = None
 
-    def energy(self, x, box, globals):
+    def energy(self, x, box, globals, aux=None):
         return harmonic_bond_energy(x, self.idx, self.r0, self.k)
 
 
@@ -393,7 +475,7 @@ class HarmonicAngleForce(Force):
     theta0: jnp.ndarray = None
     k: jnp.ndarray = None
 
-    def energy(self, x, box, globals):
+    def energy(self, x, box, globals, aux=None):
         return harmonic_angle_energy(x, self.idx, self.theta0, self.k)
 
 
@@ -406,7 +488,7 @@ class PeriodicTorsionForce(Force):
     phase: jnp.ndarray = None
     k: jnp.ndarray = None
 
-    def energy(self, x, box, globals):
+    def energy(self, x, box, globals, aux=None):
         return periodic_torsion_energy(
             x, self.idx, self.periodicity, self.phase, self.k
         )

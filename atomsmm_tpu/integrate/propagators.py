@@ -49,11 +49,16 @@ class StepContext:
         The per-(frozen)group evaluator is built once per trace; identical
         calls at identical positions are CSE'd by XLA, mirroring how the
         reference's CustomIntegrator caches per-group forces f0/f1/f2.
+        The neighbor list (if present) rides in State.extra and is threaded
+        through as aux.
         """
+        from ..ops.neighbors import make_aux
+
         key = None if groups is None else frozenset(groups)
         if key not in self._force_fns:
             self._force_fns[key] = force_fn(self.system, key)
-        _, f = self._force_fns[key](state.x, state.box, self.globals)
+        aux = make_aux(self.system, state.extra)
+        _, f = self._force_fns[key](state.x, state.box, self.globals, aux)
         return f
 
     @property

@@ -28,8 +28,12 @@ def argon_system(
     seed: int = 0,
     dtype=None,
     chunk: int = 256,
+    neighbors: bool = False,
+    skin: float = 0.1,
 ):
-    """Build (System, positions, box). No charges, no exclusions."""
+    """Build (System, positions, box). No charges, no exclusions.
+
+    neighbors=True attaches a NeighborSpec (production cell-list path)."""
     dtype = dtype or jnp.result_type(float)
     volume = n * ARGON_SIGMA**3 / rho_star
     box_l = volume ** (1.0 / 3.0)
@@ -64,4 +68,10 @@ def argon_system(
         default_box=box,
         num_molecules=n,
     )
+    if neighbors:
+        from ..ops.neighbors import make_neighbor_spec
+
+        system = system.with_neighbors(
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin)
+        )
     return system, jnp.asarray(x, dtype), box

@@ -80,6 +80,8 @@ def water_system(
     chunk: int = 256,
     pme_grid=None,
     pme_alpha: float | None = None,
+    neighbors: bool = False,
+    skin: float = 0.1,
 ):
     """Build (System, positions, box) for n_molecules of q-SPC/Fw water.
 
@@ -151,4 +153,13 @@ def water_system(
         default_box=box,
         num_molecules=m,
     )
+    if neighbors:
+        from ..ops.neighbors import make_neighbor_spec
+
+        system = system.with_neighbors(
+            make_neighbor_spec(
+                np.full(3, box_l), n, r_cut, skin=skin,
+                exclusions=nb_kwargs["exclusions"],
+            )
+        )
     return system, jnp.asarray(x, dtype), box

@@ -1,0 +1,356 @@
+"""Cell-list pair evaluation — the production nonbonded path.
+
+TPU-native replacement for OpenMM's neighbor/cell list machinery
+(SURVEY.md §2b N2). TPU rationale: generic row gathers are slow on TPU, so
+the classic per-atom compacted neighbor list (gather (N, K, 3) every step) is
+the wrong shape here — measured 2.5x slower than even the dense O(N^2) path.
+Instead we use the *cell-block* formulation, which is also the natural tiling
+for a Pallas kernel:
+
+  * rebuild (cheap, every ~50-200 steps, on-demand): bin atoms into a static
+    cell grid by one argsort + scatter into fixed-capacity buckets
+    (ncells, cap) of atom ids, sentinel-padded;
+  * evaluation (every step, fully regular): stage positions+parameters into
+    bucket layout with ONE coarse row gather, then for each home cell compute
+    masked pair interactions against the S neighboring cells' blocks —
+    (cap, S*cap) tiles of pure VPU math, no fine-grained gathers;
+  * forces are explicit and symmetric: F_i = -sum_cand u'(r) r_hat, no
+    autodiff scatter in the hot loop; u and u' come from one jvp sweep;
+  * mask-don't-branch: sentinel slots, self pairs, out-of-range and excluded
+    pairs are masked, never branched on.
+
+Static shapes: grid dims, capacity, neighborhood size S, and the scan chunk
+are fixed at setup (NeighborSpec); bucket overflow is detected and flagged,
+never silently dropped. The bucketing is valid while no atom moved more than
+skin/2 since the rebuild (checked against stored reference positions).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import pytree_dataclass, static_field
+from .pbc import minimum_image
+
+# State.extra keys used by the neighbor subsystem
+NBR_BUCKET = "nbr_bucket"
+NBR_XREF = "nbr_xref"
+NBR_BOXREF = "nbr_boxref"
+NBR_OVERFLOW = "nbr_overflow"
+# backwards-compatible alias used by forces.py to detect the aux channel
+NBR_IDX = NBR_BUCKET
+
+
+@pytree_dataclass
+class NeighborSpec:
+    """Static-shape cell-list configuration, attached to a System.
+
+    nbr_cells is the precomputed (ncells, S) map of neighboring cell ids,
+    -1-padded after deduplication (small periodic grids repeat cells; without
+    dedup pairs would be double-counted).
+    """
+
+    nbr_cells: jnp.ndarray = None          # (ncells, S) int32, -1 padded
+    exclusions: jnp.ndarray = None         # (N, M) int32, -1 padded
+    r_build: jnp.ndarray = None            # scalar: max cutoff + skin
+    skin: jnp.ndarray = None               # scalar
+    grid: Tuple[int, int, int] = static_field(default=(1, 1, 1))
+    cell_capacity: int = static_field(default=64)
+    cell_chunk: int = static_field(default=4)  # home cells per scan step
+
+    @property
+    def ncells(self) -> int:
+        return int(np.prod(self.grid))
+
+
+def _neighbor_cell_map(grid, reach=(1, 1, 1)) -> np.ndarray:
+    """Host-side: for each cell, the unique neighboring cell ids within
+    +-reach cells per dimension (periodic), -1 padded."""
+    nx, ny, nz = grid
+    rx, ry, rz = reach
+    ncells = nx * ny * nz
+    s_max = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
+    out = np.full((ncells, s_max), -1, dtype=np.int32)
+    for cx in range(nx):
+        for cy in range(ny):
+            for cz in range(nz):
+                cid = (cx * ny + cy) * nz + cz
+                seen = set()
+                for dx in range(-rx, rx + 1):
+                    for dy in range(-ry, ry + 1):
+                        for dz in range(-rz, rz + 1):
+                            nid = (
+                                ((cx + dx) % nx) * ny + ((cy + dy) % ny)
+                            ) * nz + ((cz + dz) % nz)
+                            seen.add(nid)
+                cells = sorted(seen)
+                out[cid, : len(cells)] = cells
+    # trim fully-padded columns (small grids dedup heavily)
+    used = int((out >= 0).sum(axis=1).max())
+    return out[:, :used]
+
+
+def make_neighbor_spec(
+    box,
+    n: int,
+    r_cut_max: float,
+    skin: float = 0.1,
+    exclusions=None,
+    density_safety: float = 1.7,
+    cells_per_cutoff: int = 1,
+    cell_chunk: int | None = None,
+) -> NeighborSpec:
+    """Host-side setup: pick the cell grid and capacity for a system of n
+    atoms in `box` with the largest relevant cutoff r_cut_max.
+
+    cells_per_cutoff > 1 uses finer cells with a wider search stencil
+    (less padding arithmetic per pair, more cells); 1-2 are sensible.
+    The grid is static; for NPT the box may shrink slightly, so rebuild the
+    spec if the box drifts by more than ~(safety-1).
+    """
+    box = np.asarray(box, np.float64)
+    r_build = float(r_cut_max) + float(skin)
+    target_w = r_build / cells_per_cutoff
+    grid = tuple(max(1, int(np.floor(b / target_w))) for b in box)
+    w = box / np.array(grid)
+    reach = tuple(int(np.ceil(r_build / wi)) for wi in w)
+    rho = n / float(np.prod(box))
+    cell_vol = float(np.prod(w))
+    cap = int(math.ceil(rho * cell_vol * density_safety) + 4)
+    cap = ((cap + 7) // 8) * 8
+    if exclusions is None:
+        exclusions = jnp.full((n, 1), -1, jnp.int32)
+    if cell_chunk is None:
+        # aim for ~2 MB per (chunk, cap, S*cap) f32 intermediate
+        ncells = int(np.prod(grid))
+        s = min((2 * reach[0] + 1) * (2 * reach[1] + 1) * (2 * reach[2] + 1),
+                ncells)
+        per_cell = cap * s * cap * 4
+        cell_chunk = max(1, min(ncells, (2 << 20) // max(per_cell, 1)))
+    return NeighborSpec(
+        nbr_cells=jnp.asarray(_neighbor_cell_map(grid, reach)),
+        exclusions=jnp.asarray(exclusions),
+        r_build=jnp.asarray(r_build),
+        skin=jnp.asarray(skin),
+        grid=grid,
+        cell_capacity=cap,
+        cell_chunk=cell_chunk,
+    )
+
+
+def build_cell_buckets(spec: NeighborSpec, x, box):
+    """Bin atoms into (ncells, cap) id buckets (sentinel N). One argsort."""
+    n = x.shape[0]
+    grid = jnp.asarray(spec.grid, jnp.int32)
+    ncells = spec.ncells
+    cap = spec.cell_capacity
+
+    w = box / grid.astype(box.dtype)
+    xw = x - box * jnp.floor(x / box)
+    c3 = jnp.clip((xw / w).astype(jnp.int32), 0, grid - 1)
+    cid = (c3[:, 0] * spec.grid[1] + c3[:, 1]) * spec.grid[2] + c3[:, 2]
+
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    iarr = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(first, iarr, 0))
+    rank = iarr - seg_start
+    ok = rank < cap
+    slot = jnp.where(ok, sorted_cid * cap + rank, ncells * cap)
+    bucket = jnp.full((ncells * cap,), n, jnp.int32)
+    bucket = bucket.at[slot].set(order, mode="drop")
+    return bucket.reshape(ncells, cap), jnp.any(~ok)
+
+
+def neighbor_list_extras(spec: NeighborSpec, x, box) -> Dict[str, jnp.ndarray]:
+    bucket, overflow = build_cell_buckets(spec, x, box)
+    return {
+        NBR_BUCKET: bucket,
+        NBR_XREF: x,
+        NBR_BOXREF: box,
+        NBR_OVERFLOW: overflow,
+    }
+
+
+def make_aux(system, extra):
+    """Assemble the aux dict passed to force evaluations: the system's
+    NeighborSpec plus the current bucket from State.extra (None when the
+    system has no neighbor path)."""
+    if getattr(system, "neighbors", None) is None or NBR_BUCKET not in extra:
+        return None
+    return {"spec": system.neighbors, NBR_BUCKET: extra[NBR_BUCKET]}
+
+
+def needs_rebuild(spec: NeighborSpec, extra, x, box):
+    """True when any atom moved more than skin/2 since the reference build
+    (or the box changed)."""
+    disp = minimum_image(x - extra[NBR_XREF], box)
+    moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
+        0.5 * spec.skin.astype(x.dtype)
+    ) ** 2
+    box_changed = jnp.any(box != extra[NBR_BOXREF])
+    return moved | box_changed
+
+
+def update_neighbors(spec: NeighborSpec, extra, x, box):
+    """Conditionally re-bin (lax.cond — static shapes both ways)."""
+
+    def rebuild(_):
+        bucket, overflow = build_cell_buckets(spec, x, box)
+        return bucket, x, box, extra[NBR_OVERFLOW] | overflow
+
+    def keep(_):
+        return (
+            extra[NBR_BUCKET],
+            extra[NBR_XREF],
+            extra[NBR_BOXREF],
+            extra[NBR_OVERFLOW],
+        )
+
+    bucket, xref, boxref, overflow = jax.lax.cond(
+        needs_rebuild(spec, extra, x, box), rebuild, keep, None
+    )
+    return {
+        NBR_BUCKET: bucket,
+        NBR_XREF: xref,
+        NBR_BOXREF: boxref,
+        NBR_OVERFLOW: overflow,
+    }
+
+
+# --------------------------------------------------------------------------
+# Pair evaluation over cell buckets
+# --------------------------------------------------------------------------
+
+
+def _stage_buckets(x, per_particle, bucket):
+    """One coarse row-gather staging positions + params into bucket layout.
+
+    Returns (bucket_x (ncells, cap, 3), bucket_pp dict of (ncells, cap)).
+    Sentinel slots gather row N of a padded stack (zeros) and are masked by id.
+    """
+    cols = [x] + [p[:, None] for p in per_particle.values()]
+    stacked = jnp.concatenate(cols, axis=1)  # (N, 3 + P)
+    stacked = jnp.concatenate(
+        [stacked, jnp.zeros((1, stacked.shape[1]), stacked.dtype)]
+    )
+    g = stacked[bucket]  # (ncells, cap, 3 + P)
+    bucket_x = g[..., :3]
+    bucket_pp = {
+        k: g[..., 3 + i] for i, k in enumerate(per_particle.keys())
+    }
+    return bucket_x, bucket_pp
+
+
+def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
+                    with_forces: bool):
+    """Core loop: scan over home-cell chunks; returns (energy, bucket_forces
+    or None)."""
+    n = x.shape[0]
+    ncells, cap = bucket.shape
+    s = spec.nbr_cells.shape[1]
+    chunk = min(spec.cell_chunk, ncells)
+    n_chunks = -(-ncells // chunk)
+    pad_cells = n_chunks * chunk - ncells
+
+    bucket_x, bucket_pp = _stage_buckets(x, per_particle, bucket)
+
+    exc = spec.exclusions
+    exc_pad = jnp.concatenate(
+        [exc, jnp.full((1, exc.shape[1]), -1, exc.dtype)]
+    )
+
+    cells = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
+        n_chunks, chunk
+    )
+    rc2 = jnp.asarray(r_cut, x.dtype) ** 2
+
+    nbr_map = spec.nbr_cells  # (ncells, S)
+
+    def chunk_body(carry, cell_ids):
+        cell_ok = cell_ids < ncells
+        cid = jnp.where(cell_ok, cell_ids, 0)
+        home_x = bucket_x[cid]                      # (B, cap, 3)
+        home_id = jnp.where(
+            cell_ok[:, None], bucket[cid], n
+        )                                           # (B, cap)
+        home_pp = {k: v[cid] for k, v in bucket_pp.items()}
+
+        ncell_ids = nbr_map[cid]                    # (B, S)
+        nvalid = ncell_ids >= 0
+        ncid = jnp.where(nvalid, ncell_ids, 0)
+        cand_x = bucket_x[ncid].reshape(cid.shape[0], s * cap, 3)
+        cand_id = jnp.where(
+            nvalid[:, :, None], bucket[ncid], n
+        ).reshape(cid.shape[0], s * cap)
+        cand_pp = {
+            k: v[ncid].reshape(cid.shape[0], s * cap)
+            for k, v in bucket_pp.items()
+        }
+
+        dx = minimum_image(home_x[:, :, None, :] - cand_x[:, None, :, :], box)
+        r2 = jnp.sum(dx * dx, axis=-1)              # (B, cap, S*cap)
+        mask = (
+            (home_id[:, :, None] < n)
+            & (cand_id[:, None, :] < n)
+            & (home_id[:, :, None] != cand_id[:, None, :])
+            & (r2 < rc2)
+        )
+        home_exc = exc_pad[jnp.clip(home_id, 0, n)]  # (B, cap, M)
+        excluded = jnp.any(
+            cand_id[:, None, None, :] == home_exc[:, :, :, None], axis=2
+        )
+        mask &= ~excluded
+
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        pi = {k: v[:, :, None] for k, v in home_pp.items()}
+        pj = {k: v[:, None, :] for k, v in cand_pp.items()}
+        if with_forces:
+            u, dudr = jax.jvp(
+                lambda rr: pair_fn(rr, pi, pj), (r,), (jnp.ones_like(r),)
+            )
+            fmag = jnp.where(mask, dudr / r, 0.0)
+            f_home = -jnp.sum(fmag[..., None] * dx, axis=2)  # (B, cap, 3)
+        else:
+            u = pair_fn(r, pi, pj)
+            f_home = None
+        e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
+        return carry + e, f_home
+
+    energy, f_chunks = jax.lax.scan(
+        chunk_body, jnp.zeros((), x.dtype), cells
+    )
+    if not with_forces:
+        return energy, None
+    f_bucket = f_chunks.reshape(n_chunks * chunk, cap, 3)[:ncells]
+    return energy, f_bucket
+
+
+def cell_pair_energy(pair_fn, x, box, per_particle, spec, bucket, r_cut):
+    """Half-counted pair energy over the cell buckets."""
+    e, _ = _cell_pair_sums(
+        spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=False
+    )
+    return e
+
+
+def cell_pair_energy_forces(pair_fn, x, box, per_particle, spec, bucket, r_cut):
+    """(energy, forces (N, 3)) with explicit symmetric forces: the candidate
+    sets are symmetric by construction (cell c' is in c's stencil iff c is in
+    c'-s), so F_i = -sum over i's candidates of u'(r) r_hat."""
+    n = x.shape[0]
+    e, f_bucket = _cell_pair_sums(
+        spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=True
+    )
+    forces = jnp.zeros((n + 1, 3), x.dtype)
+    forces = forces.at[bucket.reshape(-1)].add(
+        f_bucket.reshape(-1, 3), mode="drop"
+    )
+    return e, forces[:n]

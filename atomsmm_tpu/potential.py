@@ -4,6 +4,11 @@ The per-force-group energy/force evaluation that OpenMM exposes through
 `context.getState(groups={...})` and that atomsmm's test suite reaches through
 `atomsmm/utils.py::splitPotentialEnergy` (SURVEY.md §3.5). Here every
 decomposition comes out of the same traced functions — no auxiliary context.
+
+`aux` carries evaluation-time structures that are state, not parameters —
+today the neighbor list (ops/neighbors.py). Forces exposing an explicit
+`energy_and_forces` (gather-only, no autodiff scatter) are used directly;
+everything else is differentiated with jax.value_and_grad.
 """
 from __future__ import annotations
 
@@ -14,35 +19,48 @@ import jax
 import jax.numpy as jnp
 
 
-def potential_energy(system, x, box, globals=None, groups: Optional[Iterable[int]] = None):
+def potential_energy(system, x, box, globals=None, groups: Optional[Iterable[int]] = None, aux=None):
     """Total potential energy, optionally restricted to a set of force groups."""
     globals = globals or {}
     total = jnp.zeros((), x.dtype)
     for f in system.forces:
         if groups is None or f.group in groups:
-            total = total + f.energy(x, box, globals)
+            total = total + f.energy(x, box, globals, aux)
     return total
 
 
 def force_fn(system, groups: Optional[Iterable[int]] = None):
-    """Return f(x, box, globals) -> (energy, forces) for the given groups.
+    """Return f(x, box, globals, aux) -> (energy, forces) for the given groups.
 
-    Forces are -grad(E) via jax.grad — the single source of truth for every
-    integrator level (SURVEY.md §2b N4: per-group force requests f0/f1/f2).
+    Per force: the explicit energy_and_forces when available (the production
+    neighbor path), otherwise -grad of its energy (SURVEY.md §2b N4: per-group
+    force requests f0/f1/f2).
     """
     groups = None if groups is None else frozenset(groups)
+    selected = [
+        f for f in system.forces if groups is None or f.group in groups
+    ]
 
-    def efn(x, box, globals):
-        return potential_energy(system, x, box, globals, groups)
-
-    def f(x, box, globals=None):
-        e, g = jax.value_and_grad(efn)(x, box, globals or {})
-        return e, -g
+    def f(x, box, globals=None, aux=None):
+        globals = globals or {}
+        e_total = jnp.zeros((), x.dtype)
+        f_total = jnp.zeros_like(x)
+        for force in selected:
+            if hasattr(force, "energy_and_forces"):
+                e, fr = force.energy_and_forces(x, box, globals, aux)
+            else:
+                e, g = jax.value_and_grad(
+                    lambda xx, fo=force: fo.energy(xx, box, globals, aux)
+                )(x)
+                fr = -g
+            e_total = e_total + e
+            f_total = f_total + fr
+        return e_total, f_total
 
     return f
 
 
-def split_potential_energy(system, x, box, globals=None) -> "OrderedDict[str, jnp.ndarray]":
+def split_potential_energy(system, x, box, globals=None, aux=None) -> "OrderedDict[str, jnp.ndarray]":
     """Energy per force object, keyed by class name (with #k suffix on
     duplicates), plus 'Total' — mirrors atomsmm/utils.py::splitPotentialEnergy.
     """
@@ -55,18 +73,18 @@ def split_potential_energy(system, x, box, globals=None) -> "OrderedDict[str, jn
         counts[name] = counts.get(name, 0) + 1
         if counts[name] > 1:
             name = f"{name}#{counts[name]}"
-        e = f.energy(x, box, globals)
+        e = f.energy(x, box, globals, aux)
         out[name] = e
         total = total + e
     out["Total"] = total
     return out
 
 
-def group_energies(system, x, box, globals=None) -> Dict[int, jnp.ndarray]:
+def group_energies(system, x, box, globals=None, aux=None) -> Dict[int, jnp.ndarray]:
     """Energy per force group (the RESPA decomposition)."""
     globals = globals or {}
     out: Dict[int, jnp.ndarray] = {}
     for f in system.forces:
-        e = f.energy(x, box, globals)
+        e = f.energy(x, box, globals, aux)
         out[f.group] = out.get(f.group, jnp.zeros((), x.dtype)) + e
     return out

@@ -37,9 +37,15 @@ class System:
     forces: Tuple[Force, ...] = ()
     molecule: jnp.ndarray = None
     default_box: jnp.ndarray = None
+    neighbors: object = None  # Optional[ops.neighbors.NeighborSpec]
     num_molecules: int = static_field(default=0)
     num_constraints: int = static_field(default=0)
     remove_com_motion: bool = static_field(default=True)
+
+    def with_neighbors(self, spec) -> "System":
+        """Attach a NeighborSpec: Contexts built from this system will use the
+        fixed-capacity neighbor-list production path for nonbonded forces."""
+        return replace(self, neighbors=spec)
 
     @property
     def num_particles(self) -> int:

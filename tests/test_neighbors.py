@@ -1,0 +1,125 @@
+"""M2: cell-list production path vs. the dense reference path.
+
+The invariant (SURVEY.md §7 M2): the cell-block path must reproduce the dense
+path's energies and forces to floating-point roundoff on the same systems,
+including small boxes whose periodic cell grid degenerates (<3 cells/dim,
+where naive stencil maps double count).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+from atomsmm_tpu.models import argon_system, water_system
+from atomsmm_tpu.ops.neighbors import (
+    NBR_BUCKET,
+    build_cell_buckets,
+    make_aux,
+    neighbor_list_extras,
+)
+from atomsmm_tpu.potential import force_fn, potential_energy
+
+
+def _aux(system, x, box):
+    extra = neighbor_list_extras(system.neighbors, x, box)
+    assert not bool(extra["nbr_overflow"])
+    return make_aux(system, extra)
+
+
+@pytest.mark.parametrize("n,jitter", [(216, 0.05), (100, 0.3)])
+def test_argon_cell_vs_dense(n, jitter):
+    system, x, box = argon_system(n=n, jitter=jitter, seed=1, neighbors=True)
+    aux = _aux(system, x, box)
+    e_dense = potential_energy(system, x, box)
+    e_nbr = potential_energy(system, x, box, aux=aux)
+    np.testing.assert_allclose(float(e_nbr), float(e_dense), rtol=1e-12)
+
+    _, f_dense = force_fn(system)(x, box)
+    _, f_nbr = force_fn(system)(x, box, aux=aux)
+    np.testing.assert_allclose(
+        np.asarray(f_nbr), np.asarray(f_dense), rtol=1e-9, atol=1e-9
+    )
+
+
+@pytest.mark.parametrize("cpc", [1, 2])
+def test_water_cell_vs_dense_small_box(cpc):
+    # 64 molecules -> ~1.2 nm box: grid degenerates to 1-2 cells per dim,
+    # exercising the deduplicated stencil map; cpc=2 exercises fine cells.
+    from atomsmm_tpu.ops.neighbors import make_neighbor_spec
+
+    system, x, box = water_system(n_molecules=64, neighbors=True)
+    if cpc == 2:
+        nb = system.forces[0]
+        spec = make_neighbor_spec(
+            np.asarray(box), x.shape[0], float(nb.r_cut),
+            exclusions=nb.exclusions, cells_per_cutoff=2,
+        )
+        system = system.with_neighbors(spec)
+    aux = _aux(system, x, box)
+    e_dense = potential_energy(system, x, box)
+    e_nbr = potential_energy(system, x, box, aux=aux)
+    np.testing.assert_allclose(float(e_nbr), float(e_dense), rtol=1e-12)
+    _, f_dense = force_fn(system)(x, box)
+    _, f_nbr = force_fn(system)(x, box, aux=aux)
+    np.testing.assert_allclose(
+        np.asarray(f_nbr), np.asarray(f_dense), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_cell_explicit_forces_match_autodiff():
+    system, x, box = argon_system(n=216, jitter=0.1, seed=2, neighbors=True)
+    aux = _aux(system, x, box)
+    force = system.forces[0]
+    e, f_explicit = force.energy_and_forces(x, box, {}, aux)
+    e2, g = jax.value_and_grad(lambda xx: force.energy(xx, box, {}, aux))(x)
+    np.testing.assert_allclose(float(e), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f_explicit), -np.asarray(g), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_buckets_cover_all_atoms():
+    system, x, box = argon_system(n=216, jitter=0.2, seed=3, neighbors=True)
+    bucket, overflow = build_cell_buckets(system.neighbors, x, box)
+    assert not bool(overflow)
+    ids = np.asarray(bucket).ravel()
+    real = ids[ids < 216]
+    assert len(real) == 216 and len(set(real.tolist())) == 216
+
+
+def test_nve_with_cell_rebuilds():
+    """Dynamics on the cell path: conserved energy across rebuilds."""
+    system, x, box = argon_system(n=216, jitter=0.05, seed=1, neighbors=True)
+    ctx = Context(system, VelocityVerletIntegrator(dt=0.002), make_state(x, box=box))
+    ctx.set_velocities_to_temperature(120.0, seed=42)
+    e0 = float(ctx.conserved_energy())
+    ctx.step(300)
+    e1 = float(ctx.conserved_energy())
+    assert abs(e1 - e0) / 216 < 1e-4, (e0, e1)
+
+
+def test_dense_and_cell_trajectories_agree():
+    """Same initial conditions, both paths: trajectories should track each
+    other closely over a short run (identical physics, different summation
+    order)."""
+    common = dict(n=125, jitter=0.05, seed=1)
+    sys_d, x, box = argon_system(**common, neighbors=False)
+    sys_n, _, _ = argon_system(**common, neighbors=True)
+    ctxs = []
+    for system in (sys_d, sys_n):
+        ctx = Context(system, VelocityVerletIntegrator(dt=0.002), make_state(x, box=box))
+        ctx.set_velocities_to_temperature(120.0, seed=9)
+        ctx.step(50)
+        ctxs.append(ctx)
+    dx = np.asarray(ctxs[0].state.x) - np.asarray(ctxs[1].state.x)
+    assert np.abs(dx).max() < 1e-7, np.abs(dx).max()
+
+
+def test_overflow_detection():
+    system, x, box = argon_system(n=216, jitter=0.05, seed=1, neighbors=True)
+    spec = dataclasses.replace(system.neighbors, cell_capacity=8)
+    _, overflow = build_cell_buckets(spec, x, box)
+    assert bool(overflow)
