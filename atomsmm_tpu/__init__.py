@@ -58,6 +58,12 @@ from .state import (
     remove_com_motion,
 )
 from .system import System, make_exclusions_array
+from .systems import (
+    AlchemicalRespaSystem,
+    ComputingSystem,
+    RESPASystem,
+    SolvationSystem,
+)
 from .utils import (
     InputError,
     count_degrees_of_freedom,

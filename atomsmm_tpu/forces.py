@@ -84,7 +84,7 @@ class _PairForceMixin:
 
     def _nb_energy(self, x, box, globals, aux, r_cut):
         pair_fn = self._pair_fn(globals)
-        pp = self._per_particle()
+        pp = self._per_particle(globals)
         if _has_neighbors(aux):
             return cell_pair_energy(
                 pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
@@ -95,7 +95,7 @@ class _PairForceMixin:
 
     def _nb_energy_forces(self, x, box, globals, aux, r_cut):
         pair_fn = self._pair_fn(globals)
-        pp = self._per_particle()
+        pp = self._per_particle(globals)
         if _has_neighbors(aux):
             return cell_pair_energy_forces(
                 pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
@@ -136,16 +136,29 @@ class NonbondedForce(_PairForceMixin, Force):
     r_cut: Any = 1.0
     r_switch: Any = 0.9
     eps_rf: Any = 1e15
-    ewald_alpha: Any = 0.0  # set when method == 'pme'
+    charge_scale_mask: Any = None  # (N,) {0,1}: atoms whose charge scales
+    # damping constant is static: concrete at trace time so the undamped case
+    # skips erfc entirely; it only changes at setup (PME parameterization)
+    ewald_alpha: float = static_field(default=0.0)
     method: str = static_field(default="cutoff")
+    charge_scale_name: str = static_field(default="lambda_coul")
     use_switch: bool = static_field(default=True)
     grid_shape: Tuple[int, int, int] = static_field(default=(0, 0, 0))
     spline_order: int = static_field(default=4)
     chunk: int = static_field(default=256)
 
-    def _per_particle(self):
+    def _effective_charge(self, globals):
+        """Per-particle charge, with SolvationSystem's lambda_coul scaling of
+        masked (solute) atoms (SURVEY.md §3.4)."""
+        q = self.charge
+        if self.charge_scale_mask is not None:
+            lam = (globals or {}).get(self.charge_scale_name, 1.0)
+            q = q * (1.0 - self.charge_scale_mask * (1.0 - lam))
+        return q
+
+    def _per_particle(self, globals=None):
         return {
-            "charge": self.charge,
+            "charge": self._effective_charge(globals),
             "sigma": self.sigma,
             "epsilon": self.epsilon,
         }
@@ -175,30 +188,30 @@ class NonbondedForce(_PairForceMixin, Force):
 
         return pair
 
-    def _recip_energy(self, x, box):
+    def _recip_energy(self, x, box, globals=None):
         from .ops.pme import pme_corrections, pme_reciprocal_energy
 
+        q = self._effective_charge(globals)
         e_rec = pme_reciprocal_energy(
-            x, box, self.charge, self.ewald_alpha, self.grid_shape,
-            self.spline_order,
+            x, box, q, self.ewald_alpha, self.grid_shape, self.spline_order
         )
-        e_corr = pme_corrections(
-            x, box, self.charge, self.exclusions, self.ewald_alpha
-        )
+        e_corr = pme_corrections(x, box, q, self.exclusions, self.ewald_alpha)
         return e_rec + e_corr
 
     def energy(self, x, box, globals, aux=None):
         r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
         e = self._nb_energy(x, box, globals, aux, r_cut)
         if self.method == "pme":
-            e = e + self._recip_energy(x, box)
+            e = e + self._recip_energy(x, box, globals)
         return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
         r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
         e, f = self._nb_energy_forces(x, box, globals, aux, r_cut)
         if self.method == "pme":
-            e2, g2 = jax.value_and_grad(lambda xx: self._recip_energy(xx, box))(x)
+            e2, g2 = jax.value_and_grad(
+                lambda xx: self._recip_energy(xx, box, globals)
+            )(x)
             e, f = e + e2, f - g2
         return e, f
 
@@ -250,11 +263,11 @@ class NearNonbondedForce(_PairForceMixin, Force):
     exclusions: jnp.ndarray = None
     r_cut: Any = 0.8
     r_switch: Any = 0.7
-    alpha: Any = 0.0  # Coulomb damping constant [1/nm]
+    alpha: float = static_field(default=0.0)  # Coulomb damping [1/nm]
     subtract: bool = static_field(default=False)
     chunk: int = static_field(default=256)
 
-    def _per_particle(self):
+    def _per_particle(self, globals=None):
         return {
             "charge": self.charge,
             "sigma": self.sigma,
@@ -284,24 +297,65 @@ class NearNonbondedForce(_PairForceMixin, Force):
 
 
 @pytree_dataclass
-class FarNonbondedForce(Force):
+class FarNonbondedForce(_PairForceMixin, Force):
     """Complement force for RESPA (atomsmm/forces.py::FarNonbondedForce):
     the full nonbonded force plus the negated near force, so that
     near (group i) + far (group j) == full nonbonded, exactly.
+
+    When both halves share per-particle parameters (the usual case) the two
+    pair functions are FUSED into a single tile pass — one sweep over the
+    cell-pair candidates instead of two (the near component is exactly zero
+    beyond its own cutoff, so the full force's cutoff bounds the pass).
+    PME reciprocal/correction terms are added outside the pair pass.
     """
 
     full: NonbondedForce = None
     minus_near: NearNonbondedForce = None
 
+    @property
+    def chunk(self):
+        return self.full.chunk
+
+    @property
+    def exclusions(self):
+        return self.full.exclusions
+
+    def _fusable(self) -> bool:
+        return self.full.charge_scale_mask is None
+
+    def _per_particle(self, globals=None):
+        return self.full._per_particle(globals)
+
+    def _pair_fn(self, globals=None):
+        pf = self.full._pair_fn(globals)
+        pn = self.minus_near._pair_fn(globals)
+
+        def pair(r, pi, pj):
+            return pf(r, pi, pj) + pn(r, pi, pj)
+
+        return pair
+
     def energy(self, x, box, globals, aux=None):
-        return self.full.energy(x, box, globals, aux) + self.minus_near.energy(
-            x, box, globals, aux
-        )
+        if not self._fusable():
+            return self.full.energy(x, box, globals, aux) + \
+                self.minus_near.energy(x, box, globals, aux)
+        e = self._nb_energy(x, box, globals, aux, self.full.r_cut)
+        if self.full.method == "pme":
+            e = e + self.full._recip_energy(x, box, globals)
+        return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
-        e1, f1 = self.full.energy_and_forces(x, box, globals, aux)
-        e2, f2 = self.minus_near.energy_and_forces(x, box, globals, aux)
-        return e1 + e2, f1 + f2
+        if not self._fusable():
+            e1, f1 = self.full.energy_and_forces(x, box, globals, aux)
+            e2, f2 = self.minus_near.energy_and_forces(x, box, globals, aux)
+            return e1 + e2, f1 + f2
+        e, f = self._nb_energy_forces(x, box, globals, aux, self.full.r_cut)
+        if self.full.method == "pme":
+            e2, g2 = jax.value_and_grad(
+                lambda xx: self.full._recip_energy(xx, box, globals)
+            )(x)
+            e, f = e + e2, f - g2
+        return e, f
 
     def uses_neighbors(self) -> bool:
         return True
@@ -318,10 +372,10 @@ class DampedSmoothedForce(_PairForceMixin, Force):
     exclusions: jnp.ndarray = None
     r_cut: Any = 1.0
     r_switch: Any = 0.9
-    alpha: Any = 2.0
+    alpha: float = static_field(default=2.0)
     chunk: int = static_field(default=256)
 
-    def _per_particle(self):
+    def _per_particle(self, globals=None):
         return {
             "charge": self.charge,
             "sigma": self.sigma,
@@ -366,7 +420,7 @@ class SoftcoreLennardJonesForce(_PairForceMixin, Force):
     lambda_name: str = static_field(default="lambda_vdw")
     chunk: int = static_field(default=256)
 
-    def _per_particle(self):
+    def _per_particle(self, globals=None):
         return {
             "sigma": self.sigma,
             "epsilon": self.epsilon,
@@ -412,7 +466,7 @@ class CustomNonbondedForce(_PairForceMixin, Force):
     energy_function: Callable = static_field(default=None)
     chunk: int = static_field(default=256)
 
-    def _per_particle(self):
+    def _per_particle(self, globals=None):
         return self.per_particle
 
     def _pair_fn(self, globals=None):

@@ -69,7 +69,7 @@ class StepContext:
         return BOLTZMANN * temperature
 
 
-def _maybe_loop(n: int, body, state: State, unroll_threshold: int = 4):
+def _maybe_loop(n: int, body, state: State, unroll_threshold: int = 2):
     """Repeat `body` (State -> State) n times; unrolled for small n, as a
     lax.fori_loop otherwise (keeps XLA program size bounded for deep RESPA)."""
     if n <= unroll_threshold:

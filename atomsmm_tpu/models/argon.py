@@ -37,6 +37,13 @@ def argon_system(
     dtype = dtype or jnp.result_type(float)
     volume = n * ARGON_SIGMA**3 / rho_star
     box_l = volume ** (1.0 / 3.0)
+    if r_cut > 0.5 * box_l:
+        from ..utils import InputError
+
+        raise InputError(
+            f"r_cut={r_cut} exceeds half the box ({box_l:.3f}/2) — minimum "
+            "image breaks; increase n or reduce the cutoff"
+        )
 
     n_side = int(np.ceil(n ** (1.0 / 3.0)))
     spacing = box_l / n_side

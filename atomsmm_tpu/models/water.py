@@ -92,6 +92,14 @@ def water_system(
     m = n_molecules
     n = 3 * m
     box_l = (m / number_density) ** (1.0 / 3.0)
+    if r_cut > 0.5 * box_l:
+        from ..utils import InputError
+
+        raise InputError(
+            f"r_cut={r_cut} exceeds half the box ({box_l:.3f}/2) — minimum "
+            f"image breaks; use >= {int(np.ceil((2*r_cut)**3*number_density))} "
+            "molecules or a smaller cutoff"
+        )
     x = water_positions(m, box_l, seed)
 
     o = 3 * np.arange(m)
@@ -128,7 +136,7 @@ def water_system(
             r_cut, np.array([box_l] * 3), alpha=pme_alpha, grid=pme_grid
         )
         nb_kwargs.update(
-            ewald_alpha=jnp.asarray(alpha, dtype), grid_shape=tuple(grid)
+            ewald_alpha=float(alpha), grid_shape=tuple(grid)
         )
     nonbonded = NonbondedForce(**nb_kwargs)
 

@@ -81,12 +81,19 @@ def near_pair_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut,
     Energy AND force go continuously to zero at r_cut, which is what makes it
     usable as the high-frequency RESPA level. With `subtract` the negated form
     is returned (the far force's "minus near" half, ::FarNonbondedForce).
+
+    When alpha is a concrete Python 0.0 the erfc damping is skipped at trace
+    time (hot-loop transcendental savings; erfc(0 r) == 1 exactly).
     """
+    undamped = isinstance(alpha, (int, float)) and float(alpha) == 0.0
 
     def base(rr):
         s6 = (sigma / rr) ** 6
         u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
-        u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * rr) / rr
+        if undamped:
+            u_c = ONE_4PI_EPS0 * qq / rr
+        else:
+            u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * rr) / rr
         return u_lj + u_c
 
     # shifted-force: u(r) - u(rc) - u'(rc)(r - rc), derivative via jvp at trace

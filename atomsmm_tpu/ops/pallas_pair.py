@@ -1,0 +1,258 @@
+"""Pallas TPU kernel for cell-pair nonbonded evaluation.
+
+Why a kernel: the XLA cell-block path (ops/neighbors.py) materializes its
+(cap, S*cap) pair tiles — r^2, masks, u, du/dr — in HBM between fused ops,
+and is measured to be HBM-bandwidth-bound. This kernel keeps every pair tile
+in VMEM; HBM sees only the staged per-cell features and the (cap, 4) outputs.
+
+Layouts (staged in XLA once per evaluation, coarse block gathers only):
+
+  home_feats (ncells, capP, LANE)  f32 — per home cell, per atom: columns
+      [x, y, z, p0..p_{P-1}] (pair-function parameters), lane-padded;
+  home_meta  (ncells, capP, LANE)  i32 — columns [id, exc_0..exc_{M-1}];
+  cand_feats (ncells, F8, SJ)      f32 — candidate rows [x, y, z, p...],
+      SJ = S*capP lane-padded to the J-chunk size;
+  cand_ids   (ncells, 8, SJ)       i32 — row 0: candidate atom ids;
+  scal       (1, 8)                f32 in SMEM — [bx, by, bz, rc2].
+
+Grid: (ncells, SJ // JT). Each program computes a (capP, JT) pair tile:
+home atoms along sublanes, candidates along lanes. Forces use the symmetric
+full-list identity F_i = -sum_j u'(r_ij) r_hat_ij (ops/neighbors.py), with
+u and u' from one jvp of the pair function traced into the kernel —
+the same traced-JAX energy expressions the rest of the engine uses (no
+separate kernel-side physics to keep in sync).
+
+Output (ncells, capP, LANE) f32: columns [fx, fy, fz, e_half_sum].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
+                 scal_ref, hf_ref, hm_ref, cf_ref, ci_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    bx = scal_ref[0, 0]
+    by = scal_ref[0, 1]
+    bz = scal_ref[0, 2]
+    rc2 = scal_ref[0, 3]
+    box = (bx, by, bz)
+    consts = [scal_ref[0, 8 + k] for k in range(n_consts)]
+
+    for c in range(cell_block):
+        # home columns: (capP, 1); candidate rows: (1, JT)
+        r2 = None
+        dxs = []
+        for k in range(3):
+            xi = hf_ref[c, :, k : k + 1]
+            xj = cf_ref[c, k : k + 1, :]
+            d = xi - xj
+            d = d - box[k] * jnp.round(d / box[k])
+            dxs.append(d)
+            r2 = d * d if r2 is None else r2 + d * d
+
+        hid = hm_ref[c, :, 0:1]
+        cid = ci_ref[c, 0:1, :]
+        mask = (hid < n_atoms) & (cid < n_atoms) & (hid != cid) & (r2 < rc2)
+        for e in range(max_exc):
+            mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
+
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        pi = {
+            name: hf_ref[c, :, 3 + k : 4 + k]
+            for k, name in enumerate(param_names)
+        }
+        pj = {
+            name: cf_ref[c, 3 + k : 4 + k, :]
+            for k, name in enumerate(param_names)
+        }
+
+        u, dudr = jax.jvp(
+            lambda rr: pair_fn(rr, pi, pj, *consts), (r,), (jnp.ones_like(r),)
+        )
+        zero = jnp.zeros_like(r)
+        e_half = 0.5 * jnp.sum(jnp.where(mask, u, zero), axis=1, keepdims=True)
+        fmag = jnp.where(mask, dudr / r, zero)
+
+        out_ref[c, :, 3:4] += e_half
+        for k in range(3):
+            out_ref[c, :, k : k + 1] += -jnp.sum(
+                fmag * dxs[k], axis=1, keepdims=True
+            )
+
+
+def cell_pair_kernel_call(
+    pair_fn,
+    param_names,
+    n_atoms: int,
+    max_exc: int,
+    scal,        # (1, 8) f32
+    home_feats,  # (ncells, capP, LANE) f32
+    home_meta,   # (ncells, capP, LANE) i32
+    cand_feats,  # (ncells, F8, SJ) f32
+    cand_ids,    # (ncells, 8, SJ) i32
+    j_tile: int = 512,
+    cell_block: int = 8,
+    interpret: bool = False,
+):
+    ncells, capP, _ = home_feats.shape
+    sj = cand_feats.shape[-1]
+    assert sj % j_tile == 0, (sj, j_tile)
+    while ncells % cell_block:
+        cell_block //= 2
+    grid = (ncells // cell_block, sj // j_tile)
+
+    # Hoist traced closure scalars (cutoffs, switch radii, lambdas...) out of
+    # the pair function: Pallas kernels cannot capture tracers. The converted
+    # function takes them as explicit trailing args, delivered via SMEM.
+    dtype = home_feats.dtype
+    names = list(param_names)
+    ex_r = jax.ShapeDtypeStruct((capP, j_tile), dtype)
+    ex_pi = {k: jax.ShapeDtypeStruct((capP, 1), dtype) for k in names}
+    ex_pj = {k: jax.ShapeDtypeStruct((1, j_tile), dtype) for k in names}
+    closed = jax.make_jaxpr(lambda rr, pi, pj: pair_fn(rr, pi, pj))(
+        ex_r, ex_pi, ex_pj
+    )
+    consts = closed.consts  # captured values: tracers AND concrete arrays
+    for c in consts:
+        assert jnp.ndim(c) == 0, (
+            "pair-function closure captures a non-scalar; the Pallas path "
+            f"supports scalar captures only (got shape {jnp.shape(c)})"
+        )
+
+    def converted(rr, pi, pj, *const_vals):
+        flat_args = jax.tree.leaves((rr, pi, pj))
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, const_vals, *flat_args)
+        return out
+    n_scal = 8 + len(consts)
+    scal_full = jnp.zeros((1, _round_up(max(n_scal, 8), 8)), dtype)
+    scal_full = scal_full.at[0, :8].set(scal[0, :8])
+    for k, c in enumerate(consts):
+        scal_full = scal_full.at[0, 8 + k].set(c.astype(dtype))
+
+    kernel = functools.partial(
+        _pair_kernel, converted, len(consts), tuple(names), n_atoms, max_exc,
+        cell_block,
+    )
+    cb = cell_block
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, scal_full.shape[1]),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((cb, capP, LANE), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cb, capP, LANE), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cb, cand_feats.shape[1], j_tile), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((cb, 8, j_tile), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((cb, capP, LANE), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((ncells, capP, LANE), home_feats.dtype),
+        interpret=interpret,
+    )(scal_full, home_feats, home_meta, cand_feats, cand_ids)
+    return out
+
+
+def stage_and_run(
+    spec,
+    pair_fn,
+    x,
+    box,
+    per_particle: Dict[str, jnp.ndarray],
+    bucket,
+    r_cut,
+    j_tile: int = 512,
+    cell_block: int = 8,
+    interpret: bool = False,
+):
+    """Stage bucket-layout features (XLA, coarse gathers) and run the kernel.
+
+    Returns (energy, forces (N, 3)).
+    """
+    n = x.shape[0]
+    ncells, cap = bucket.shape
+    capP = _round_up(cap, 8)
+    s = spec.nbr_cells.shape[1]
+    names = list(per_particle.keys())
+    f_cols = 3 + len(names)
+    assert f_cols <= 8, "at most 5 per-particle parameters in the kernel path"
+    exc = spec.exclusions
+    max_exc = exc.shape[1]
+    assert 1 + max_exc <= LANE
+
+    dtype = x.dtype
+    # --- stacked per-atom features with a sentinel row at index n
+    cols = [x] + [p[:, None].astype(dtype) for p in per_particle.values()]
+    feats = jnp.concatenate(cols, axis=1)  # (N, f_cols)
+    feats = jnp.concatenate([feats, jnp.zeros((1, f_cols), dtype)])
+    meta = jnp.concatenate(
+        [jnp.arange(n + 1, dtype=jnp.int32)[:, None],
+         jnp.concatenate([exc, jnp.full((1, max_exc), -1, jnp.int32)])],
+        axis=1,
+    )  # (N+1, 1+M)
+
+    bucket_p = jnp.pad(bucket, ((0, 0), (0, capP - cap)), constant_values=n)
+
+    # home layout: (ncells, capP, LANE)
+    hf = feats[bucket_p]  # (ncells, capP, f_cols)
+    hf = jnp.pad(hf, ((0, 0), (0, 0), (0, LANE - f_cols)))
+    hm = meta[bucket_p]
+    hm = jnp.pad(
+        hm, ((0, 0), (0, 0), (0, LANE - 1 - max_exc)), constant_values=-1
+    )
+
+    # candidate layout: (ncells, F8, SJ)
+    f8 = 8
+    sj = _round_up(s * capP, j_tile)
+    cf_cells = hf[..., :f_cols]  # reuse home gather: (ncells, capP, f_cols)
+    ci_cells = hm[..., :1]
+    nbr = jnp.where(spec.nbr_cells >= 0, spec.nbr_cells, ncells)
+    cf_pad = jnp.concatenate(
+        [cf_cells, jnp.zeros((1,) + cf_cells.shape[1:], dtype)]
+    )
+    ci_pad = jnp.concatenate(
+        [ci_cells, jnp.full((1,) + ci_cells.shape[1:], n, jnp.int32)]
+    )
+    cf = cf_pad[nbr]  # (ncells, S, capP, f_cols)
+    ci = ci_pad[nbr]  # (ncells, S, capP, 1)
+    cf = cf.transpose(0, 3, 1, 2).reshape(ncells, f_cols, s * capP)
+    ci = ci.transpose(0, 3, 1, 2).reshape(ncells, 1, s * capP)
+    cf = jnp.pad(cf, ((0, 0), (0, f8 - f_cols), (0, sj - s * capP)))
+    ci = jnp.pad(
+        ci, ((0, 0), (0, 8 - 1), (0, sj - s * capP)), constant_values=n
+    )
+
+    scal = jnp.zeros((1, 8), dtype)
+    scal = scal.at[0, :3].set(box.astype(dtype))
+    scal = scal.at[0, 3].set(jnp.asarray(r_cut, dtype) ** 2)
+
+    out = cell_pair_kernel_call(
+        pair_fn, names, n, max_exc, scal, hf, hm, cf, ci,
+        j_tile=j_tile, cell_block=cell_block, interpret=interpret,
+    )
+    energy = jnp.sum(out[:, :cap, 3])
+    f_bucket = out[:, :cap, :3]
+    forces = jnp.zeros((n + 1, 3), dtype)
+    forces = forces.at[bucket.reshape(-1)].add(f_bucket.reshape(-1, 3))
+    return energy, forces[:n]

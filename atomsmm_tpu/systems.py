@@ -1,0 +1,157 @@
+"""System transformations — counterpart of atomsmm/systems.py (SURVEY.md §2a).
+
+The reference deep-copies an openmm.System and rewires its forces; here
+systems are immutable pytrees, so each transformation is a pure function
+System -> System. Names keep the reference's class-style spelling since they
+play the same constructor role.
+
+  RESPASystem      — atomsmm/systems.py::RESPASystem: split the nonbonded
+                     force into near (group 1) / far (group 2), bonded and
+                     exception terms in group 0, for r-RESPA integration.
+  SolvationSystem  — atomsmm/systems.py::SolvationSystem: solute-solvent vdW
+                     becomes softcore scaled by lambda_vdw; solute charges
+                     scale with lambda_coul (solvation free energies).
+  AlchemicalRespaSystem — both transformations combined.
+  ComputingSystem  — atomsmm/systems.py::ComputingSystem: per-term evaluable
+                     rewiring used by PressureComputer (computers.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .forces import (
+    FarNonbondedForce,
+    NearNonbondedForce,
+    NonbondedExceptionsForce,
+    NonbondedForce,
+    SoftcoreLennardJonesForce,
+)
+from .system import System
+from .utils import InputError, find_nonbonded_force, replace
+
+
+def RESPASystem(
+    system: System,
+    rcut_in,
+    rswitch_in,
+    fast_exceptions: bool = True,
+) -> System:
+    """Split for r-RESPA (SURVEY.md §3.1):
+
+      group 0 — bonded forces (+ 1-4 exceptions when fast_exceptions)
+      group 1 — NearNonbondedForce: shifted-force LJ + damped Coulomb,
+                switched over [rswitch_in, rcut_in]
+      group 2 — FarNonbondedForce: the original full nonbonded force plus the
+                negated near force, so near + far == full holds exactly.
+
+    The near force's Coulomb damping follows the far method: the PME Ewald
+    alpha when the full force uses PME, else undamped.
+    """
+    idx = find_nonbonded_force(system)
+    nb = system.forces[idx]
+    alpha = float(nb.ewald_alpha) if nb.method == "pme" else 0.0
+
+    new_forces = []
+    for i, f in enumerate(system.forces):
+        if i == idx:
+            continue
+        if isinstance(f, NonbondedExceptionsForce):
+            new_forces.append(replace(f, group=0 if fast_exceptions else 1))
+        else:
+            new_forces.append(replace(f, group=0))
+
+    near = NearNonbondedForce(
+        group=1,
+        charge=nb.charge,
+        sigma=nb.sigma,
+        epsilon=nb.epsilon,
+        exclusions=nb.exclusions,
+        r_cut=jnp.asarray(rcut_in, nb.sigma.dtype),
+        r_switch=jnp.asarray(rswitch_in, nb.sigma.dtype),
+        alpha=alpha,
+        subtract=False,
+        chunk=nb.chunk,
+    )
+    far = FarNonbondedForce(
+        group=2,
+        full=replace(nb, group=2),
+        minus_near=replace(near, subtract=True, group=2),
+    )
+    new_forces += [near, far]
+    return system.replace_forces(new_forces)
+
+
+def SolvationSystem(
+    system: System,
+    solute_atoms,
+    lambda_vdw_name: str = "lambda_vdw",
+    lambda_coul_name: str = "lambda_coul",
+) -> System:
+    """Alchemical decoupling of a solute (SURVEY.md §3.4):
+
+      * solute-solvent vdW -> Beutler softcore scaled by `lambda_vdw`;
+        the solute's epsilon in the original nonbonded force is zeroed, so
+        solute-solvent and solute-solute vdW vanish from it (solute-solute
+        vdW is restored via exceptions if needed — for a small rigid-ish
+        solute its intra vdW lives in the exceptions force already);
+      * solute charges in the original force scale with `lambda_coul`
+        (implemented by a per-particle charge-scale array applied inside the
+        pair function via the charge_scale hook).
+
+    At lambda_vdw = lambda_coul = 1 the transformed system reproduces the
+    original (the invariant the tests check).
+    """
+    idx = find_nonbonded_force(system)
+    nb = system.forces[idx]
+    n = nb.charge.shape[0]
+    solute = jnp.zeros((n,), nb.charge.dtype).at[jnp.asarray(solute_atoms)].set(1.0)
+
+    softcore = SoftcoreLennardJonesForce(
+        group=nb.group,
+        sigma=nb.sigma,
+        epsilon=nb.epsilon,
+        solute=solute,
+        exclusions=nb.exclusions,
+        r_cut=nb.r_cut,
+        r_switch=nb.r_switch,
+        use_switch=nb.use_switch,
+        lambda_name=lambda_vdw_name,
+        chunk=nb.chunk,
+    )
+    scaled_nb = replace(
+        nb,
+        epsilon=nb.epsilon * (1.0 - solute),
+        charge_scale_mask=solute,
+        charge_scale_name=lambda_coul_name,
+    )
+    new_forces = [
+        scaled_nb if i == idx else f for i, f in enumerate(system.forces)
+    ]
+    new_forces.append(softcore)
+    return system.replace_forces(new_forces)
+
+
+def AlchemicalRespaSystem(
+    system: System, rcut_in, rswitch_in, solute_atoms, **kwargs
+) -> System:
+    """Softcore alchemy + RESPA split
+    (atomsmm/systems.py::AlchemicalRespaSystem [M]); the softcore force is
+    placed in the near group so lambda sweeps re-use the far force."""
+    solvated = SolvationSystem(system, solute_atoms, **kwargs)
+    respa = RESPASystem(solvated, rcut_in, rswitch_in)
+    # move the softcore force into group 1 (near) — it is short-ranged
+    new_forces = tuple(
+        replace(f, group=1) if isinstance(f, SoftcoreLennardJonesForce) else f
+        for f in respa.forces
+    )
+    return respa.replace_forces(new_forces)
+
+
+def ComputingSystem(system: System) -> System:
+    """Rewire so individual terms are separately evaluable for the
+    PressureComputer / ExtendedStateDataReporter (SURVEY.md §3.3): every force
+    gets its own group. Groups are renumbered 0..F-1 in force order."""
+    new_forces = tuple(
+        replace(f, group=i) for i, f in enumerate(system.forces)
+    )
+    return system.replace_forces(new_forces)

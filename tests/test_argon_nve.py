@@ -61,7 +61,7 @@ def test_split_potential_energy(argon_ctx):
 
 
 def test_forces_match_numerical_gradient():
-    system, x, box = argon_system(n=32, jitter=0.1, seed=2)
+    system, x, box = argon_system(n=125, jitter=0.1, seed=2)
     from atomsmm_tpu.potential import force_fn
 
     f = force_fn(system)
@@ -70,7 +70,7 @@ def test_forces_match_numerical_gradient():
     rs = np.random.RandomState(0)
     h = 1e-6
     for _ in range(5):
-        i = rs.randint(32)
+        i = rs.randint(125)
         d = rs.randint(3)
         xp = x.at[i, d].add(h)
         xm = x.at[i, d].add(-h)

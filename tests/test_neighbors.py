@@ -29,7 +29,7 @@ def _aux(system, x, box):
     return make_aux(system, extra)
 
 
-@pytest.mark.parametrize("n,jitter", [(216, 0.05), (100, 0.3)])
+@pytest.mark.parametrize("n,jitter", [(216, 0.05), (216, 0.3)])
 def test_argon_cell_vs_dense(n, jitter):
     system, x, box = argon_system(n=n, jitter=jitter, seed=1, neighbors=True)
     aux = _aux(system, x, box)
@@ -50,7 +50,7 @@ def test_water_cell_vs_dense_small_box(cpc):
     # exercising the deduplicated stencil map; cpc=2 exercises fine cells.
     from atomsmm_tpu.ops.neighbors import make_neighbor_spec
 
-    system, x, box = water_system(n_molecules=64, neighbors=True)
+    system, x, box = water_system(n_molecules=64, r_cut=0.55, r_switch=0.45, neighbors=True)
     if cpc == 2:
         nb = system.forces[0]
         spec = make_neighbor_spec(

@@ -1,0 +1,147 @@
+"""M4: RESPASystem + MultipleTimeScaleIntegrator on q-SPC/Fw water
+(BASELINE.md config 2 — the headline configuration).
+
+The invariant the reference's tests check most often (SURVEY.md §4):
+near + far (+ exceptions) == original total, to tight tolerance. Plus the
+physics checks the reference lacks: RESPA-vs-small-dt-Verlet trajectory
+agreement, NVE drift bounds from an equilibrated state, and NVT temperature
+control under the Nosé-Hoover chain.
+
+Note: cutoffs here obey r_cut < box/2 (the builders enforce it; a 125-molecule
+box is ~1.55 nm).
+"""
+import numpy as np
+import pytest
+
+from atomsmm_tpu import (
+    Context,
+    GlobalThermostatIntegrator,
+    MultipleTimeScaleIntegrator,
+    RESPASystem,
+    VelocityVerletIntegrator,
+    make_state,
+    split_potential_energy,
+)
+from atomsmm_tpu.integrate.propagators import VelocityRescalingPropagator
+from atomsmm_tpu.minimize import minimize_energy
+from atomsmm_tpu.models import water_system
+from atomsmm_tpu.potential import group_energies
+
+N_MOL = 125
+N_ATOMS = 3 * N_MOL
+
+
+@pytest.fixture(scope="module")
+def water():
+    return water_system(n_molecules=N_MOL, r_cut=0.75, r_switch=0.65, seed=2)
+
+
+@pytest.fixture(scope="module")
+def equilibrated(water):
+    """Minimize + 1 ps CSVR NVT at 300 K -> (x, v) near equilibrium."""
+    system, x, box = water
+    thermo = VelocityRescalingPropagator(300.0, 3 * N_ATOMS - 3, 0.1)
+    ctx = Context(
+        system, GlobalThermostatIntegrator(0.0005, thermo), make_state(x, box=box)
+    )
+    minimize_energy(ctx, steps=300)
+    ctx.set_velocities_to_temperature(300.0, seed=6)
+    ctx.step(1000)
+    assert 250.0 < float(ctx.temperature()) < 360.0
+    return ctx.state.x.copy(), ctx.state.v.copy(), box
+
+
+def test_near_plus_far_equals_full(water):
+    system, x, box = water
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+    e_full = split_potential_energy(system, x, box)
+    e_respa = split_potential_energy(respa, x, box)
+    near = float(e_respa["NearNonbondedForce"])
+    far = float(e_respa["FarNonbondedForce"])
+    np.testing.assert_allclose(
+        near + far, float(e_full["NonbondedForce"]), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(e_respa["Total"]), float(e_full["Total"]), rtol=1e-12
+    )
+
+
+def test_group_assignment(water):
+    system, x, box = water
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+    groups = {f.name: f.group for f in respa.forces}
+    assert groups["HarmonicBondForce"] == 0
+    assert groups["HarmonicAngleForce"] == 0
+    assert groups["NearNonbondedForce"] == 1
+    assert groups["FarNonbondedForce"] == 2
+    ge = group_energies(respa, x, box)
+    assert set(ge) == {0, 1, 2}
+
+
+def test_respa_matches_small_step_verlet(equilibrated, water):
+    """RESPA with loops [n0, n1, 1] must track a velocity-Verlet run at the
+    innermost step size over a short trajectory."""
+    system, _, _ = water
+    x, v, box = equilibrated
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+
+    dt = 0.001  # 1 fs outer
+    ctx_r = Context(
+        respa, MultipleTimeScaleIntegrator(dt, [4, 2, 1]), make_state(x, v, box)
+    )
+    ctx_r.step(20)
+
+    ctx_v = Context(system, VelocityVerletIntegrator(dt / 8), make_state(x, v, box))
+    ctx_v.step(20 * 8)
+
+    dxmax = np.abs(np.asarray(ctx_r.state.x) - np.asarray(ctx_v.state.x)).max()
+    # different splittings, same physics: agreement at the RESPA error scale
+    assert dxmax < 2e-4, dxmax
+
+
+def test_respa_nve_energy_conservation(equilibrated, water):
+    system, _, _ = water
+    x, v, box = equilibrated
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+    ctx = Context(
+        respa, MultipleTimeScaleIntegrator(0.002, [4, 2, 1]), make_state(x, v, box)
+    )
+    e0 = float(ctx.conserved_energy())
+    ctx.step(250)  # 0.5 ps
+    e1 = float(ctx.conserved_energy())
+    drift = abs(e1 - e0) / N_ATOMS
+    # measured: ~0.01 kJ/mol/atom/ps at this splitting -> ~5e-3 per 0.5 ps
+    assert drift < 2e-2, (e0, e1, drift)
+
+
+def test_respa_beats_same_rate_verlet(equilibrated, water):
+    """Subdividing the stiff bonded level must reduce drift vs. integrating
+    everything at the outer rate."""
+    system, _, _ = water
+    x, v, box = equilibrated
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+
+    def drift_of(sysm, integ):
+        ctx = Context(sysm, integ, make_state(x, v, box))
+        e0 = float(ctx.conserved_energy())
+        ctx.step(int(0.5 / integ.dt))
+        return abs(float(ctx.conserved_energy()) - e0)
+
+    d_vv = drift_of(system, VelocityVerletIntegrator(0.001))
+    d_respa = drift_of(respa, MultipleTimeScaleIntegrator(0.001, [4, 1, 1]))
+    assert d_respa < d_vv, (d_respa, d_vv)
+
+
+def test_respa_nvt_temperature(equilibrated, water):
+    system, _, _ = water
+    x, v, box = equilibrated
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+    dof = 3 * N_ATOMS - 3
+    integ = MultipleTimeScaleIntegrator(
+        0.002, [4, 2, 1], temperature=300.0, time_scale=0.05,
+        degrees_of_freedom=dof,
+    )
+    ctx = Context(respa, integ, make_state(x, v, box))
+    ctx.step(1000)  # 2 ps
+    t = float(ctx.temperature())
+    assert 240.0 < t < 360.0, t
