@@ -61,6 +61,7 @@ class NeighborSpec:
     grid: Tuple[int, int, int] = static_field(default=(1, 1, 1))
     cell_capacity: int = static_field(default=64)
     cell_chunk: int = static_field(default=4)  # home cells per scan step
+    backend: str = static_field(default="xla")  # 'xla' | 'pallas'
 
     @property
     def ncells(self) -> int:
@@ -99,24 +100,36 @@ def make_neighbor_spec(
     n: int,
     r_cut_max: float,
     skin: float = 0.1,
+    min_skin: float = 0.04,
     exclusions=None,
     density_safety: float = 1.7,
     cells_per_cutoff: int = 1,
     cell_chunk: int | None = None,
+    backend: str = "auto",
 ) -> NeighborSpec:
     """Host-side setup: pick the cell grid and capacity for a system of n
     atoms in `box` with the largest relevant cutoff r_cut_max.
 
-    cells_per_cutoff > 1 uses finer cells with a wider search stencil
-    (less padding arithmetic per pair, more cells); 1-2 are sensible.
-    The grid is static; for NPT the box may shrink slightly, so rebuild the
-    spec if the box drifts by more than ~(safety-1).
+    Grid choice: candidate pair work scales with the cell width cubed, so the
+    grid is the finest one whose cell width still covers r_cut_max + min_skin;
+    the *effective* skin is then whatever margin the width leaves
+    (w - r_cut), capped at `skin` — a tight grid with a small skin (more
+    frequent cheap rebuilds) beats a loose grid with a large skin by ~2x in
+    slot count. For NPT pass a larger min_skin so the grid stays valid as the
+    box fluctuates.
+
+    backend: 'xla' (ops/neighbors.py scan path), 'pallas' (ops/pallas_pair.py
+    kernel), or 'auto' (pallas on TPU-like backends, xla elsewhere).
     """
     box = np.asarray(box, np.float64)
-    r_build = float(r_cut_max) + float(skin)
-    target_w = r_build / cells_per_cutoff
+    target_w = (float(r_cut_max) + float(min_skin)) / cells_per_cutoff
     grid = tuple(max(1, int(np.floor(b / target_w))) for b in box)
     w = box / np.array(grid)
+    # effective build radius = what the grid actually covers (per stencil reach)
+    skin_eff = min(float(np.min(w)) * cells_per_cutoff - float(r_cut_max),
+                   float(skin))
+    skin_eff = max(skin_eff, float(min_skin))
+    r_build = float(r_cut_max) + skin_eff
     reach = tuple(int(np.ceil(r_build / wi)) for wi in w)
     rho = n / float(np.prod(box))
     cell_vol = float(np.prod(w))
@@ -131,14 +144,19 @@ def make_neighbor_spec(
                 ncells)
         per_cell = cap * s * cap * 4
         cell_chunk = max(1, min(ncells, (2 << 20) // max(per_cell, 1)))
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     return NeighborSpec(
         nbr_cells=jnp.asarray(_neighbor_cell_map(grid, reach)),
         exclusions=jnp.asarray(exclusions),
         r_build=jnp.asarray(r_build),
-        skin=jnp.asarray(skin),
+        skin=jnp.asarray(skin_eff),
         grid=grid,
         cell_capacity=cap,
         cell_chunk=cell_chunk,
+        backend=backend,
     )
 
 
@@ -344,7 +362,14 @@ def cell_pair_energy(pair_fn, x, box, per_particle, spec, bucket, r_cut):
 def cell_pair_energy_forces(pair_fn, x, box, per_particle, spec, bucket, r_cut):
     """(energy, forces (N, 3)) with explicit symmetric forces: the candidate
     sets are symmetric by construction (cell c' is in c's stencil iff c is in
-    c'-s), so F_i = -sum over i's candidates of u'(r) r_hat."""
+    c'-s), so F_i = -sum over i's candidates of u'(r) r_hat.
+
+    Dispatches to the Pallas kernel (ops/pallas_pair.py) when the spec's
+    backend selects it — same math, pair tiles kept in VMEM."""
+    if spec.backend == "pallas":
+        from .pallas_pair import stage_and_run
+
+        return stage_and_run(spec, pair_fn, x, box, per_particle, bucket, r_cut)
     n = x.shape[0]
     e, f_bucket = _cell_pair_sums(
         spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=True

@@ -14,8 +14,43 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from contextlib import contextmanager
+
 from ..units import ONE_4PI_EPS0
 from .switching import switch_quintic
+
+# --- erfc dispatch ----------------------------------------------------------
+# Mosaic (Pallas TPU) has no erfc lowering; inside kernel traces we swap in a
+# rational approximation (Abramowitz & Stegun 7.1.26, |err| <= 1.5e-7 — at
+# f32 roundoff). Outside kernels the exact lax.erfc is used, keeping the f64
+# CPU reference path at full precision.
+_KERNEL_SAFE_MATH = [False]
+
+
+@contextmanager
+def kernel_safe_math():
+    _KERNEL_SAFE_MATH.append(True)
+    try:
+        yield
+    finally:
+        _KERNEL_SAFE_MATH.pop()
+
+
+def erfc_approx(x):
+    """A&S 7.1.26 for x >= 0 (pair distances are positive): t-polynomial
+    times exp(-x^2); max abs error 1.5e-7."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * jnp.exp(-x * x)
+
+
+def erfc(x):
+    if _KERNEL_SAFE_MATH[-1]:
+        return erfc_approx(x)
+    return jax.scipy.special.erfc(x)
 
 
 def lorentz_berthelot(sigma_i, sigma_j, eps_i, eps_j):
@@ -41,7 +76,7 @@ def damped_coulomb(r, qq, alpha):
     DampedSmoothedForce / NearNonbondedForce real-space terms and as the PME
     direct-space term.
     """
-    return ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * r) / r
+    return ONE_4PI_EPS0 * qq * erfc(alpha * r) / r
 
 
 def reaction_field_coulomb(r, qq, r_cut, eps_rf):
@@ -93,7 +128,7 @@ def near_pair_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut,
         if undamped:
             u_c = ONE_4PI_EPS0 * qq / rr
         else:
-            u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * rr) / rr
+            u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr) / rr
         return u_lj + u_c
 
     # shifted-force: u(r) - u(rc) - u'(rc)(r - rc), derivative via jvp at trace
@@ -111,5 +146,5 @@ def damped_smoothed_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut):
     """
     s6 = (sigma / r) ** 6
     u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
-    u_c = ONE_4PI_EPS0 * qq * jax.scipy.special.erfc(alpha * r) / r
+    u_c = ONE_4PI_EPS0 * qq * erfc(alpha * r) / r
     return (u_lj + u_c) * switch_quintic(r, r_switch, r_cut)

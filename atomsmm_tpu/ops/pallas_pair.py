@@ -128,9 +128,12 @@ def cell_pair_kernel_call(
     ex_r = jax.ShapeDtypeStruct((capP, j_tile), dtype)
     ex_pi = {k: jax.ShapeDtypeStruct((capP, 1), dtype) for k in names}
     ex_pj = {k: jax.ShapeDtypeStruct((1, j_tile), dtype) for k in names}
-    closed = jax.make_jaxpr(lambda rr, pi, pj: pair_fn(rr, pi, pj))(
-        ex_r, ex_pi, ex_pj
-    )
+    from . import pairfuncs
+
+    with pairfuncs.kernel_safe_math():
+        closed = jax.make_jaxpr(lambda rr, pi, pj: pair_fn(rr, pi, pj))(
+            ex_r, ex_pi, ex_pj
+        )
     consts = closed.consts  # captured values: tracers AND concrete arrays
     for c in consts:
         assert jnp.ndim(c) == 0, (

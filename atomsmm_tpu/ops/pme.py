@@ -1,0 +1,237 @@
+"""Smooth Particle-Mesh Ewald — TPU-native reciprocal-space electrostatics.
+
+Replaces openmm's PME (SURVEY.md §2b N1: charge spreading, 3-D FFT,
+reciprocal convolution, self/exclusion corrections). Design:
+
+  * B-spline charge spreading is the classic TPU-hostile scatter; here it is
+    recast as dense per-dimension one-hot weight matrices combined by chunked
+    MXU matmuls: Q[a, bc] += Wx_chunk^T @ (q * (Wy ⊗ Wz))_chunk — no scatter
+    in the differentiated path, so forces via jax.grad are matmuls + FFTs;
+  * reciprocal sum: one jnp.fft.fftn over the charge grid, analytic
+    Gaussian/spline filter, O(K^3) elementwise;
+  * direct space (erfc pairs) lives in the nonbonded pair path
+    (forces.py::NonbondedForce method='pme'); this module adds the reciprocal
+    term, the self energy, and the excluded-pair erf corrections.
+
+Conventions: E_rec = k_e/(2 pi V) sum_{m != 0} exp(-pi^2 |m~|^2 / alpha^2)
+/ |m~|^2 |b1 b2 b3|^2 |FFT(Q)(m)|^2, with m~ = (m1/L1, m2/L2, m3/L3)
+(Essmann et al., J. Chem. Phys. 103, 8577 (1995)).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..units import ONE_4PI_EPS0
+from .pbc import minimum_image
+
+
+def bspline_weights(t, order: int):
+    """Cardinal B-spline values M_order(t + j) for j = 0..order-1, t in [0,1).
+
+    Uses the stable recurrence M_n(u) = [u M_{n-1}(u) + (n-u) M_{n-1}(u-1)]
+    / (n-1). Returns shape t.shape + (order,). Weights sum to 1.
+    """
+    # M_2(u) on u = t + j: nonzero for u in (0, 2)
+    u = t[..., None] + jnp.arange(order, dtype=t.dtype)
+    m = jnp.maximum(1.0 - jnp.abs(u - 1.0), 0.0)  # M_2
+    for n in range(3, order + 1):
+        m_shift = jnp.concatenate(
+            [jnp.zeros_like(m[..., :1]), m[..., :-1]], axis=-1
+        )  # M_{n-1}(u - 1)
+        m = (u * m + (n - u) * m_shift) / (n - 1)
+    return m
+
+
+def _bspline_moduli(k: int, order: int, dtype):
+    """|b(m)|^2 for one dimension (Euler exponential spline factors)."""
+    # M_order(j + 1) for j = 0..order-2
+    mvals = np.zeros(order - 1)
+    # evaluate recursively in float64 on host
+    def M(n, u):
+        if n == 2:
+            return max(1.0 - abs(u - 1.0), 0.0)
+        return (u * M(n - 1, u) + (n - u) * M(n - 1, u - 1)) / (n - 1)
+
+    for j in range(order - 1):
+        mvals[j] = M(order, j + 1.0)
+    m = np.arange(k)
+    denom = np.zeros(k, dtype=np.complex128)
+    for j in range(order - 1):
+        denom += mvals[j] * np.exp(2j * np.pi * m * j / k)
+    b2 = 1.0 / np.maximum(np.abs(denom) ** 2, 1e-14)
+    # even-order splines are singular at m = K/2; those modes are zeroed in
+    # the energy filter (their Gaussian weight is negligible anyway)
+    if order % 2 == 0 and k % 2 == 0:
+        b2[k // 2] = 0.0
+    return jnp.asarray(b2, dtype)
+
+
+def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
+                   order: int = 4, chunk: int = 2048):
+    """Spread point charges onto the (K1, K2, K3) grid with B-splines.
+
+    Chunked over atoms; per chunk, per-dimension dense weight matrices
+    (C, K_d) are built by comparing grid iota against the spline support
+    indices (mask-don't-branch), then combined with one MXU matmul.
+    """
+    k1, k2, k3 = grid_shape
+    n = x.shape[0]
+    dtype = x.dtype
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk - n
+    xp = jnp.pad(x, ((0, n_pad), (0, 0)))
+    qp = jnp.pad(q, (0, n_pad))  # padded charges are 0 -> no contribution
+
+    kvec = jnp.asarray([k1, k2, k3], dtype)
+    x_rows = xp.reshape(n_chunks, chunk, 3)
+    q_rows = qp.reshape(n_chunks, chunk)
+
+    iotas = [jnp.arange(k, dtype=jnp.int32) for k in (k1, k2, k3)]
+
+    def dense_w(u_d, k_d, iota):
+        """(C, K_d) spreading matrix for one dimension."""
+        m0 = jnp.floor(u_d).astype(jnp.int32)
+        t = u_d - jnp.floor(u_d)
+        w = bspline_weights(t, order)  # (C, order), w[j] at grid (m0 - j)
+        out = jnp.zeros((u_d.shape[0], k_d), dtype)
+        for j in range(order):
+            idx = jnp.mod(m0 - j, k_d)
+            out = out + w[:, j : j + 1] * (iota[None, :] == idx[:, None])
+        return out
+
+    def body(Q, inp):
+        xc, qc = inp
+        u = xc / box * kvec  # fractional grid coordinates
+        wx = dense_w(u[:, 0], k1, iotas[0])
+        wy = dense_w(u[:, 1], k2, iotas[1])
+        wz = dense_w(u[:, 2], k3, iotas[2])
+        wyz = (wy[:, :, None] * wz[:, None, :]).reshape(chunk, k2 * k3)
+        contrib = jnp.dot(
+            wx.T, qc[:, None] * wyz, preferred_element_type=dtype
+        )  # (K1, K2*K3)
+        return Q + contrib, None
+
+    Q0 = jnp.zeros((k1, k2 * k3), dtype)
+    Q, _ = jax.lax.scan(body, Q0, (x_rows, q_rows))
+    return Q.reshape(k1, k2, k3)
+
+
+def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
+                          chunk: int = 2048):
+    """Reciprocal-space PME energy [kJ/mol]."""
+    k1, k2, k3 = grid_shape
+    dtype = x.dtype
+    Q = spread_charges(x, box, q, grid_shape, order, chunk)
+    Qhat = jnp.fft.fftn(Q)
+
+    def freqs(k):
+        m = jnp.arange(k)
+        return jnp.where(m <= k // 2, m, m - k).astype(dtype)
+
+    m1 = freqs(k1)[:, None, None] / box[0]
+    m2 = freqs(k2)[None, :, None] / box[1]
+    m3 = freqs(k3)[None, None, :] / box[2]
+    m2_tilde = m1 * m1 + m2 * m2 + m3 * m3
+
+    b2 = (
+        _bspline_moduli(k1, order, dtype)[:, None, None]
+        * _bspline_moduli(k2, order, dtype)[None, :, None]
+        * _bspline_moduli(k3, order, dtype)[None, None, :]
+    )
+    volume = box[0] * box[1] * box[2]
+    pi2 = jnp.asarray(math.pi**2, dtype)
+    safe_m2 = jnp.where(m2_tilde > 0, m2_tilde, 1.0)
+    filt = jnp.where(
+        m2_tilde > 0, jnp.exp(-pi2 * safe_m2 / alpha**2) / safe_m2, 0.0
+    )
+    s2 = jnp.abs(Qhat) ** 2
+    return (
+        ONE_4PI_EPS0 / (2.0 * math.pi * volume) * jnp.sum(filt * b2 * s2)
+    )
+
+
+def pme_self_energy(q, alpha):
+    return -ONE_4PI_EPS0 * alpha / math.sqrt(math.pi) * jnp.sum(q * q)
+
+
+def pme_exclusion_correction(x, box, q, exclusions, alpha):
+    """Remove reciprocal-space interactions of excluded pairs:
+    -k_e q_i q_j erf(alpha r)/r summed over each excluded pair once."""
+    n = x.shape[0]
+    exc = exclusions  # (N, M), -1 padded
+    iarr = jnp.arange(n, dtype=exc.dtype)[:, None]
+    mask = exc > iarr  # each pair once (j > i)
+    j = jnp.clip(exc, 0, n - 1)
+    dx = minimum_image(x[:, None, :] - x[j], box)
+    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1) + 1e-30)
+    qq = q[:, None] * q[j]
+    e = -ONE_4PI_EPS0 * qq * jax.scipy.special.erf(alpha * r) / r
+    return jnp.sum(jnp.where(mask, e, 0.0))
+
+
+def pme_corrections(x, box, q, exclusions, alpha):
+    """Self energy + excluded-pair corrections (everything but the pair loop
+    and the FFT term)."""
+    return pme_self_energy(q, alpha) + pme_exclusion_correction(
+        x, box, q, exclusions, alpha
+    )
+
+
+# --------------------------------------------------------------------------
+# Parameter selection (openmm-compatible heuristics)
+# --------------------------------------------------------------------------
+
+
+def _good_fft_size(n: int) -> int:
+    """Smallest size >= n with only factors 2, 3, 5."""
+    while True:
+        m = n
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        if m == 1:
+            return n
+        n += 1
+
+
+def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None, grid=None):
+    """(alpha, (K1, K2, K3)) from cutoff + error tolerance, matching
+    openmm.NonbondedForce's heuristic: alpha = sqrt(-log(2 tol))/r_cut,
+    K_d = ceil(2 alpha L_d / (3 tol^(1/5))), rounded to FFT-friendly sizes."""
+    box = np.asarray(box, np.float64)
+    if alpha is None:
+        alpha = math.sqrt(-math.log(2.0 * tol)) / float(r_cut)
+    if grid is None:
+        grid = [
+            _good_fft_size(int(math.ceil(2.0 * alpha * L / (3.0 * tol ** 0.2))))
+            for L in box
+        ]
+    return float(alpha), tuple(int(g) for g in grid)
+
+
+def ewald_reference_energy(x, box, q, alpha, kmax: int = 12):
+    """Slow direct Ewald reciprocal sum (plane waves, no mesh) — test oracle
+    for the PME implementation (SURVEY.md §7: goldens from analytic limits)."""
+    n = x.shape[0]
+    ms = []
+    for mx in range(-kmax, kmax + 1):
+        for my in range(-kmax, kmax + 1):
+            for mz in range(-kmax, kmax + 1):
+                if (mx, my, mz) != (0, 0, 0):
+                    ms.append((mx, my, mz))
+    ms = jnp.asarray(np.array(ms, np.float64), x.dtype)  # (M, 3)
+    m_tilde = ms / box[None, :]
+    m2 = jnp.sum(m_tilde * m_tilde, axis=1)
+    phase = 2.0 * math.pi * (x @ m_tilde.T)  # (N, M)
+    s_re = jnp.sum(q[:, None] * jnp.cos(phase), axis=0)
+    s_im = jnp.sum(q[:, None] * jnp.sin(phase), axis=0)
+    s2 = s_re**2 + s_im**2
+    filt = jnp.exp(-math.pi**2 * m2 / alpha**2) / m2
+    volume = box[0] * box[1] * box[2]
+    return ONE_4PI_EPS0 / (2.0 * math.pi * volume) * jnp.sum(filt * s2)

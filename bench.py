@@ -1,14 +1,15 @@
 """Benchmark harness — prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric (BASELINE.md): ns/day on the best implemented config, run on
-real TPU. Progression: argon 4k NVE (config 1) -> 30k q-SPC/FW RESPA water
-(config 2, the BASELINE.json headline). Details go to stderr; stdout carries
-exactly the one JSON line.
+Headline metric (BASELINE.md): ns/day, 30k-atom q-SPC/Fw water, 2-level RESPA
+(near/far split) + Nosé-Hoover NVT, on the real TPU chip. Secondary numbers
+(pair-kernel ms/step, argon config) go to stderr; stdout carries exactly the
+one JSON line.
 
 vs_baseline: the OpenMM-CPU comparator cannot be measured here (no OpenMM, no
-network — BASELINE.md "Comparator caveat"), so a provisional literature-scale
-comparator is used and documented per config; treat the ratio as conditional.
+network — BASELINE.md "Comparator caveat"); a provisional literature-scale
+comparator of 5 ns/day (OpenMM CPU, ~30k atoms, multicore) is used — treat
+the ratio as conditional until a real comparator run exists.
 """
 from __future__ import annotations
 
@@ -21,28 +22,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_argon_nve(n=4000, steps=1000, dt=0.002):
-    import jax
-    from atomsmm_tpu import VelocityVerletIntegrator, make_state
-    from atomsmm_tpu.context import Context
-    from atomsmm_tpu.models import argon_system
+def bench_water_respa(n_molecules=10000, steps=200, dt=0.002, method="cutoff"):
+    from atomsmm_tpu import (
+        Context,
+        MultipleTimeScaleIntegrator,
+        RESPASystem,
+        make_state,
+    )
+    from atomsmm_tpu.models import water_system
 
-    system, x, box = argon_system(n=n, jitter=0.05, seed=1, chunk=512)
-    integrator = VelocityVerletIntegrator(dt=dt)
-    state = make_state(x, box=box, seed=0)
-    ctx = Context(system, integrator, state)
-    ctx.set_velocities_to_temperature(120.0, seed=7)
+    system, x, box = water_system(
+        n_molecules=n_molecules, method=method, neighbors=True
+    )
+    respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
+    respa = respa.with_neighbors(system.neighbors)
+    dof = 3 * system.num_particles - 3
+    integ = MultipleTimeScaleIntegrator(
+        dt, [4, 2, 1], temperature=300.0, time_scale=0.1,
+        degrees_of_freedom=dof,
+    )
+    ctx = Context(respa, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=7)
 
     def sync():
-        # On the axon platform block_until_ready on donated buffers can return
-        # early; fetching a host value is the reliable barrier.
+        # axon: fetching a host value is the reliable barrier
         return float(ctx.state.x[0, 0])
 
-    # compile + settle
     t0 = time.perf_counter()
     ctx.step(1)
     sync()
-    log(f"argon {n}: compile+first step {time.perf_counter()-t0:.1f}s")
+    log(f"water {3*n_molecules} ({method}): compile+first "
+        f"{time.perf_counter()-t0:.0f}s")
 
     best = None
     for _ in range(3):
@@ -53,19 +63,19 @@ def bench_argon_nve(n=4000, steps=1000, dt=0.002):
         best = dtw if best is None else min(best, dtw)
     ms_per_step = best / steps * 1e3
     ns_day = dt * 1e-3 * steps / best * 86400.0
-    log(f"argon {n}: {ms_per_step:.3f} ms/step, {ns_day:.1f} ns/day")
+    log(f"water {3*n_molecules} RESPA[4,2,1]@{dt*1e3:.0f}fs {method}: "
+        f"{ms_per_step:.2f} ms/step, {ns_day:.2f} ns/day")
     return ns_day, ms_per_step
 
 
 def main():
-    ns_day, ms_step = bench_argon_nve()
-    # Provisional comparator (documented, conditional — BASELINE.md):
-    # OpenMM CPU, 4k-atom LJ fluid, 2 fs: O(100) ns/day scale.
-    comparator = 100.0
+    ns_day, ms_step = bench_water_respa()
+    comparator = 5.0  # provisional OpenMM-CPU scale (see module docstring)
     print(
         json.dumps(
             {
-                "metric": "ns/day, LJ argon 4k NVE (dense pair path)",
+                "metric": "ns/day, 30k-atom q-SPC/Fw water, 2-level RESPA "
+                          "+ NHC NVT (TPU v5e, 1 core)",
                 "value": round(ns_day, 2),
                 "unit": "ns/day",
                 "vs_baseline": round(ns_day / comparator, 3),

@@ -1,0 +1,157 @@
+"""M5: PME vs. direct Ewald summation and physical limits.
+
+No OpenMM available (SURVEY.md §0), so the oracles are (a) a slow plane-wave
+Ewald reciprocal sum, (b) alpha-independence of the total Ewald energy, and
+(c) the NaCl Madelung constant — analytic goldens per SURVEY.md §7.
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomsmm_tpu.ops.pme import (
+    bspline_weights,
+    choose_pme_parameters,
+    ewald_reference_energy,
+    pme_corrections,
+    pme_exclusion_correction,
+    pme_reciprocal_energy,
+    pme_self_energy,
+)
+from atomsmm_tpu.units import ONE_4PI_EPS0
+
+
+def random_neutral_system(n=32, seed=0, box_l=2.0):
+    rs = np.random.RandomState(seed)
+    x = rs.uniform(0, box_l, (n, 3))
+    q = rs.uniform(-1, 1, n)
+    q -= q.mean()  # neutral
+    return jnp.asarray(x), jnp.asarray(q), jnp.asarray([box_l] * 3)
+
+
+def test_bspline_weights_sum_to_one():
+    t = jnp.linspace(0.0, 0.999, 41)
+    for order in (3, 4, 5, 6):
+        w = bspline_weights(t, order)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-12)
+        assert float(w.min()) >= 0.0
+
+
+def test_reciprocal_matches_plane_wave_ewald():
+    x, q, box = random_neutral_system(n=32)
+    alpha = 3.0
+    e_pme = pme_reciprocal_energy(x, box, q, alpha, (48, 48, 48), order=6)
+    e_ref = ewald_reference_energy(x, box, q, alpha, kmax=14)
+    np.testing.assert_allclose(float(e_pme), float(e_ref), rtol=2e-6)
+
+
+def test_total_ewald_energy_alpha_independent():
+    """direct(erfc) + reciprocal + self must not depend on alpha."""
+    from atomsmm_tpu.ops.pairfuncs import damped_coulomb
+    from atomsmm_tpu.ops.pairs import dense_pair_energy
+
+    x, q, box = random_neutral_system(n=24, box_l=2.5)
+    exclusions = jnp.full((24, 1), -1, jnp.int32)
+
+    def total(alpha):
+        def pair(r, pi, pj):
+            return damped_coulomb(r, pi["q"] * pj["q"], alpha)
+
+        e_dir = dense_pair_energy(
+            pair, x, box, {"q": q}, exclusions, 1.2, chunk=8
+        )
+        e_rec = pme_reciprocal_energy(x, box, q, alpha, (64, 64, 64), order=6)
+        return float(e_dir + e_rec + pme_self_energy(q, alpha))
+
+    e1, e2 = total(3.2), total(3.8)
+    np.testing.assert_allclose(e1, e2, rtol=2e-5)
+
+
+def test_madelung_nacl():
+    """Rock-salt lattice: E per ion pair = -M k_e e^2 / a_nn,
+    Madelung constant M = 1.7475645946..."""
+    n_side = 4  # 4^3 = 64 ions
+    a = 0.3  # nm nearest-neighbor distance
+    pts = np.array(
+        [
+            (i, j, k)
+            for i in range(n_side)
+            for j in range(n_side)
+            for k in range(n_side)
+        ],
+        np.float64,
+    )
+    x = jnp.asarray(pts * a)
+    q = jnp.asarray([(-1.0) ** (i + j + k) for i, j, k in pts])
+    box = jnp.asarray([n_side * a] * 3)
+    alpha = 8.0
+    from atomsmm_tpu.ops.pairfuncs import damped_coulomb
+    from atomsmm_tpu.ops.pairs import dense_pair_energy
+
+    def pair(r, pi, pj):
+        return damped_coulomb(r, pi["q"] * pj["q"], alpha)
+
+    e_dir = dense_pair_energy(
+        pair, x, box, {"q": q}, jnp.full((64, 1), -1, jnp.int32), 0.58, chunk=16
+    )
+    e_rec = pme_reciprocal_energy(x, box, q, alpha, (96, 96, 96), order=6)
+    e = float(e_dir + e_rec + pme_self_energy(q, alpha))
+    # energy per ION PAIR (32 pairs in 64 ions): U = -M k e^2 / a_nn
+    madelung = -e / 32.0 * a / ONE_4PI_EPS0
+    np.testing.assert_allclose(madelung, 1.7475645946, rtol=1e-5)
+
+
+def test_exclusion_correction():
+    """Excluding a pair must remove exactly its full Coulomb interaction:
+    (direct erfc term skipped) + (reciprocal) + (-erf correction) == no pair."""
+    x = jnp.asarray([[0.5, 0.5, 0.5], [0.72, 0.5, 0.5]])
+    q = jnp.asarray([0.5, -0.5])
+    box = jnp.asarray([2.0, 2.0, 2.0])
+    alpha = 4.0
+    exc = jnp.asarray([[1], [0]], jnp.int32)
+    corr = pme_exclusion_correction(x, box, q, exc, alpha)
+    r = 0.22
+    expected = -ONE_4PI_EPS0 * (-0.25) * math.erf(alpha * r) / r
+    np.testing.assert_allclose(float(corr), expected, rtol=1e-10)
+
+
+def test_pme_forces_match_numerical_gradient():
+    x, q, box = random_neutral_system(n=16, box_l=1.8)
+    alpha = 3.5
+
+    def efn(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, (32, 32, 32), order=4)
+
+    g = jax.grad(efn)(x)
+    h = 1e-6
+    rs = np.random.RandomState(1)
+    for _ in range(4):
+        i, d = rs.randint(16), rs.randint(3)
+        ep = float(efn(x.at[i, d].add(h)))
+        em = float(efn(x.at[i, d].add(-h)))
+        np.testing.assert_allclose(
+            float(g[i, d]), (ep - em) / (2 * h), rtol=1e-4, atol=1e-7
+        )
+
+
+def test_nonbonded_pme_method_end_to_end():
+    """NonbondedForce(method='pme') total == erfc-pair + recip + corrections,
+    and the neighbor path agrees with the dense path."""
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import neighbor_list_extras, make_aux
+    from atomsmm_tpu.potential import force_fn, potential_energy
+
+    system, x, box = water_system(
+        n_molecules=64, method="pme", r_cut=0.55, r_switch=0.45, neighbors=True
+    )
+    aux = make_aux(system, neighbor_list_extras(system.neighbors, x, box))
+    e_dense = potential_energy(system, x, box)
+    e_nbr = potential_energy(system, x, box, aux=aux)
+    np.testing.assert_allclose(float(e_nbr), float(e_dense), rtol=1e-10)
+    _, f_dense = force_fn(system)(x, box)
+    _, f_nbr = force_fn(system)(x, box, aux=aux)
+    np.testing.assert_allclose(
+        np.asarray(f_nbr), np.asarray(f_dense), rtol=1e-7, atol=1e-7
+    )
