@@ -12,6 +12,7 @@ from . import units
 from .context import Context, StateSnapshot
 from .forces import (
     CustomBondForce,
+    MonteCarloBarostat,
     CustomNonbondedForce,
     DampedSmoothedForce,
     FarNonbondedForce,
@@ -70,3 +71,21 @@ from .utils import (
     find_nonbonded_force,
     hijack_force,
 )
+from .app import Simulation
+from .alchemy import (
+    mbar_free_energies,
+    multistate_energies,
+    reduced_energy_matrix,
+    ti_gradient,
+)
+from .computers import PressureComputer
+from .integrate.sinr import NHL_R_Integrator, SIN_R_Integrator
+from .minimize import fire_minimize, minimize_energy
+from .reporters import (
+    CenterOfMassReporter,
+    CustomIntegratorReporter,
+    ExtendedStateDataReporter,
+    StateDataReporter,
+    XYZReporter,
+)
+from .checkpoint import load_checkpoint, save_checkpoint

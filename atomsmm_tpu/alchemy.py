@@ -1,0 +1,104 @@
+"""Alchemical free-energy machinery: vmapped lambda batches + MBAR.
+
+The reference's workflow (SURVEY.md §3.4): run MD at each lambda state,
+periodically evaluate the potential at ALL lambda' states to build a K x K
+(or K x n_samples) reduced-energy matrix, then post-process with MBAR (the
+reference defers to external pymbar; pymbar is not available here, so the
+solver is implemented as a plain JAX fixed point — SURVEY.md §7 M7).
+
+TPU shape: lambda is a traced scalar inside the potential, so the multi-state
+energy evaluation is ONE vmap over the globals dict — no recompilation, no
+loops (SURVEY.md §2b N9).
+"""
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .potential import potential_energy
+from .units import BOLTZMANN
+
+
+def multistate_energies(system, x, box, lambdas: Dict[str, jnp.ndarray],
+                        aux=None):
+    """Potential energy of configuration x at every lambda state.
+
+    lambdas maps parameter name -> (K,) array; returns (K,) energies via one
+    vmap over the globals dict.
+    """
+
+    def e_of(globals):
+        return potential_energy(system, x, box, globals, aux=aux)
+
+    return jax.vmap(e_of)(lambdas)
+
+
+def reduced_energy_matrix(system, xs, box, lambdas: Dict[str, jnp.ndarray],
+                          temperature, aux=None):
+    """u[k, n] = beta * U(x_n; lambda_k) for a batch of configurations
+    xs (Nsamples, N, 3) — the MBAR input (SURVEY.md §3.4). vmapped over both
+    axes."""
+    beta = 1.0 / (BOLTZMANN * temperature)
+
+    def u_one(x):
+        return beta * multistate_energies(system, x, box, lambdas, aux)
+
+    return jax.vmap(u_one, out_axes=1)(xs)  # (K, Nsamples)
+
+
+def mbar_free_energies(u_kn: jnp.ndarray, n_k: jnp.ndarray,
+                       n_iter: int = 200, damping: float = 1.0):
+    """Solve the MBAR equations by damped self-consistent iteration.
+
+    Args:
+      u_kn: (K, Ntot) reduced energies of every sample evaluated in every
+        state k (samples concatenated across states).
+      n_k: (K,) number of samples drawn from each state.
+      n_iter: fixed iteration count (jit-friendly lax.scan).
+
+    Returns (K,) dimensionless free energies f_k with f_0 = 0.
+
+    f_k = -log sum_n exp(-u_kn) / sum_l N_l exp(f_l - u_ln)
+    """
+    u_kn = jnp.asarray(u_kn)
+    n_k = jnp.asarray(n_k, u_kn.dtype)
+    log_nk = jnp.log(n_k)
+
+    def step(f, _):
+        # log denominator per sample: logsumexp_l [log N_l + f_l - u_ln]
+        log_denom = jax.scipy.special.logsumexp(
+            log_nk[:, None] + f[:, None] - u_kn, axis=0
+        )  # (Ntot,)
+        new_f = -jax.scipy.special.logsumexp(-u_kn - log_denom[None, :], axis=1)
+        new_f = new_f - new_f[0]
+        return f + damping * (new_f - f), None
+
+    f0 = jnp.zeros(u_kn.shape[0], u_kn.dtype)
+    f, _ = jax.lax.scan(step, f0, None, length=n_iter)
+    return f
+
+
+def mbar_overlap_weights(u_kn, n_k, f_k):
+    """W[n, k]: sample weights in each state (for reweighted observables)."""
+    log_nk = jnp.log(jnp.asarray(n_k, u_kn.dtype))
+    log_denom = jax.scipy.special.logsumexp(
+        log_nk[:, None] + f_k[:, None] - u_kn, axis=0
+    )
+    log_w = f_k[:, None] - u_kn - log_denom[None, :]
+    return jnp.exp(log_w)  # (K, Ntot)
+
+
+def ti_gradient(system, x, box, lambda_name: str, lambda_value,
+                globals=None, aux=None):
+    """dU/dlambda at a configuration — thermodynamic-integration integrand
+    (lambda is a traced argument, so this is one jax.grad)."""
+    globals = dict(globals or {})
+
+    def e_of(lam):
+        g = dict(globals)
+        g[lambda_name] = lam
+        return potential_energy(system, x, box, g, aux=aux)
+
+    return jax.grad(e_of)(jnp.asarray(lambda_value, x.dtype))

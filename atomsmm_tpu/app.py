@@ -1,0 +1,74 @@
+"""Simulation driver — counterpart of openmm.app.Simulation (SURVEY.md §3.3).
+
+Owns a Context and a list of reporters; `step(n)` advances the device-side
+loop in report-interval chunks, observing only at chunk boundaries so
+reporting never interrupts the jitted hot loop.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from .context import Context
+from .state import make_state
+
+
+class Simulation:
+    def __init__(self, system, integrator, state=None, seed: int = 0):
+        self.system = system
+        self.integrator = integrator
+        self.context = Context(system, integrator, state, seed=seed)
+        self.reporters = []
+
+    # -- conveniences mirroring openmm.app.Simulation ----------------------
+
+    def minimize_energy(self, steps: int = 200, **kwargs):
+        from .minimize import minimize_energy
+
+        minimize_energy(self.context, steps=steps, **kwargs)
+        return self
+
+    def set_positions(self, x):
+        self.context.set_positions(x)
+
+    def set_velocities_to_temperature(self, temperature, seed: int = 0):
+        self.context.set_velocities_to_temperature(temperature, seed)
+
+    @property
+    def current_step(self) -> int:
+        return int(self.context.state.step)
+
+    def step(self, n: int):
+        """Advance n steps, firing reporters at their intervals."""
+        remaining = n
+        while remaining > 0:
+            if self.reporters:
+                until = min(
+                    r.describe_next(self.current_step) for r in self.reporters
+                )
+                chunk = min(remaining, until)
+            else:
+                chunk = remaining
+            self.context.step(chunk)
+            remaining -= chunk
+            if self.reporters:
+                step_now = self.current_step
+                due = [
+                    r for r in self.reporters if step_now % r.interval == 0
+                ]
+                if due:
+                    snap = self.context.get_state()
+                    for r in due:
+                        r.report(self, snap)
+        return self
+
+    def save_checkpoint(self, path: str):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.context.state)
+        return self
+
+    def load_checkpoint(self, path: str):
+        from .checkpoint import load_checkpoint
+
+        self.context.state = load_checkpoint(path, like=self.context.state)
+        return self

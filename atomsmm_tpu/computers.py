@@ -1,0 +1,120 @@
+"""Observable computers — counterpart of atomsmm/computers.py (SURVEY.md §2a).
+
+The reference's PressureComputer owns a second openmm.Context built from a
+ComputingSystem and re-evaluates per-term energies/forces there (SURVEY.md
+§3.3). Here no auxiliary context is needed: virials come from one jax.grad
+of the potential with respect to an isotropic scaling parameter —
+
+    atomic virial     W = -dU(s x, s box)/ds |_{s=1}
+    molecular virial  W_mol = -dU/ds with only molecule COMs scaled
+
+which is exact for every force term (pair, bonded, PME reciprocal including
+its box dependence) — this replaces the reference's parameter-differentiation
+tricks with actual differentiation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .integrate.barostat import molecular_scale
+from .potential import potential_energy
+from .state import kinetic_energy
+from .units import BOLTZMANN, PRESSURE_IN_BAR
+
+
+def atomic_virial(system, x, box, globals=None, aux=None):
+    """W = -dU/ds under isotropic scaling of positions and box at s=1."""
+
+    def u(s):
+        return potential_energy(system, s * x, s * box, globals, aux=aux)
+
+    return -jax.grad(u)(jnp.ones((), x.dtype))
+
+
+def molecular_virial(system, x, box, globals=None, aux=None):
+    """W_mol: only molecule centers of mass scale; intramolecular geometry
+    fixed (the virial that pairs with COM kinetic energy in the molecular
+    pressure)."""
+
+    def u(s):
+        xs = molecular_scale(
+            x, system.molecule, system.num_molecules, system.masses, s
+        )
+        return potential_energy(system, xs, s * box, globals, aux=aux)
+
+    return -jax.grad(u)(jnp.ones((), x.dtype))
+
+
+def molecular_kinetic_energy(system, v):
+    """COM kinetic energy per the molecular pressure definition."""
+    mw = system.masses[:, None]
+    p_mol = jax.ops.segment_sum(
+        mw * v, system.molecule, num_segments=system.num_molecules
+    )
+    m_mol = jax.ops.segment_sum(
+        system.masses, system.molecule, num_segments=system.num_molecules
+    )
+    return 0.5 * jnp.sum(jnp.sum(p_mol * p_mol, axis=1) / m_mol)
+
+
+def atomic_pressure(system, state, globals=None, aux=None):
+    """P = (2K + W)/(3V) [kJ/mol/nm^3]; multiply by PRESSURE_IN_BAR for bar."""
+    w = atomic_virial(system, state.x, state.box, globals, aux)
+    k = kinetic_energy(system.masses, state.v)
+    v = jnp.prod(state.box)
+    return (2.0 * k + w) / (3.0 * v)
+
+
+def molecular_pressure(system, state, globals=None, aux=None):
+    w = molecular_virial(system, state.x, state.box, globals, aux)
+    k = molecular_kinetic_energy(system, state.v)
+    v = jnp.prod(state.box)
+    return (2.0 * k + w) / (3.0 * v)
+
+
+class PressureComputer:
+    """Class-shaped facade mirroring atomsmm/computers.py::PressureComputer:
+    import a configuration, then read virials/pressures (values in bar)."""
+
+    def __init__(self, system, globals=None):
+        self.system = system
+        self.globals = dict(globals or {})
+        self._state = None
+        self._compute = jax.jit(self._make())
+
+    def _make(self):
+        def compute(system, state, globals):
+            return {
+                "atomic_virial": atomic_virial(system, state.x, state.box, globals),
+                "molecular_virial": molecular_virial(system, state.x, state.box, globals),
+                "atomic_pressure": atomic_pressure(system, state, globals)
+                * PRESSURE_IN_BAR,
+                "molecular_pressure": molecular_pressure(system, state, globals)
+                * PRESSURE_IN_BAR,
+                "molecular_kinetic_energy": molecular_kinetic_energy(
+                    system, state.v
+                ),
+            }
+
+        return compute
+
+    def import_configuration(self, state):
+        self._state = state
+        self._values = self._compute(self.system, state, self.globals)
+        return self
+
+    def get_atomic_virial(self):
+        return float(self._values["atomic_virial"])
+
+    def get_molecular_virial(self):
+        return float(self._values["molecular_virial"])
+
+    def get_atomic_pressure(self):
+        return float(self._values["atomic_pressure"])
+
+    def get_molecular_pressure(self):
+        return float(self._values["molecular_pressure"])
+
+    def get_molecular_kinetic_energy(self):
+        return float(self._values["molecular_kinetic_energy"])

@@ -86,6 +86,26 @@ class Context:
                 )
             )
         self.state = integrator.initialize(system, state)
+        # openmm semantics: a MonteCarloBarostat force in the system drives
+        # MC volume moves after each step (integrate/barostat.py)
+        self._barostat = None
+        from .forces import MonteCarloBarostat
+
+        for f in system.forces:
+            if isinstance(f, MonteCarloBarostat):
+                from .integrate.barostat import MonteCarloBarostatPropagator
+
+                self._barostat = MonteCarloBarostatPropagator(
+                    float(f.pressure), float(f.temperature), f.frequency
+                )
+                extras = self._barostat.extra_variables(system, self.state)
+                missing = {
+                    k: jnp.array(v, copy=True)
+                    for k, v in extras.items()
+                    if k not in self.state.extra
+                }
+                if missing:
+                    self.state = self.state.with_extra(**missing)
         self._step_fn = integrator.make_step()
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         self._observe = jax.jit(self._make_observe())
@@ -95,6 +115,7 @@ class Context:
 
     def _make_run(self):
         step_fn = self._step_fn
+        barostat = self._barostat
 
         def maybe_update_neighbors(system, s):
             if system.neighbors is None:
@@ -113,6 +134,11 @@ class Context:
 
             def body(i, s):
                 s = step_fn(system, s, globals)
+                if barostat is not None:
+                    from .integrate.propagators import StepContext
+
+                    ctx = StepContext(system, globals, 0.0)
+                    s = barostat.apply(ctx, s, 1.0)
                 return maybe_update_neighbors(system, s)
 
             return jax.lax.fori_loop(0, n, body, state)

@@ -504,6 +504,20 @@ class CustomBondForce(Force):
         return pairlist_energy(pair, x, box, self.pairs, self.per_bond, self.valid)
 
 
+@pytree_dataclass
+class MonteCarloBarostat(Force):
+    """Marker force mirroring openmm.MonteCarloBarostat: contributes no
+    energy; Context detects it and drives MC volume moves through
+    integrate/barostat.py::MonteCarloBarostatPropagator after each step."""
+
+    pressure: Any = 1.0     # bar
+    temperature: Any = 300.0
+    frequency: int = static_field(default=25)
+
+    def energy(self, x, box, globals, aux=None):
+        return jnp.zeros((), x.dtype)
+
+
 # --------------------------------------------------------------------------
 # Bonded forces
 # --------------------------------------------------------------------------

@@ -1,0 +1,199 @@
+"""Reporters — counterpart of atomsmm/reporters.py (SURVEY.md §2a).
+
+Reporting runs on the host at chunk boundaries: app.Simulation steps the
+device loop in report-interval chunks and hands each reporter a
+StateSnapshot, so the hot loop is never interrupted per step (SURVEY.md §5:
+"report every k scan-chunks, not every step").
+
+  StateDataReporter          — openmm.app.StateDataReporter equivalent
+  ExtendedStateDataReporter  — adds per-force/class energies, atomic &
+      molecular virials/pressures, molecular kinetic energy, and global
+      context-parameter columns (atomsmm/reporters.py::ExtendedStateDataReporter)
+  XYZReporter                — plain-XYZ trajectories of selected atoms
+  CenterOfMassReporter       — per-molecule COM trajectories
+  CustomIntegratorReporter   — dumps integrator variables (State.extra), the
+      runtime debugging hook (atomsmm/reporters.py::CustomIntegratorReporter)
+"""
+from __future__ import annotations
+
+import sys
+from typing import Iterable, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .state import kinetic_energy
+from .units import BOLTZMANN
+
+
+class _Reporter:
+    def __init__(self, file, interval: int):
+        self.interval = int(interval)
+        self._own = isinstance(file, str)
+        self.out = open(file, "w") if self._own else (file or sys.stdout)
+        self._header_done = False
+
+    def describe_next(self, current_step: int) -> int:
+        """Steps until this reporter next fires."""
+        return self.interval - current_step % self.interval
+
+    def report(self, simulation, snapshot):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def close(self):
+        if self._own:
+            self.out.close()
+
+
+class StateDataReporter(_Reporter):
+    """CSV columns: step, time, PE, KE, total energy, temperature [K]."""
+
+    def __init__(self, file, interval, separator: str = ","):
+        super().__init__(file, interval)
+        self.sep = separator
+
+    def _columns(self, simulation, snap):
+        dof = simulation.context.degrees_of_freedom
+        ke = float(snap.kinetic_energy)
+        pe = float(snap.potential_energy)
+        return [
+            ("Step", int(snap.step)),
+            ("Time (ps)", int(snap.step) * simulation.integrator.dt),
+            ("Potential Energy (kJ/mole)", pe),
+            ("Kinetic Energy (kJ/mole)", ke),
+            ("Total Energy (kJ/mole)", pe + ke),
+            ("Temperature (K)", 2.0 * ke / (dof * BOLTZMANN)),
+        ]
+
+    def report(self, simulation, snap):
+        cols = self._columns(simulation, snap)
+        if not self._header_done:
+            self.out.write(self.sep.join(f'"{n}"' for n, _ in cols) + "\n")
+            self._header_done = True
+        self.out.write(
+            self.sep.join(
+                str(v) if isinstance(v, int) else f"{v:.6g}" for _, v in cols
+            )
+            + "\n"
+        )
+        self.out.flush()
+
+
+class ExtendedStateDataReporter(StateDataReporter):
+    """Superset of StateDataReporter (SURVEY.md §2a): per-force energies,
+    virials and pressures (atomic & molecular), molecular KE, and any global
+    context parameters requested by name."""
+
+    def __init__(self, file, interval, separator: str = ",",
+                 energy_split: bool = True,
+                 pressure: bool = True,
+                 global_parameters: Optional[Sequence[str]] = None):
+        super().__init__(file, interval, separator)
+        self.energy_split = energy_split
+        self.pressure = pressure
+        self.global_parameters = list(global_parameters or [])
+
+    def _columns(self, simulation, snap):
+        cols = super()._columns(simulation, snap)
+        if self.energy_split:
+            for name, value in snap.energy_split.items():
+                if name != "Total":
+                    cols.append((f"{name} (kJ/mole)", float(value)))
+        if self.pressure:
+            from .computers import (
+                atomic_pressure,
+                atomic_virial,
+                molecular_kinetic_energy,
+                molecular_pressure,
+                molecular_virial,
+            )
+            from .units import PRESSURE_IN_BAR
+
+            system = simulation.system
+            state = simulation.context.state
+            globals = simulation.context.parameters
+            cols += [
+                ("Atomic Virial (kJ/mole)",
+                 float(atomic_virial(system, state.x, state.box, globals))),
+                ("Molecular Virial (kJ/mole)",
+                 float(molecular_virial(system, state.x, state.box, globals))),
+                ("Atomic Pressure (bar)",
+                 float(atomic_pressure(system, state, globals)) * PRESSURE_IN_BAR),
+                ("Molecular Pressure (bar)",
+                 float(molecular_pressure(system, state, globals)) * PRESSURE_IN_BAR),
+                ("Molecular Kinetic Energy (kJ/mole)",
+                 float(molecular_kinetic_energy(system, state.v))),
+            ]
+        for p in self.global_parameters:
+            cols.append((p, float(simulation.context.parameters[p])))
+        return cols
+
+
+class XYZReporter(_Reporter):
+    """Plain-XYZ trajectory of selected atoms
+    (atomsmm/reporters.py::XYZReporter). Coordinates in nm."""
+
+    def __init__(self, file, interval, atoms: Optional[Iterable[int]] = None,
+                 symbols: Optional[Sequence[str]] = None):
+        super().__init__(file, interval)
+        self.atoms = None if atoms is None else np.asarray(list(atoms))
+        self.symbols = symbols
+
+    def report(self, simulation, snap):
+        x = np.asarray(snap.positions)
+        if self.atoms is not None:
+            x = x[self.atoms]
+        syms = self.symbols or ["X"] * len(x)
+        self.out.write(f"{len(x)}\n")
+        self.out.write(f"step {int(snap.step)}\n")
+        for s, (a, b, c) in zip(syms, x):
+            self.out.write(f"{s} {a:.6f} {b:.6f} {c:.6f}\n")
+        self.out.flush()
+
+
+class CenterOfMassReporter(_Reporter):
+    """Per-molecule center-of-mass trajectory
+    (atomsmm/reporters.py::CenterOfMassReporter)."""
+
+    def report(self, simulation, snap):
+        system = simulation.system
+        m = np.asarray(system.masses)
+        mol = np.asarray(system.molecule)
+        x = np.asarray(snap.positions)
+        nm = system.num_molecules
+        num = np.zeros((nm, 3))
+        den = np.zeros(nm)
+        np.add.at(num, mol, m[:, None] * x)
+        np.add.at(den, mol, m)
+        com = num / den[:, None]
+        self.out.write(f"{nm}\n")
+        self.out.write(f"step {int(snap.step)}\n")
+        for a, b, c in com:
+            self.out.write(f"M {a:.6f} {b:.6f} {c:.6f}\n")
+        self.out.flush()
+
+
+class CustomIntegratorReporter(_Reporter):
+    """Dump integrator/extended variables (State.extra) — the runtime
+    debugging hook (atomsmm/reporters.py::CustomIntegratorReporter)."""
+
+    def __init__(self, file, interval, keys: Optional[Sequence[str]] = None,
+                 summary: bool = True):
+        super().__init__(file, interval)
+        self.keys = keys
+        self.summary = summary
+
+    def report(self, simulation, snap):
+        extra = simulation.context.state.extra
+        keys = self.keys or sorted(extra)
+        self.out.write(f"# step {int(snap.step)}\n")
+        for k in keys:
+            v = np.asarray(extra[k])
+            if self.summary and v.size > 8:
+                self.out.write(
+                    f"{k}: shape={v.shape} mean={v.mean():.6g} "
+                    f"min={v.min():.6g} max={v.max():.6g}\n"
+                )
+            else:
+                self.out.write(f"{k}: {np.array2string(v, precision=6)}\n")
+        self.out.flush()

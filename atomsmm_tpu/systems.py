@@ -89,14 +89,17 @@ def SolvationSystem(
 ) -> System:
     """Alchemical decoupling of a solute (SURVEY.md §3.4):
 
-      * solute-solvent vdW -> Beutler softcore scaled by `lambda_vdw`;
-        the solute's epsilon in the original nonbonded force is zeroed, so
-        solute-solvent and solute-solute vdW vanish from it (solute-solute
-        vdW is restored via exceptions if needed — for a small rigid-ish
-        solute its intra vdW lives in the exceptions force already);
+      * the solute's epsilon in the original nonbonded force is zeroed
+        (removing solute-solvent AND solute-solute vdW from it);
+      * solute-solvent vdW returns as Beutler softcore scaled by
+        `lambda_vdw` (SoftcoreLennardJonesForce, interaction-group cross
+        mask);
+      * solute-solute vdW returns unscaled through a CustomNonbondedForce
+        restricted to solute-solute pairs (intramolecular interactions must
+        not change along the path);
       * solute charges in the original force scale with `lambda_coul`
-        (implemented by a per-particle charge-scale array applied inside the
-        pair function via the charge_scale hook).
+        (per-particle charge-scale hook; solute-solute Coulomb therefore
+        scales as lambda_coul^2, as in the reference).
 
     At lambda_vdw = lambda_coul = 1 the transformed system reproduces the
     original (the invariant the tests check).
@@ -118,6 +121,38 @@ def SolvationSystem(
         lambda_name=lambda_vdw_name,
         chunk=nb.chunk,
     )
+
+    from .forces import CustomNonbondedForce
+    from .ops import pairfuncs
+    from .ops.switching import switch_quintic
+
+    use_switch = nb.use_switch
+
+    def solute_lj(r, pi, pj, globals):
+        sigma, epsilon = pairfuncs.lorentz_berthelot(
+            pi["sigma"], pj["sigma"], pi["epsilon"], pj["epsilon"]
+        )
+        u = pairfuncs.lj(r, sigma, epsilon)
+        if use_switch:
+            u = u * switch_quintic(r, pi["r_switch"], pi["r_cut"])
+        return u * pi["solute"] * pj["solute"]
+
+    n_arr = jnp.full((n,), 1.0, nb.sigma.dtype)
+    solute_solute = CustomNonbondedForce(
+        group=nb.group,
+        per_particle={
+            "sigma": nb.sigma,
+            "epsilon": nb.epsilon,
+            "solute": solute,
+            "r_switch": n_arr * nb.r_switch,
+            "r_cut": n_arr * nb.r_cut,
+        },
+        exclusions=nb.exclusions,
+        r_cut=nb.r_cut,
+        energy_function=solute_lj,
+        chunk=nb.chunk,
+    )
+
     scaled_nb = replace(
         nb,
         epsilon=nb.epsilon * (1.0 - solute),
@@ -127,7 +162,7 @@ def SolvationSystem(
     new_forces = [
         scaled_nb if i == idx else f for i, f in enumerate(system.forces)
     ]
-    new_forces.append(softcore)
+    new_forces += [softcore, solute_solute]
     return system.replace_forces(new_forces)
 
 

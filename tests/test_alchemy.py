@@ -1,0 +1,126 @@
+"""M7: alchemical solvation machinery (BASELINE.md config 3).
+
+Invariants: SolvationSystem reproduces the original at lambda = 1; softcore
+switches off solute-solvent vdW at lambda = 0 while leaving intramolecular
+terms untouched; the vmapped multi-state energies match per-state loops; MBAR
+recovers analytic free-energy differences for Gaussian (harmonic) states.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atomsmm_tpu import Context, SolvationSystem, make_state
+from atomsmm_tpu.alchemy import (
+    mbar_free_energies,
+    multistate_energies,
+    reduced_energy_matrix,
+    ti_gradient,
+)
+from atomsmm_tpu.models.phenol import phenol_in_water
+from atomsmm_tpu.potential import potential_energy, split_potential_energy
+
+
+@pytest.fixture(scope="module")
+def solvated():
+    system, x, box, solute = phenol_in_water(n_water=150, r_cut=0.65,
+                                             r_switch=0.55, seed=3)
+    return system, x, box, solute
+
+
+def test_lambda_one_reproduces_original(solvated):
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    e0 = float(potential_energy(system, x, box))
+    e1 = float(
+        potential_energy(
+            alch, x, box, {"lambda_vdw": 1.0, "lambda_coul": 1.0}
+        )
+    )
+    np.testing.assert_allclose(e1, e0, rtol=1e-9)
+
+
+def test_lambda_zero_decouples(solvated):
+    """At lambda_vdw = lambda_coul = 0 the solute no longer interacts with the
+    solvent: moving the whole solute rigidly (within the box, away from
+    solvent overlap) must not change the energy difference vs. solvent-only
+    contributions. Cheap proxy: energy must equal solvent-solvent +
+    solute-intramolecular terms, i.e. independent of solute-solvent
+    distances."""
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    lam = {"lambda_vdw": 0.0, "lambda_coul": 0.0}
+    e_a = float(potential_energy(alch, x, box, lam))
+    # translate the solute by a fraction of the box
+    shift = jnp.zeros_like(x).at[:13].add(jnp.asarray([0.31, 0.17, 0.23]))
+    e_b = float(potential_energy(alch, x + shift, box, lam))
+    np.testing.assert_allclose(e_a, e_b, rtol=1e-7)
+
+
+def test_intramolecular_terms_lambda_independent(solvated):
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    names = ("HarmonicBondForce", "HarmonicAngleForce", "PeriodicTorsionForce",
+             "NonbondedExceptionsForce", "CustomNonbondedForce")
+    s1 = split_potential_energy(alch, x, box, {"lambda_vdw": 1.0, "lambda_coul": 1.0})
+    s0 = split_potential_energy(alch, x, box, {"lambda_vdw": 0.2, "lambda_coul": 0.5})
+    for k in names:
+        np.testing.assert_allclose(float(s1[k]), float(s0[k]), rtol=1e-12)
+
+
+def test_vmapped_multistate_matches_loop(solvated):
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    lams = {
+        "lambda_vdw": jnp.asarray([0.0, 0.3, 0.7, 1.0]),
+        "lambda_coul": jnp.asarray([0.0, 0.0, 0.5, 1.0]),
+    }
+    es = multistate_energies(alch, x, box, lams)
+    for k in range(4):
+        e = float(
+            potential_energy(
+                alch, x, box,
+                {"lambda_vdw": lams["lambda_vdw"][k],
+                 "lambda_coul": lams["lambda_coul"][k]},
+            )
+        )
+        np.testing.assert_allclose(float(es[k]), e, rtol=1e-12)
+
+
+def test_ti_gradient_matches_fd(solvated):
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    g = float(ti_gradient(alch, x, box, "lambda_vdw", 0.5,
+                          {"lambda_coul": 1.0}))
+    h = 1e-6
+    ep = float(potential_energy(alch, x, box, {"lambda_vdw": 0.5 + h, "lambda_coul": 1.0}))
+    em = float(potential_energy(alch, x, box, {"lambda_vdw": 0.5 - h, "lambda_coul": 1.0}))
+    np.testing.assert_allclose(g, (ep - em) / (2 * h), rtol=1e-5)
+
+
+def test_mbar_recovers_harmonic_free_energies():
+    """K Gaussian states with different force constants: analytic
+    f_k - f_0 = 0.5 ln(k_k / k_0). MBAR on exact samples must recover it."""
+    rs = np.random.RandomState(7)
+    kvals = np.array([1.0, 2.0, 4.0, 8.0])
+    n_per = 4000
+    samples = [rs.normal(0, 1.0 / np.sqrt(k), n_per) for k in kvals]
+    xs = np.concatenate(samples)
+    u_kn = 0.5 * kvals[:, None] * xs[None, :] ** 2
+    f = mbar_free_energies(jnp.asarray(u_kn), jnp.full(4, n_per), n_iter=500)
+    expected = 0.5 * np.log(kvals / kvals[0])
+    np.testing.assert_allclose(np.asarray(f), expected, atol=0.03)
+
+
+def test_reduced_energy_matrix_shape(solvated):
+    system, x, box, solute = solvated
+    alch = SolvationSystem(system, solute)
+    xs = jnp.stack([x, x + 0.001, x - 0.001])
+    lams = {
+        "lambda_vdw": jnp.asarray([0.0, 0.5, 1.0]),
+        "lambda_coul": jnp.asarray([0.0, 0.5, 1.0]),
+    }
+    u = reduced_energy_matrix(alch, xs, box, lams, temperature=300.0)
+    assert u.shape == (3, 3)
+    assert np.isfinite(np.asarray(u)).all()

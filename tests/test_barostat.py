@@ -1,0 +1,106 @@
+"""M8: Monte Carlo barostat (BASELINE.md config 5, NPT).
+
+Physics oracle: for an ideal gas (no interactions) under MC-NPT, <V> =
+(N_mol + 1) kT / P exactly. Plus structural invariants: molecular scaling
+preserves intramolecular geometry, acceptance bookkeeping advances, NPT water
+stays finite with a sane density trend.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from atomsmm_tpu import (
+    Context,
+    MonteCarloBarostat,
+    System,
+    VelocityVerletIntegrator,
+    make_state,
+)
+from atomsmm_tpu.integrate.barostat import (
+    BARO_NACC,
+    BARO_NATT,
+    molecular_scale,
+)
+from atomsmm_tpu.units import BOLTZMANN, PRESSURE_IN_BAR
+
+
+def test_molecular_scale_preserves_geometry():
+    from atomsmm_tpu.models import water_system
+
+    system, x, box = water_system(n_molecules=27, r_cut=0.4, r_switch=0.3)
+    s = 1.07
+    x2 = molecular_scale(
+        x, system.molecule, system.num_molecules, system.masses, jnp.asarray(s)
+    )
+    d1 = np.asarray(x).reshape(-1, 3, 3)
+    d2 = np.asarray(x2).reshape(-1, 3, 3)
+    # O-H vectors unchanged
+    np.testing.assert_allclose(
+        d2[:, 1] - d2[:, 0], d1[:, 1] - d1[:, 0], atol=1e-12
+    )
+    # COMs scaled by s
+    m = np.asarray(system.masses).reshape(-1, 3)
+    com1 = (d1 * m[..., None]).sum(1) / m.sum(1)[:, None]
+    com2 = (d2 * m[..., None]).sum(1) / m.sum(1)[:, None]
+    np.testing.assert_allclose(com2, s * com1, rtol=1e-10)
+
+
+def test_ideal_gas_equation_of_state():
+    """<V> = (N + 1) kT / P for ideal-gas MC-NPT."""
+    n = 128
+    temp = 300.0
+    p_bar = 200.0
+    kT = BOLTZMANN * temp
+    p_int = p_bar / PRESSURE_IN_BAR
+    v_expected = (n + 1) * kT / p_int
+
+    box0 = jnp.full((3,), v_expected ** (1 / 3), jnp.float64)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.uniform(0, float(box0[0]), (n, 3)))
+    system = System(
+        masses=jnp.full((n,), 40.0),
+        forces=(MonteCarloBarostat(pressure=p_bar, temperature=temp, frequency=1),),
+        molecule=jnp.arange(n, dtype=jnp.int32),
+        default_box=box0,
+        num_molecules=n,
+    )
+    ctx = Context(system, VelocityVerletIntegrator(0.002), make_state(x, box=box0))
+    ctx.set_velocities_to_temperature(temp, seed=1)
+
+    vols = []
+    ctx.step(500)  # equilibrate move size
+    for _ in range(60):
+        ctx.step(50)
+        vols.append(float(jnp.prod(ctx.state.box)))
+    v_mean = np.mean(vols)
+    np.testing.assert_allclose(v_mean, v_expected, rtol=0.1)
+    n_att = int(ctx.state.extra[BARO_NATT])
+    n_acc = int(ctx.state.extra[BARO_NACC])
+    assert n_att >= 3000 and 0 < n_acc <= n_att
+
+
+def test_npt_water_stays_finite():
+    from atomsmm_tpu import GlobalThermostatIntegrator, RESPASystem
+    from atomsmm_tpu.integrate.propagators import VelocityRescalingPropagator
+    from atomsmm_tpu.minimize import minimize_energy
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.utils import replace as dreplace
+
+    system, x, box = water_system(n_molecules=64, r_cut=0.55, r_switch=0.45,
+                                  neighbors=True)
+    system = system.add_force(
+        MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=5)
+    )
+    thermo = VelocityRescalingPropagator(300.0, 3 * 192 - 3, 0.1)
+    ctx = Context(
+        system, GlobalThermostatIntegrator(0.001, thermo), make_state(x, box=box)
+    )
+    minimize_energy(ctx, steps=200)
+    ctx.set_velocities_to_temperature(300.0, seed=2)
+    v0 = float(jnp.prod(ctx.state.box))
+    ctx.step(500)
+    v1 = float(jnp.prod(ctx.state.box))
+    assert np.isfinite(np.asarray(ctx.state.x)).all()
+    assert 0.5 * v0 < v1 < 2.0 * v0, (v0, v1)
+    assert int(ctx.state.extra[BARO_NATT]) == 100

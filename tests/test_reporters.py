@@ -1,0 +1,174 @@
+"""M9: reporters, Simulation driver, computers, checkpoint/resume.
+
+Mirrors the reference's reporter tests (run a few steps, parse the output
+stream, assert column values — SURVEY.md §4) plus physics oracles for the
+pressure computer (ideal-gas EOS; virial vs numerical dU/dV) and exact
+checkpoint resume.
+"""
+import io
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atomsmm_tpu import (
+    CenterOfMassReporter,
+    Context,
+    CustomIntegratorReporter,
+    ExtendedStateDataReporter,
+    NonbondedForce,
+    PressureComputer,
+    Simulation,
+    StateDataReporter,
+    System,
+    VelocityVerletIntegrator,
+    XYZReporter,
+    make_state,
+)
+from atomsmm_tpu.computers import atomic_pressure, atomic_virial
+from atomsmm_tpu.models import argon_system, water_system
+from atomsmm_tpu.units import BOLTZMANN
+
+
+@pytest.fixture()
+def argon_sim():
+    system, x, box = argon_system(n=125, jitter=0.05, seed=1)
+    sim = Simulation(system, VelocityVerletIntegrator(0.002),
+                     make_state(x, box=box))
+    sim.set_velocities_to_temperature(120.0, seed=3)
+    return sim
+
+
+def test_state_data_reporter(argon_sim):
+    buf = io.StringIO()
+    argon_sim.reporters.append(StateDataReporter(buf, interval=10))
+    argon_sim.step(35)
+    lines = buf.getvalue().strip().splitlines()
+    assert lines[0].startswith('"Step"')
+    rows = [l.split(",") for l in lines[1:]]
+    assert [int(r[0]) for r in rows] == [10, 20, 30]
+    # total energy column == PE + KE
+    for r in rows:
+        np.testing.assert_allclose(
+            float(r[4]), float(r[2]) + float(r[3]), rtol=1e-5
+        )
+
+
+def test_extended_reporter_columns(argon_sim):
+    buf = io.StringIO()
+    argon_sim.context.set_parameter("lambda_vdw", 0.7)
+    argon_sim.reporters.append(
+        ExtendedStateDataReporter(
+            buf, interval=10, global_parameters=["lambda_vdw"]
+        )
+    )
+    argon_sim.step(10)
+    header, row = buf.getvalue().strip().splitlines()
+    assert "NonbondedForce (kJ/mole)" in header
+    assert "Atomic Pressure (bar)" in header
+    assert "Molecular Pressure (bar)" in header
+    assert header.strip().endswith('"lambda_vdw"')
+    assert row.strip().endswith("0.7")
+
+
+def test_xyz_and_com_reporters(argon_sim):
+    xyz, com = io.StringIO(), io.StringIO()
+    argon_sim.reporters += [
+        XYZReporter(xyz, interval=20, atoms=range(5)),
+        CenterOfMassReporter(com, interval=20),
+    ]
+    argon_sim.step(40)
+    frames = xyz.getvalue().strip().splitlines()
+    assert frames[0] == "5" and len(frames) == 2 * 7
+    com_lines = com.getvalue().strip().splitlines()
+    assert com_lines[0] == "125"
+
+
+def test_custom_integrator_reporter():
+    from atomsmm_tpu import GlobalThermostatIntegrator, NoseHooverChainPropagator
+
+    system, x, box = argon_system(n=64, jitter=0.05, seed=1, r_cut=0.5,
+                                  r_switch=0.4)
+    nhc = NoseHooverChainPropagator(120.0, 189, 0.1)
+    sim = Simulation(system, GlobalThermostatIntegrator(0.002, nhc),
+                     make_state(x, box=box))
+    buf = io.StringIO()
+    sim.reporters.append(CustomIntegratorReporter(buf, interval=5))
+    sim.step(5)
+    out = buf.getvalue()
+    assert "nhc_v" in out and "nhc_eta" in out
+
+
+def test_ideal_gas_pressure():
+    """Atomic pressure of a noninteracting system == N kT / V."""
+    n, temp = 216, 150.0
+    box = jnp.full((3,), 3.0)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.uniform(0, 3.0, (n, 3)))
+    system = System(
+        masses=jnp.full((n,), 20.0), forces=(),
+        molecule=jnp.arange(n, dtype=jnp.int32), default_box=box,
+        num_molecules=n,
+    )
+    import jax
+
+    from atomsmm_tpu.state import maxwell_boltzmann_velocities
+    from atomsmm_tpu.utils import replace
+
+    state = make_state(x, box=box)
+    v = maxwell_boltzmann_velocities(jax.random.PRNGKey(0), system.masses, temp)
+    state = replace(state, v=v)
+    p = float(atomic_pressure(system, state))
+    ke = float(0.5 * jnp.sum(system.masses[:, None] * v * v))
+    expected = 2.0 * ke / (3.0 * 27.0)
+    np.testing.assert_allclose(p, expected, rtol=1e-10)
+
+
+def test_virial_matches_numerical_dudv():
+    """W = -dU/ds == 3V dU/dV by finite differences on argon."""
+    system, x, box = argon_system(n=125, jitter=0.1, seed=2)
+    from atomsmm_tpu.potential import potential_energy
+
+    w = float(atomic_virial(system, x, box))
+    h = 1e-6
+    up = float(potential_energy(system, (1 + h) * x, (1 + h) * box))
+    um = float(potential_energy(system, (1 - h) * x, (1 - h) * box))
+    np.testing.assert_allclose(w, -(up - um) / (2 * h), rtol=1e-6)
+
+
+def test_pressure_computer_facade(argon_sim):
+    pc = PressureComputer(argon_sim.system)
+    pc.import_configuration(argon_sim.context.state)
+    assert math.isfinite(pc.get_atomic_pressure())
+    assert math.isfinite(pc.get_molecular_pressure())
+    # monatomic fluid: molecular == atomic quantities
+    np.testing.assert_allclose(
+        pc.get_molecular_virial(), pc.get_atomic_virial(), rtol=1e-6
+    )
+
+
+def test_checkpoint_exact_resume(tmp_path, argon_sim):
+    argon_sim.step(25)
+    path = str(tmp_path / "ckpt.npz")
+    argon_sim.save_checkpoint(path)
+    x_ref = np.asarray(argon_sim.context.state.x).copy()
+    argon_sim.step(25)
+    x_after = np.asarray(argon_sim.context.state.x).copy()
+    # restore and re-run: bitwise identical continuation
+    argon_sim.load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(argon_sim.context.state.x), x_ref)
+    argon_sim.step(25)
+    np.testing.assert_array_equal(
+        np.asarray(argon_sim.context.state.x), x_after
+    )
+
+
+def test_checkpoint_rejects_mismatched_extras(tmp_path, argon_sim):
+    path = str(tmp_path / "ckpt.npz")
+    argon_sim.save_checkpoint(path)
+    from atomsmm_tpu.checkpoint import load_checkpoint
+
+    bad = argon_sim.context.state.with_extra(bogus=jnp.zeros(3))
+    with pytest.raises(ValueError, match="extended variables"):
+        load_checkpoint(path, like=bad)
