@@ -34,6 +34,8 @@ from .integrate.integrators import (
 from .integrate.propagators import (
     BoostPropagator,
     ChainedPropagator,
+    GenericBoostPropagator,
+    GenericScalingPropagator,
     NoseHooverChainPropagator,
     OrnsteinUhlenbeckPropagator,
     Propagator,
@@ -79,7 +81,14 @@ from .alchemy import (
     ti_gradient,
 )
 from .computers import PressureComputer
-from .integrate.sinr import NHL_R_Integrator, SIN_R_Integrator
+from .integrate.sinr import (
+    IsokineticBoostPropagator,
+    MassiveNoseHooverLangevinPropagator,
+    MassiveNoseHooverPropagator,
+    NHL_R_Integrator,
+    SIN_R_Integrator,
+    SINRThermostatPropagator,
+)
 from .minimize import fire_minimize, minimize_energy
 from .reporters import (
     CenterOfMassReporter,

@@ -78,11 +78,11 @@ class Context:
         # so the Context must own them (user arrays may be shared elsewhere).
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
         if system.neighbors is not None:
-            from .ops.neighbors import neighbor_list_extras
+            from .ops.neighbors import all_neighbor_extras
 
             state = state.with_extra(
-                **jax.jit(neighbor_list_extras)(
-                    system.neighbors, state.x, state.box
+                **jax.jit(all_neighbor_extras, static_argnums=())(
+                    system, state.x, state.box
                 )
             )
         self.state = integrator.initialize(system, state)
@@ -120,10 +120,10 @@ class Context:
         def maybe_update_neighbors(system, s):
             if system.neighbors is None:
                 return s
-            from .ops.neighbors import update_neighbors
+            from .ops.neighbors import update_all_neighbors
 
             return s.with_extra(
-                **update_neighbors(system.neighbors, s.extra, s.x, s.box)
+                **update_all_neighbors(system, s.extra, s.x, s.box)
             )
 
         def run(system, state, globals, n):
@@ -148,12 +148,10 @@ class Context:
     def _make_observe(self):
         def observe(system, state, globals):
             if system.neighbors is not None:
-                from .ops.neighbors import update_neighbors
+                from .ops.neighbors import update_all_neighbors
 
                 state = state.with_extra(
-                    **update_neighbors(
-                        system.neighbors, state.extra, state.x, state.box
-                    )
+                    **update_all_neighbors(system, state.extra, state.x, state.box)
                 )
             from .ops.neighbors import make_aux
 
@@ -212,13 +210,12 @@ class Context:
             self.system, self.state, self.parameters, jnp.int32(n)
         )
         if self.check_overflow:
-            from .ops.neighbors import NBR_OVERFLOW
-
-            if bool(self.state.extra[NBR_OVERFLOW]):
-                raise RuntimeError(
-                    "cell-list capacity overflow: increase cell_capacity (or "
-                    "density_safety) in the system's NeighborSpec"
-                )
+            for key, flag in self.state.extra.items():
+                if key.startswith("nbr") and key.endswith("overflow") and bool(flag):
+                    raise RuntimeError(
+                        f"cell-list capacity overflow ({key}): increase "
+                        "cell_capacity (or density_safety) in the NeighborSpec"
+                    )
         return self
 
     def get_state(self) -> StateSnapshot:

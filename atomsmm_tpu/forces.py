@@ -42,18 +42,21 @@ from .ops.bonded import (
     harmonic_bond_energy,
     periodic_torsion_energy,
 )
-from .ops.neighbors import (
-    NBR_BUCKET,
-    cell_pair_energy,
-    cell_pair_energy_forces,
-)
+from .ops.neighbors import cell_pair_energy, cell_pair_energy_forces
 from .ops.pairs import dense_pair_energy, pairlist_energy
 from .units import ONE_4PI_EPS0
 from .utils import pytree_dataclass, static_field
 
 
-def _has_neighbors(aux) -> bool:
-    return aux is not None and NBR_BUCKET in aux
+def _resolve_neighbors(aux, key: str):
+    """(spec, bucket) for this force's neighbor grid, falling back to the
+    default grid; None -> dense path."""
+    if not aux:
+        return None
+    entry = aux.get(key) or aux.get("default")
+    if entry is None:
+        return None
+    return entry["spec"], entry["bucket"]
 
 
 @pytree_dataclass
@@ -80,15 +83,20 @@ class Force:
 
 class _PairForceMixin:
     """Shared dense/neighbor dispatch for pair forces. Subclasses provide
-    _pair_fn(globals) -> (r, pi, pj) -> energy and _per_particle()."""
+    _pair_fn(globals) -> (r, pi, pj) -> energy and _per_particle().
+    neighbor_key selects which attached grid the force evaluates on
+    ('default' = the max-cutoff grid; e.g. the near RESPA force rides a
+    finer 'near' grid when one is attached)."""
+
+    neighbor_key = "default"
 
     def _nb_energy(self, x, box, globals, aux, r_cut):
         pair_fn = self._pair_fn(globals)
         pp = self._per_particle(globals)
-        if _has_neighbors(aux):
-            return cell_pair_energy(
-                pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
-            )
+        nbr = _resolve_neighbors(aux, self.neighbor_key)
+        if nbr is not None:
+            spec, bucket = nbr
+            return cell_pair_energy(pair_fn, x, box, pp, spec, bucket, r_cut)
         return dense_pair_energy(
             pair_fn, x, box, pp, self.exclusions, r_cut, chunk=self.chunk
         )
@@ -96,9 +104,11 @@ class _PairForceMixin:
     def _nb_energy_forces(self, x, box, globals, aux, r_cut):
         pair_fn = self._pair_fn(globals)
         pp = self._per_particle(globals)
-        if _has_neighbors(aux):
+        nbr = _resolve_neighbors(aux, self.neighbor_key)
+        if nbr is not None:
+            spec, bucket = nbr
             return cell_pair_energy_forces(
-                pair_fn, x, box, pp, aux["spec"], aux[NBR_BUCKET], r_cut
+                pair_fn, x, box, pp, spec, bucket, r_cut
             )
         e, g = jax.value_and_grad(
             lambda xx: dense_pair_energy(
@@ -265,6 +275,7 @@ class NearNonbondedForce(_PairForceMixin, Force):
     r_switch: Any = 0.7
     alpha: float = static_field(default=0.0)  # Coulomb damping [1/nm]
     subtract: bool = static_field(default=False)
+    neighbor_key: str = static_field(default="default")
     chunk: int = static_field(default=256)
 
     def _per_particle(self, globals=None):

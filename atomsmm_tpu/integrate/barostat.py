@@ -59,11 +59,9 @@ class MonteCarloBarostatPropagator(Propagator):
         def energy_of(x, box):
             aux = None
             if system.neighbors is not None:
-                from ..ops.neighbors import make_aux, neighbor_list_extras
+                from ..ops.neighbors import all_neighbor_extras, make_aux
 
-                aux = make_aux(system, neighbor_list_extras(
-                    system.neighbors, x, box
-                ))
+                aux = make_aux(system, all_neighbor_extras(system, x, box))
             return potential_energy(system, x, box, ctx.globals, aux=aux)
 
         v_old = jnp.prod(state.box)
@@ -109,10 +107,10 @@ class MonteCarloBarostatPropagator(Propagator):
         )
         # rebuild neighbor structures + force caches for the (possibly) new box
         if system.neighbors is not None:
-            from ..ops.neighbors import update_neighbors
+            from ..ops.neighbors import update_all_neighbors
 
             state = state.with_extra(
-                **update_neighbors(system.neighbors, state.extra, state.x, state.box)
+                **update_all_neighbors(system, state.extra, state.x, state.box)
             )
         from ..context import refresh_force_caches
 

@@ -614,6 +614,27 @@ class VelocityRescalingPropagator(Propagator):
         ]
 
 
+class GenericBoostPropagator(Propagator):
+    """target <- target + rate_fn(ctx, state) * t — building block for
+    extended-variable kicks (atomsmm/propagators.py::GenericBoostPropagator).
+    target is 'v' or a State.extra key."""
+
+    def __init__(self, rate_fn, target: str = "v"):
+        self.rate_fn = rate_fn
+        self.target = target
+
+    def apply(self, ctx, state, fraction):
+        t = fraction * ctx.dt
+        rate = self.rate_fn(ctx, state)
+        if self.target == "v":
+            return replace(state, v=state.v + t * rate)
+        z = state.extra[self.target] + t * rate
+        return state.with_extra(**{self.target: z})
+
+    def describe(self, fraction=1.0):
+        return [f"{self.target} <- {self.target} + rate * {fraction:g} dt"]
+
+
 class GenericScalingPropagator(Propagator):
     """v <- v * exp(-t * rate_fn(state)) — building block for extended-variable
     couplings (atomsmm/propagators.py::GenericScalingPropagator)."""

@@ -73,6 +73,12 @@ class IsokineticBoostPropagator(Propagator):
         return out
 
     def apply(self, ctx, state, fraction):
+        # Stable closed form. With c = sign(F) sqrt(kT/m) (the constraint's
+        # speed bound), b = v0/c in [-1, 1], z = |F| t / sqrt(m kT):
+        #     v(t)  = c tanh(z + artanh(b))          (tanh addition identity)
+        #     v1(t) = v1(0) exp(logcosh(phi) - logcosh(z + phi))
+        # — no cosh/sinh overflow or cancellation even for the violent forces
+        # of unequilibrated contacts (naive cosh forms NaN there).
         t = fraction * ctx.dt
         kT = BOLTZMANN * self.temperature
         if self.cache == "read":
@@ -81,13 +87,21 @@ class IsokineticBoostPropagator(Propagator):
             f = ctx.forces(state, self.groups)
         m = ctx.masses[:, None]
         v, v1 = state.v, state.extra[V1]
-        w = jnp.abs(f) / jnp.sqrt(m * kT)
-        wt = w * t
-        sh = t * _sinhc(wt)
-        ch = jnp.cosh(wt)
-        y = v * ch + (f / m) * sh
-        big_w = ch + (f * v / kT) * sh
-        state = replace(state, v=y / big_w).with_extra(**{V1: v1 / big_w})
+
+        vmax = jnp.sqrt(kT / m)
+        sgn = jnp.where(f >= 0, 1.0, -1.0)
+        c = sgn * vmax
+        b = jnp.clip(v / c, -1.0 + 1e-7, 1.0 - 1e-7)
+        phi = jnp.arctanh(b)
+        z = jnp.abs(f) * t / jnp.sqrt(m * kT)
+
+        def logcosh(x):
+            ax = jnp.abs(x)
+            return ax + jnp.log1p(jnp.exp(-2.0 * ax)) - jnp.log(2.0)
+
+        v_new = c * jnp.tanh(z + phi)
+        v1_new = v1 * jnp.exp(logcosh(phi) - logcosh(z + phi))
+        state = replace(state, v=v_new).with_extra(**{V1: v1_new})
         if self.cache == "write":
             state = state.with_extra(**{force_cache_tag(self.groups): f})
         return state
@@ -259,6 +273,21 @@ class MassiveNoseHooverLangevinPropagator(Propagator):
         return [
             f"v <- massive NHL(T={self.temperature}K, tau={self.tau}ps, "
             f"gamma={self.friction}/ps) over {fraction:g} dt"
+        ]
+
+
+class MassiveNoseHooverPropagator(MassiveNoseHooverLangevinPropagator):
+    """Deterministic per-DOF Nosé-Hoover thermostat
+    (atomsmm/propagators.py::MassiveNoseHooverPropagator): the NHL update with
+    the stochastic part switched off."""
+
+    def __init__(self, temperature, time_scale, tag="mnh"):
+        super().__init__(temperature, time_scale, friction=0.0, tag=tag)
+
+    def describe(self, fraction=1.0):
+        return [
+            f"v <- massive NH(T={self.temperature}K, tau={self.tau}ps) "
+            f"over {fraction:g} dt"
         ]
 
 

@@ -27,8 +27,13 @@ def fire_minimize(
     alpha_start: float = 0.1,
     f_alpha: float = 0.99,
     n_min: int = 5,
+    max_step: float = 0.02,
 ):
-    """Return minimized positions. All device-side (one jitted scan)."""
+    """Return minimized positions. All device-side (one jitted scan).
+
+    max_step [nm] caps per-atom displacement per iteration — without it the
+    astronomic forces of overlapping lattice starts make the first kick
+    diverge (trust-region-style clamp)."""
     f = force_fn(system)
     masses = system.masses[:, None]
 
@@ -46,7 +51,10 @@ def fire_minimize(
         dt = jnp.where(uphill, dt * f_dec, jnp.where(grow, jnp.minimum(dt * f_inc, dt_max), dt))
         alpha = jnp.where(uphill, alpha_start, jnp.where(grow, alpha * f_alpha, alpha))
         n_pos = jnp.where(uphill, 0, n_pos + 1)
-        x = x + dt * v
+        dx = dt * v
+        step_norm = jnp.sqrt(jnp.sum(dx * dx, axis=1, keepdims=True))
+        scale = jnp.minimum(1.0, max_step / jnp.maximum(step_norm, 1e-30))
+        x = x + dx * scale
         return (x, v, dt, alpha, n_pos), None
 
     init = (

@@ -6,4 +6,6 @@ here (empty reference mount, SURVEY.md §0) these builders construct the same
 physical systems programmatically, with documented force-field parameters.
 """
 from .argon import argon_system
+from .ionic_liquid import ionic_liquid_system
+from .phenol import phenol_in_water
 from .water import water_system

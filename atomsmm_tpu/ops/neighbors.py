@@ -36,13 +36,31 @@ import numpy as np
 from ..utils import pytree_dataclass, static_field
 from .pbc import minimum_image
 
-# State.extra keys used by the neighbor subsystem
+# State.extra keys used by the neighbor subsystem (default spec; named
+# specs use nbr_<name>_bucket etc.)
 NBR_BUCKET = "nbr_bucket"
 NBR_XREF = "nbr_xref"
 NBR_BOXREF = "nbr_boxref"
 NBR_OVERFLOW = "nbr_overflow"
-# backwards-compatible alias used by forces.py to detect the aux channel
-NBR_IDX = NBR_BUCKET
+
+
+def _keys(name: str):
+    if name == "default":
+        return NBR_BUCKET, NBR_XREF, NBR_BOXREF, NBR_OVERFLOW
+    return (
+        f"nbr_{name}_bucket",
+        f"nbr_{name}_xref",
+        f"nbr_{name}_boxref",
+        f"nbr_{name}_overflow",
+    )
+
+
+def iter_specs(system):
+    """(name, spec) pairs for every neighbor spec attached to a system."""
+    if getattr(system, "neighbors", None) is not None:
+        yield "default", system.neighbors
+    for name, spec in (getattr(system, "extra_neighbor_specs", None) or {}).items():
+        yield name, spec
 
 
 @pytree_dataclass
@@ -58,10 +76,16 @@ class NeighborSpec:
     exclusions: jnp.ndarray = None         # (N, M) int32, -1 padded
     r_build: jnp.ndarray = None            # scalar: max cutoff + skin
     skin: jnp.ndarray = None               # scalar
+    # half-stencil (Newton) maps: column 0 is the self cell, the rest are the
+    # lexicographically-positive directions; inv[c, k] = c - d_k. None when
+    # the grid is too small (direction collisions) — full stencil then.
+    nbr_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
+    inv_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
     grid: Tuple[int, int, int] = static_field(default=(1, 1, 1))
     cell_capacity: int = static_field(default=64)
     cell_chunk: int = static_field(default=4)  # home cells per scan step
     backend: str = static_field(default="xla")  # 'xla' | 'pallas'
+    half_stencil: bool = static_field(default=False)
 
     @property
     def ncells(self) -> int:
@@ -93,6 +117,36 @@ def _neighbor_cell_map(grid, reach=(1, 1, 1)) -> np.ndarray:
     # trim fully-padded columns (small grids dedup heavily)
     used = int((out >= 0).sum(axis=1).max())
     return out[:, :used]
+
+
+def _half_stencil_maps(grid, reach):
+    """(nbr_half, inv_half) or (None, None) when the periodic grid is too
+    small for collision-free direction maps (any dim < 2*reach + 1)."""
+    nx, ny, nz = grid
+    rx, ry, rz = reach
+    if nx < 2 * rx + 1 or ny < 2 * ry + 1 or nz < 2 * rz + 1:
+        return None, None
+    dirs = [(0, 0, 0)]
+    for dx in range(-rx, rx + 1):
+        for dy in range(-ry, ry + 1):
+            for dz in range(-rz, rz + 1):
+                if (dx, dy, dz) > (0, 0, 0):
+                    dirs.append((dx, dy, dz))
+    ncells = nx * ny * nz
+    nbr = np.zeros((ncells, len(dirs)), np.int32)
+    inv = np.zeros((ncells, len(dirs)), np.int32)
+    for cx in range(nx):
+        for cy in range(ny):
+            for cz in range(nz):
+                cid = (cx * ny + cy) * nz + cz
+                for k, (dx, dy, dz) in enumerate(dirs):
+                    nbr[cid, k] = (
+                        ((cx + dx) % nx) * ny + ((cy + dy) % ny)
+                    ) * nz + ((cz + dz) % nz)
+                    inv[cid, k] = (
+                        ((cx - dx) % nx) * ny + ((cy - dy) % ny)
+                    ) * nz + ((cz - dz) % nz)
+    return nbr, inv
 
 
 def make_neighbor_spec(
@@ -148,15 +202,19 @@ def make_neighbor_spec(
         import jax
 
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    nbr_half, inv_half = _half_stencil_maps(grid, reach)
     return NeighborSpec(
         nbr_cells=jnp.asarray(_neighbor_cell_map(grid, reach)),
         exclusions=jnp.asarray(exclusions),
         r_build=jnp.asarray(r_build),
         skin=jnp.asarray(skin_eff),
+        nbr_cells_half=None if nbr_half is None else jnp.asarray(nbr_half),
+        inv_cells_half=None if inv_half is None else jnp.asarray(inv_half),
         grid=grid,
         cell_capacity=cap,
         cell_chunk=cell_chunk,
         backend=backend,
+        half_stencil=nbr_half is not None,
     )
 
 
@@ -187,60 +245,67 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
     return bucket.reshape(ncells, cap), jnp.any(~ok)
 
 
-def neighbor_list_extras(spec: NeighborSpec, x, box) -> Dict[str, jnp.ndarray]:
+def neighbor_list_extras(spec: NeighborSpec, x, box, name: str = "default") -> Dict[str, jnp.ndarray]:
+    kb, kx, kbox, kov = _keys(name)
     bucket, overflow = build_cell_buckets(spec, x, box)
-    return {
-        NBR_BUCKET: bucket,
-        NBR_XREF: x,
-        NBR_BOXREF: box,
-        NBR_OVERFLOW: overflow,
-    }
+    return {kb: bucket, kx: x, kbox: box, kov: overflow}
+
+
+def all_neighbor_extras(system, x, box) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for name, spec in iter_specs(system):
+        out.update(neighbor_list_extras(spec, x, box, name))
+    return out
 
 
 def make_aux(system, extra):
-    """Assemble the aux dict passed to force evaluations: the system's
-    NeighborSpec plus the current bucket from State.extra (None when the
-    system has no neighbor path)."""
-    if getattr(system, "neighbors", None) is None or NBR_BUCKET not in extra:
-        return None
-    return {"spec": system.neighbors, NBR_BUCKET: extra[NBR_BUCKET]}
+    """Assemble the aux dict passed to force evaluations: for each attached
+    neighbor spec (the default plus any named ones, e.g. the finer 'near'
+    grid), its spec + current bucket. None when no neighbor path exists."""
+    aux = {}
+    for name, spec in iter_specs(system):
+        kb, *_ = _keys(name)
+        if kb in extra:
+            aux[name] = {"spec": spec, "bucket": extra[kb]}
+    return aux or None
 
 
-def needs_rebuild(spec: NeighborSpec, extra, x, box):
+def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):
     """True when any atom moved more than skin/2 since the reference build
     (or the box changed)."""
-    disp = minimum_image(x - extra[NBR_XREF], box)
+    _, kx, kbox, _ = _keys(name)
+    disp = minimum_image(x - extra[kx], box)
     moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
         0.5 * spec.skin.astype(x.dtype)
     ) ** 2
-    box_changed = jnp.any(box != extra[NBR_BOXREF])
+    box_changed = jnp.any(box != extra[kbox])
     return moved | box_changed
 
 
-def update_neighbors(spec: NeighborSpec, extra, x, box):
+def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):
     """Conditionally re-bin (lax.cond — static shapes both ways)."""
+    kb, kx, kbox, kov = _keys(name)
 
     def rebuild(_):
         bucket, overflow = build_cell_buckets(spec, x, box)
-        return bucket, x, box, extra[NBR_OVERFLOW] | overflow
+        return bucket, x, box, extra[kov] | overflow
 
     def keep(_):
-        return (
-            extra[NBR_BUCKET],
-            extra[NBR_XREF],
-            extra[NBR_BOXREF],
-            extra[NBR_OVERFLOW],
-        )
+        return extra[kb], extra[kx], extra[kbox], extra[kov]
 
     bucket, xref, boxref, overflow = jax.lax.cond(
-        needs_rebuild(spec, extra, x, box), rebuild, keep, None
+        needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
     )
-    return {
-        NBR_BUCKET: bucket,
-        NBR_XREF: xref,
-        NBR_BOXREF: boxref,
-        NBR_OVERFLOW: overflow,
-    }
+    return {kb: bucket, kx: xref, kbox: boxref, kov: overflow}
+
+
+def update_all_neighbors(system, extra, x, box):
+    out = {}
+    for name, spec in iter_specs(system):
+        kb, *_ = _keys(name)
+        if kb in extra:
+            out.update(update_neighbors(spec, extra, x, box, name))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -351,29 +416,132 @@ def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
     return energy, f_bucket
 
 
+def _cell_pair_sums_half(spec, pair_fn, x, box, per_particle, bucket, r_cut,
+                         with_forces: bool):
+    """Newton (half-stencil) variant: each cell PAIR is visited once — the
+    self cell (column 0, both orderings inside, energy weight 1/2) plus the
+    lexicographically-positive directions (weight 1). Home forces accumulate
+    as usual; candidate-side reactions are summed per (direction, slot) and
+    routed back through the inverse direction map. Roughly half the pair
+    FLOPs of the full stencil."""
+    n = x.shape[0]
+    ncells, cap = bucket.shape
+    s_half = spec.nbr_cells_half.shape[1]
+    chunk = min(spec.cell_chunk, ncells)
+    n_chunks = -(-ncells // chunk)
+
+    bucket_x, bucket_pp = _stage_buckets(x, per_particle, bucket)
+    exc = spec.exclusions
+    exc_pad = jnp.concatenate(
+        [exc, jnp.full((1, exc.shape[1]), -1, exc.dtype)]
+    )
+    cells = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
+        n_chunks, chunk
+    )
+    rc2 = jnp.asarray(r_cut, x.dtype) ** 2
+    nbr_map = spec.nbr_cells_half  # (ncells, S_half), column 0 = self
+
+    # per-slot energy weight: 0.5 for the self column, 1 for the rest
+    w_cols = jnp.concatenate(
+        [jnp.full((cap,), 0.5, x.dtype), jnp.ones(((s_half - 1) * cap,), x.dtype)]
+    )
+    # J-side reaction mask: zero for the self column (already both-ordered)
+    j_cols = jnp.concatenate(
+        [jnp.zeros((cap,), x.dtype), jnp.ones(((s_half - 1) * cap,), x.dtype)]
+    )
+
+    def chunk_body(carry, cell_ids):
+        cell_ok = cell_ids < ncells
+        cid = jnp.where(cell_ok, cell_ids, 0)
+        home_x = bucket_x[cid]
+        home_id = jnp.where(cell_ok[:, None], bucket[cid], n)
+        home_pp = {k: v[cid] for k, v in bucket_pp.items()}
+
+        ncid = nbr_map[cid]  # (B, S_half) — always valid cells
+        cand_x = bucket_x[ncid].reshape(cid.shape[0], s_half * cap, 3)
+        cand_id = bucket[ncid].reshape(cid.shape[0], s_half * cap)
+        cand_id = jnp.where(cell_ok[:, None], cand_id, n)
+        cand_pp = {
+            k: v[ncid].reshape(cid.shape[0], s_half * cap)
+            for k, v in bucket_pp.items()
+        }
+
+        dx = minimum_image(home_x[:, :, None, :] - cand_x[:, None, :, :], box)
+        r2 = jnp.sum(dx * dx, axis=-1)
+        mask = (
+            (home_id[:, :, None] < n)
+            & (cand_id[:, None, :] < n)
+            & (home_id[:, :, None] != cand_id[:, None, :])
+            & (r2 < rc2)
+        )
+        home_exc = exc_pad[jnp.clip(home_id, 0, n)]
+        excluded = jnp.any(
+            cand_id[:, None, None, :] == home_exc[:, :, :, None], axis=2
+        )
+        mask &= ~excluded
+
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        pi = {k: v[:, :, None] for k, v in home_pp.items()}
+        pj = {k: v[:, None, :] for k, v in cand_pp.items()}
+        if with_forces:
+            u, dudr = jax.jvp(
+                lambda rr: pair_fn(rr, pi, pj), (r,), (jnp.ones_like(r),)
+            )
+            fmag = jnp.where(mask, dudr / r, 0.0)
+            fvec = fmag[..., None] * dx                      # (B, cap, S*cap, 3)
+            f_home = -jnp.sum(fvec, axis=2)                  # (B, cap, 3)
+            f_cand = jnp.sum(fvec, axis=1) * j_cols[None, :, None]
+        else:
+            u = pair_fn(r, pi, pj)
+            f_home = f_cand = None
+        e = jnp.sum(jnp.where(mask, u, 0.0) * w_cols[None, None, :])
+        return carry + e, (f_home, f_cand)
+
+    energy, (f_home_c, f_cand_c) = jax.lax.scan(
+        chunk_body, jnp.zeros((), x.dtype), cells
+    )
+    if not with_forces:
+        return energy, None
+    f_home = f_home_c.reshape(n_chunks * chunk, cap, 3)[:ncells]
+    f_cand = f_cand_c.reshape(n_chunks * chunk, s_half, cap, 3)[:ncells]
+    # reaction write-back: cell c receives, for each direction k, the J-side
+    # sums computed by home cell (c - d_k)
+    inv = spec.inv_cells_half  # (ncells, S_half)
+    gathered = f_cand[inv, jnp.arange(s_half)[None, :]]  # (ncells, S_half, cap, 3)
+    f_bucket = f_home + jnp.sum(gathered, axis=1)
+    return energy, f_bucket
+
+
 def cell_pair_energy(pair_fn, x, box, per_particle, spec, bucket, r_cut):
     """Half-counted pair energy over the cell buckets."""
-    e, _ = _cell_pair_sums(
+    sums = _cell_pair_sums_half if spec.half_stencil else _cell_pair_sums
+    e, _ = sums(
         spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=False
     )
     return e
 
 
 def cell_pair_energy_forces(pair_fn, x, box, per_particle, spec, bucket, r_cut):
-    """(energy, forces (N, 3)) with explicit symmetric forces: the candidate
-    sets are symmetric by construction (cell c' is in c's stencil iff c is in
-    c'-s), so F_i = -sum over i's candidates of u'(r) r_hat.
+    """(energy, forces (N, 3)) with explicit symmetric forces.
 
+    Full stencil: the candidate sets are symmetric by construction, so
+    F_i = -sum over i's candidates of u'(r) r_hat. Half stencil (Newton):
+    each cell pair once + reaction write-back (see _cell_pair_sums_half).
     Dispatches to the Pallas kernel (ops/pallas_pair.py) when the spec's
     backend selects it — same math, pair tiles kept in VMEM."""
-    if spec.backend == "pallas":
+    n = x.shape[0]
+    if spec.half_stencil:
+        e, f_bucket = _cell_pair_sums_half(
+            spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=True
+        )
+    elif spec.backend == "pallas":
         from .pallas_pair import stage_and_run
 
         return stage_and_run(spec, pair_fn, x, box, per_particle, bucket, r_cut)
-    n = x.shape[0]
-    e, f_bucket = _cell_pair_sums(
-        spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=True
-    )
+    else:
+        e, f_bucket = _cell_pair_sums(
+            spec, pair_fn, x, box, per_particle, bucket, r_cut, with_forces=True
+        )
     forces = jnp.zeros((n + 1, 3), x.dtype)
     forces = forces.at[bucket.reshape(-1)].add(
         f_bucket.reshape(-1, 3), mode="drop"

@@ -37,15 +37,19 @@ class System:
     forces: Tuple[Force, ...] = ()
     molecule: jnp.ndarray = None
     default_box: jnp.ndarray = None
-    neighbors: object = None  # Optional[ops.neighbors.NeighborSpec]
+    neighbors: object = None  # Optional[ops.neighbors.NeighborSpec] (default)
+    extra_neighbor_specs: dict = None  # name -> NeighborSpec (e.g. 'near')
     num_molecules: int = static_field(default=0)
     num_constraints: int = static_field(default=0)
     remove_com_motion: bool = static_field(default=True)
 
-    def with_neighbors(self, spec) -> "System":
-        """Attach a NeighborSpec: Contexts built from this system will use the
-        fixed-capacity neighbor-list production path for nonbonded forces."""
-        return replace(self, neighbors=spec)
+    def with_neighbors(self, spec, **named) -> "System":
+        """Attach the default NeighborSpec (and optionally named ones, e.g.
+        near=<finer spec>): Contexts built from this system use the
+        fixed-capacity cell-list production path for nonbonded forces."""
+        extra = dict(self.extra_neighbor_specs or {})
+        extra.update(named)
+        return replace(self, neighbors=spec, extra_neighbor_specs=extra or None)
 
     @property
     def num_particles(self) -> int:

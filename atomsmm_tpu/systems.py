@@ -35,6 +35,7 @@ def RESPASystem(
     rcut_in,
     rswitch_in,
     fast_exceptions: bool = True,
+    near_grid: bool = True,
 ) -> System:
     """Split for r-RESPA (SURVEY.md §3.1):
 
@@ -78,7 +79,29 @@ def RESPASystem(
         minus_near=replace(near, subtract=True, group=2),
     )
     new_forces += [near, far]
-    return system.replace_forces(new_forces)
+    out = system.replace_forces(new_forces)
+    if near_grid and system.neighbors is not None:
+        # the near force integrates most often — give it its own finer cell
+        # grid (slot count scales with cell width cubed)
+        import numpy as np
+
+        from .ops.neighbors import make_neighbor_spec
+
+        near_spec = make_neighbor_spec(
+            np.asarray(system.default_box),
+            system.num_particles,
+            float(rcut_in),
+            exclusions=np.asarray(nb.exclusions),
+            backend=system.neighbors.backend,
+        )
+        out = out.with_neighbors(system.neighbors, near=near_spec)
+        out = out.replace_forces(
+            replace(f, neighbor_key="near")
+            if isinstance(f, NearNonbondedForce) and not f.subtract
+            else f
+            for f in out.forces
+        )
+    return out
 
 
 def SolvationSystem(

@@ -123,3 +123,29 @@ def test_overflow_detection():
     spec = dataclasses.replace(system.neighbors, cell_capacity=8)
     _, overflow = build_cell_buckets(spec, x, box)
     assert bool(overflow)
+
+
+def test_half_stencil_matches_full_and_dense():
+    """Newton half-stencil path (active on grids >= 2*reach+1) must match the
+    full-stencil and dense paths."""
+    import dataclasses
+
+    from atomsmm_tpu.ops.neighbors import cell_pair_energy_forces
+
+    system, x, box = argon_system(n=1000, jitter=0.3, seed=4, neighbors=True)
+    spec = system.neighbors
+    assert spec.half_stencil, spec.grid
+    extra = neighbor_list_extras(spec, x, box)
+    bucket = extra[NBR_BUCKET]
+    force = system.forces[0]
+    pair_fn = force._pair_fn({})
+    pp = force._per_particle({})
+
+    e_h, f_h = cell_pair_energy_forces(pair_fn, x, box, pp, spec, bucket, force.r_cut)
+    full_spec = dataclasses.replace(spec, half_stencil=False)
+    e_f, f_f = cell_pair_energy_forces(pair_fn, x, box, pp, full_spec, bucket, force.r_cut)
+    np.testing.assert_allclose(float(e_h), float(e_f), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_h), np.asarray(f_f), rtol=1e-9, atol=1e-10)
+
+    e_d = potential_energy(system, x, box)
+    np.testing.assert_allclose(float(e_h), float(e_d), rtol=1e-12)

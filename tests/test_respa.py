@@ -46,7 +46,7 @@ def equilibrated(water):
     )
     minimize_energy(ctx, steps=300)
     ctx.set_velocities_to_temperature(300.0, seed=6)
-    ctx.step(1000)
+    ctx.step(600)
     assert 250.0 < float(ctx.temperature()) < 360.0
     return ctx.state.x.copy(), ctx.state.v.copy(), box
 
@@ -107,7 +107,7 @@ def test_respa_nve_energy_conservation(equilibrated, water):
         respa, MultipleTimeScaleIntegrator(0.002, [4, 2, 1]), make_state(x, v, box)
     )
     e0 = float(ctx.conserved_energy())
-    ctx.step(250)  # 0.5 ps
+    ctx.step(150)  # 0.3 ps
     e1 = float(ctx.conserved_energy())
     drift = abs(e1 - e0) / N_ATOMS
     # measured: ~0.01 kJ/mol/atom/ps at this splitting -> ~5e-3 per 0.5 ps
@@ -124,7 +124,7 @@ def test_respa_beats_same_rate_verlet(equilibrated, water):
     def drift_of(sysm, integ):
         ctx = Context(sysm, integ, make_state(x, v, box))
         e0 = float(ctx.conserved_energy())
-        ctx.step(int(0.5 / integ.dt))
+        ctx.step(int(0.25 / integ.dt))
         return abs(float(ctx.conserved_energy()) - e0)
 
     d_vv = drift_of(system, VelocityVerletIntegrator(0.001))
@@ -142,6 +142,6 @@ def test_respa_nvt_temperature(equilibrated, water):
         degrees_of_freedom=dof,
     )
     ctx = Context(respa, integ, make_state(x, v, box))
-    ctx.step(1000)  # 2 ps
+    ctx.step(600)  # 1.2 ps
     t = float(ctx.temperature())
     assert 240.0 < t < 360.0, t

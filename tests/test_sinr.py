@@ -87,7 +87,7 @@ def test_sinr_stable_large_outer_step():
     ctx = Context(respa, integ, make_state(x, box=box, seed=5))
     minimize_energy(ctx, steps=300)
     ctx.state = integ.initialize(respa, ctx.state)  # re-draw on constraint
-    ctx.step(100)  # 1.5 ps
+    ctx.step(50)
     x_now = np.asarray(ctx.state.x)
     assert np.isfinite(x_now).all()
     res = constraint_residual(respa, ctx.state, 300.0, integ.tau)
@@ -104,6 +104,6 @@ def test_nhl_r_controls_temperature():
     )
     ctx = Context(respa, integ, make_state(x, box=box, seed=4))
     ctx.set_velocities_to_temperature(2 * TEMP, seed=9)
-    ctx.step(2000)
+    ctx.step(1200)
     t = float(ctx.temperature())
     assert 0.75 * TEMP < t < 1.3 * TEMP, t
