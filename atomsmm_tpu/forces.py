@@ -147,6 +147,7 @@ class NonbondedForce(_PairForceMixin, Force):
     r_switch: Any = 0.9
     eps_rf: Any = 1e15
     charge_scale_mask: Any = None  # (N,) {0,1}: atoms whose charge scales
+    dispersion_coeff: Any = None  # scalar: E_tail = coeff / V (see below)
     # damping constant is static: concrete at trace time so the undamped case
     # skips erfc entirely; it only changes at setup (PME parameterization)
     ewald_alpha: float = static_field(default=0.0)
@@ -213,6 +214,10 @@ class NonbondedForce(_PairForceMixin, Force):
         e = self._nb_energy(x, box, globals, aux, r_cut)
         if self.method == "pme":
             e = e + self._recip_energy(x, box, globals)
+        if self.dispersion_coeff is not None:
+            # long-range LJ tail: E = coeff / V; its box dependence feeds the
+            # virial/pressure automatically (computers.py scaling trick)
+            e = e + self.dispersion_coeff / jnp.prod(box)
         return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -223,10 +228,55 @@ class NonbondedForce(_PairForceMixin, Force):
                 lambda xx: self._recip_energy(xx, box, globals)
             )(x)
             e, f = e + e2, f - g2
+        if self.dispersion_coeff is not None:
+            e = e + self.dispersion_coeff / jnp.prod(box)  # no position force
         return e, f
 
     def uses_neighbors(self) -> bool:
         return self.method != "nocutoff"
+
+
+def compute_dispersion_coefficient(sigma, epsilon, r_switch, r_cut,
+                                   use_switch=True, n_quad=512):
+    """Long-range LJ tail coefficient (openmm's dispersion correction):
+
+        E_tail = coeff / V,
+        coeff = 2 pi sum_{i<=j pairs} [ integral_0^inf r^2 (u - u_kept) dr ]
+
+    i.e. the mean-field (g = 1) energy the truncated+switched potential
+    misses: the full tail beyond r_cut plus the part removed by the switch on
+    [r_switch, r_cut]. Computed exactly over unique (sigma, epsilon) type
+    pairs on the host (numpy), switched region by quadrature.
+    """
+    import numpy as np
+
+    sig = np.asarray(sigma, np.float64)
+    eps = np.asarray(epsilon, np.float64)
+    types, counts = np.unique(
+        np.stack([sig, eps], 1), axis=0, return_counts=True
+    )
+    rc, rs = float(r_cut), float(r_switch)
+    total = 0.0
+    for a in range(len(types)):
+        for b in range(len(types)):
+            s_ab = 0.5 * (types[a, 0] + types[b, 0])
+            e_ab = np.sqrt(types[a, 1] * types[b, 1])
+            if e_ab == 0.0:
+                continue
+            npairs = counts[a] * counts[b]  # ordered pairs; x1/2 below
+            tail = 4.0 * e_ab * (
+                s_ab**12 / (9.0 * rc**9) - s_ab**6 / (3.0 * rc**3)
+            )
+            missed = tail
+            if use_switch and rs < rc:
+                r = np.linspace(rs, rc, n_quad)
+                u = 4.0 * e_ab * ((s_ab / r) ** 12 - (s_ab / r) ** 6)
+                t = np.clip((r - rs) / (rc - rs), 0, 1)
+                s_of_r = 1 + t**3 * (-10 + t * (15 - 6 * t))
+                missed += np.trapezoid(r * r * u * (1.0 - s_of_r), r)
+            total += 0.5 * npairs * missed
+    # E_tail = (1/2) (N^2/V) * 4 pi * integral r^2 u dr  ->  coeff = 4 pi total
+    return 4.0 * np.pi * total
 
 
 @pytree_dataclass

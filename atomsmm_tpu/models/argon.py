@@ -30,10 +30,12 @@ def argon_system(
     chunk: int = 256,
     neighbors: bool = False,
     skin: float = 0.1,
+    dispersion_correction: bool = False,
 ):
     """Build (System, positions, box). No charges, no exclusions.
 
-    neighbors=True attaches a NeighborSpec (production cell-list path)."""
+    neighbors=True attaches a NeighborSpec (production cell-list path);
+    dispersion_correction adds the analytic LJ tail (E = coeff/V)."""
     dtype = dtype or jnp.result_type(float)
     volume = n * ARGON_SIGMA**3 / rho_star
     box_l = volume ** (1.0 / 3.0)
@@ -54,8 +56,20 @@ def argon_system(
         rs = np.random.RandomState(seed)
         x = x + rs.uniform(-jitter, jitter, x.shape) * spacing
 
+    disp = None
+    if dispersion_correction:
+        from ..forces import compute_dispersion_coefficient
+
+        disp = jnp.asarray(
+            compute_dispersion_coefficient(
+                np.full(n, ARGON_SIGMA), np.full(n, ARGON_EPSILON),
+                r_switch, r_cut,
+            ),
+            dtype,
+        )
     force = NonbondedForce(
         group=0,
+        dispersion_coeff=disp,
         charge=jnp.zeros(n, dtype),
         sigma=jnp.full((n,), ARGON_SIGMA, dtype),
         epsilon=jnp.full((n,), ARGON_EPSILON, dtype),

@@ -82,6 +82,7 @@ def water_system(
     pme_alpha: float | None = None,
     neighbors: bool = False,
     skin: float = 0.1,
+    dispersion_correction: bool = False,
 ):
     """Build (System, positions, box) for n_molecules of q-SPC/Fw water.
 
@@ -137,6 +138,13 @@ def water_system(
         )
         nb_kwargs.update(
             ewald_alpha=float(alpha), grid_shape=tuple(grid)
+        )
+    if dispersion_correction:
+        from ..forces import compute_dispersion_coefficient
+
+        nb_kwargs["dispersion_coeff"] = jnp.asarray(
+            compute_dispersion_coefficient(sigma, epsilon, r_switch, r_cut),
+            dtype,
         )
     nonbonded = NonbondedForce(**nb_kwargs)
 

@@ -60,7 +60,16 @@ def lorentz_berthelot(sigma_i, sigma_j, eps_i, eps_j):
 
 
 def lj(r, sigma, epsilon):
-    """Lennard-Jones 4 eps [(s/r)^12 - (s/r)^6]."""
+    """Lennard-Jones 4 eps [(s/r)^12 - (s/r)^6].
+
+    Minimum at r = 2^(1/6) sigma with depth -epsilon:
+
+    >>> import jax.numpy as jnp
+    >>> round(float(lj(jnp.float64(2.0 ** (1 / 6) * 0.34), 0.34, 0.65)), 10)
+    -0.65
+    >>> float(lj(jnp.float64(0.34), 0.34, 0.65))  # zero crossing at sigma
+    0.0
+    """
     s6 = (sigma / r) ** 6
     return 4.0 * epsilon * s6 * (s6 - 1.0)
 
@@ -97,7 +106,16 @@ def softcore_lj(r, sigma, epsilon, lamb, alpha=0.5):
     u = 4 eps lambda [ (1/x)^2 - 1/x ],  x = alpha (1-lambda) + (r/sigma)^6.
 
     lambda = 1 recovers plain LJ; lambda = 0 turns the interaction off with a
-    bounded core (finite at r=0).
+    bounded core (finite at r=0):
+
+    >>> import jax.numpy as jnp
+    >>> r = jnp.float64(0.38)
+    >>> abs(float(softcore_lj(r, 0.34, 0.65, 1.0) - lj(r, 0.34, 0.65))) < 1e-14
+    True
+    >>> float(softcore_lj(jnp.float64(0.0), 0.34, 0.65, 0.0))
+    0.0
+    >>> bool(jnp.isfinite(softcore_lj(jnp.float64(1e-6), 0.34, 0.65, 0.5)))
+    True
     """
     x = alpha * (1.0 - lamb) + (r / sigma) ** 6
     inv = 1.0 / x

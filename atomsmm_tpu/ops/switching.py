@@ -21,6 +21,14 @@ def switch_quintic(r, r_switch, r_cut):
     S = 1 for r <= r_switch; S = 0 for r >= r_cut; in between
     S(u) = 1 - 10 u^3 + 15 u^4 - 6 u^5 with u = (r - rs)/(rc - rs).
     C2-continuous at both ends.
+
+    >>> import jax.numpy as jnp
+    >>> float(switch_quintic(jnp.float64(0.5), 0.7, 0.9))
+    1.0
+    >>> float(switch_quintic(jnp.float64(0.9), 0.7, 0.9))
+    0.0
+    >>> round(float(switch_quintic(jnp.float64(0.8), 0.7, 0.9)), 6)
+    0.5
     """
     u = (r - r_switch) / (r_cut - r_switch)
     u = jnp.clip(u, 0.0, 1.0)

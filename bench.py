@@ -68,8 +68,49 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=0.002, method="cutoff"):
     return ns_day, ms_per_step
 
 
+def bench_secondary():
+    """Extra configs (BENCH_ALL=1): PME headline, 100k NPT, argon."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu import (
+        Context,
+        MonteCarloBarostat,
+        MultipleTimeScaleIntegrator,
+        RESPASystem,
+        make_state,
+    )
+    from atomsmm_tpu.models import water_system
+
+    bench_water_respa(method="pme")
+
+    nmol = 33334
+    system, x, box = water_system(n_molecules=nmol, neighbors=True)
+    system = system.add_force(
+        MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=25)
+    )
+    respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
+    integ = MultipleTimeScaleIntegrator(
+        0.002, [4, 2, 1], temperature=300.0, time_scale=0.1,
+        degrees_of_freedom=3 * 3 * nmol - 3,
+    )
+    ctx = Context(respa, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=3)
+    ctx.step(1)
+    float(ctx.state.x[0, 0])
+    t0 = time.perf_counter()
+    ctx.step(100)
+    float(ctx.state.x[0, 0])
+    per = (time.perf_counter() - t0) / 100
+    log(f"water 100k NPT RESPA[4,2,1]@2fs: {per*1e3:.1f} ms/step, "
+        f"{0.002e-3*86400/per:.2f} ns/day")
+
+
 def main():
+    import os
+
     ns_day, ms_step = bench_water_respa()
+    if os.environ.get("BENCH_ALL"):
+        bench_secondary()
     comparator = 5.0  # provisional OpenMM-CPU scale (see module docstring)
     print(
         json.dumps(

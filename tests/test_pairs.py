@@ -143,3 +143,40 @@ def test_near_pair_energy_vanishes_at_cutoff():
     assert abs(float(du(r_cut))) < 1e-12
     # continuity from inside
     assert abs(float(u(r_cut - 1e-7))) < 1e-10
+
+
+def test_dispersion_correction_uniform_gas():
+    """Tail coefficient oracle: on uniform-random positions (g(r) = 1 by
+    construction), E(small rc, switched) + coeff/V must equal
+    E(large rc) + coeff_large/V."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.forces import NonbondedForce, compute_dispersion_coefficient
+    from atomsmm_tpu.potential import potential_energy
+    from atomsmm_tpu.system import System
+    from atomsmm_tpu.utils import replace as dreplace
+
+    rs = np.random.RandomState(0)
+    n, box_l = 2000, 6.0
+    x = jnp.asarray(rs.uniform(0, box_l, (n, 3)))
+    box = jnp.full(3, box_l)
+    nb = NonbondedForce(
+        charge=jnp.zeros(n), sigma=jnp.full(n, 0.34), epsilon=jnp.full(n, 0.8),
+        exclusions=jnp.full((n, 1), -1, jnp.int32),
+        r_cut=jnp.asarray(0.85), r_switch=jnp.asarray(0.75),
+        eps_rf=jnp.asarray(1e15),
+    )
+    system = System(
+        masses=jnp.ones(n), forces=(nb,),
+        molecule=jnp.arange(n, dtype=jnp.int32), default_box=box,
+        num_molecules=n,
+    )
+    v = box_l**3
+    c_small = compute_dispersion_coefficient(nb.sigma, nb.epsilon, 0.75, 0.85)
+    c_big = compute_dispersion_coefficient(nb.sigma, nb.epsilon, 2.85, 2.9)
+    e_small = float(potential_energy(system, x, box))
+    big = dreplace(nb, r_cut=jnp.asarray(2.9), r_switch=jnp.asarray(2.85))
+    e_big = float(potential_energy(system.replace_forces([big]), x, box))
+    np.testing.assert_allclose(
+        e_small + c_small / v, e_big + c_big / v, atol=2.0
+    )
