@@ -23,6 +23,7 @@ from .forces import (
     NonbondedForce,
     PeriodicTorsionForce,
     SoftcoreLennardJonesForce,
+    TemplateBondedForce,
 )
 from .integrate.integrators import (
     GlobalThermostatIntegrator,

@@ -585,6 +585,49 @@ class MonteCarloBarostat(Force):
 
 
 @pytree_dataclass
+class TemplateBondedForce(Force):
+    """Bonds + angles for systems of IDENTICAL, contiguously-indexed
+    molecules (e.g. a water box): positions reshape to (M, A, 3) and every
+    template term indexes with STATIC local atom indices, so XLA lowers the
+    gathers (and their adjoints) to slices instead of row gathers — the
+    innermost RESPA group evaluates most often, making this the cheap path.
+    Equivalent energy to HarmonicBondForce + HarmonicAngleForce.
+    """
+
+    bond_r0: jnp.ndarray = None    # (B,) template bond lengths
+    bond_k: jnp.ndarray = None     # (B,)
+    angle_t0: jnp.ndarray = None   # (A,)
+    angle_k: jnp.ndarray = None    # (A,)
+    first_atom: int = static_field(default=0)
+    n_molecules: int = static_field(default=0)
+    atoms_per_molecule: int = static_field(default=3)
+    bond_idx: Tuple = static_field(default=())   # ((a, b), ...) local indices
+    angle_idx: Tuple = static_field(default=())  # ((i, j, k), ...) j central
+
+    def energy(self, x, box, globals, aux=None):
+        m, a_pm = self.n_molecules, self.atoms_per_molecule
+        lo = self.first_atom
+        xm = x[lo : lo + m * a_pm].reshape(m, a_pm, 3)
+        e = jnp.zeros((), x.dtype)
+        for t, (i, j) in enumerate(self.bond_idx):
+            d = xm[:, i] - xm[:, j]
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-32)
+            e = e + jnp.sum(0.5 * self.bond_k[t] * (r - self.bond_r0[t]) ** 2)
+        for t, (i, j, k) in enumerate(self.angle_idx):
+            va = xm[:, i] - xm[:, j]
+            vb = xm[:, k] - xm[:, j]
+            na = jnp.sqrt(jnp.sum(va * va, axis=-1) + 1e-32)
+            nb = jnp.sqrt(jnp.sum(vb * vb, axis=-1) + 1e-32)
+            ct = jnp.clip(jnp.sum(va * vb, axis=-1) / (na * nb),
+                          -1.0 + 1e-7, 1.0 - 1e-7)
+            theta = jnp.arccos(ct)
+            e = e + jnp.sum(
+                0.5 * self.angle_k[t] * (theta - self.angle_t0[t]) ** 2
+            )
+        return e
+
+
+@pytree_dataclass
 class HarmonicBondForce(Force):
     """E = sum 0.5 k (r - r0)^2 (openmm.HarmonicBondForce; pad with k = 0)."""
 

@@ -83,6 +83,7 @@ def water_system(
     neighbors: bool = False,
     skin: float = 0.1,
     dispersion_correction: bool = False,
+    template_bonded: bool = True,
 ):
     """Build (System, positions, box) for n_molecules of q-SPC/Fw water.
 
@@ -148,23 +149,44 @@ def water_system(
         )
     nonbonded = NonbondedForce(**nb_kwargs)
 
-    bond_force = HarmonicBondForce(
-        group=0,
-        idx=jnp.asarray(bonds),
-        r0=jnp.full((len(bonds),), BOND_R0, dtype),
-        k=jnp.full((len(bonds),), BOND_K, dtype),
-    )
-    angle_force = HarmonicAngleForce(
-        group=0,
-        idx=jnp.asarray(angles),
-        theta0=jnp.full((m,), ANGLE_T0, dtype),
-        k=jnp.full((m,), ANGLE_K, dtype),
-    )
+    if template_bonded:
+        # identical contiguous molecules: static-slice bonded path
+        # (forces.py::TemplateBondedForce) — ~free vs gather/scatter kernels
+        from ..forces import TemplateBondedForce
+
+        bonded_forces = (
+            TemplateBondedForce(
+                group=0,
+                bond_r0=jnp.full((2,), BOND_R0, dtype),
+                bond_k=jnp.full((2,), BOND_K, dtype),
+                angle_t0=jnp.full((1,), ANGLE_T0, dtype),
+                angle_k=jnp.full((1,), ANGLE_K, dtype),
+                n_molecules=m,
+                atoms_per_molecule=3,
+                bond_idx=((0, 1), (0, 2)),
+                angle_idx=((1, 0, 2),),
+            ),
+        )
+    else:
+        bonded_forces = (
+            HarmonicBondForce(
+                group=0,
+                idx=jnp.asarray(bonds),
+                r0=jnp.full((len(bonds),), BOND_R0, dtype),
+                k=jnp.full((len(bonds),), BOND_K, dtype),
+            ),
+            HarmonicAngleForce(
+                group=0,
+                idx=jnp.asarray(angles),
+                theta0=jnp.full((m,), ANGLE_T0, dtype),
+                k=jnp.full((m,), ANGLE_K, dtype),
+            ),
+        )
 
     box = jnp.full((3,), box_l, dtype)
     system = System(
         masses=jnp.asarray(masses, dtype),
-        forces=(nonbonded, bond_force, angle_force),
+        forces=(nonbonded,) + bonded_forces,
         molecule=jnp.asarray(np.repeat(np.arange(m), 3), jnp.int32),
         default_box=box,
         num_molecules=m,

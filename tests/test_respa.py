@@ -70,8 +70,7 @@ def test_group_assignment(water):
     system, x, box = water
     respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
     groups = {f.name: f.group for f in respa.forces}
-    assert groups["HarmonicBondForce"] == 0
-    assert groups["HarmonicAngleForce"] == 0
+    assert groups["TemplateBondedForce"] == 0
     assert groups["NearNonbondedForce"] == 1
     assert groups["FarNonbondedForce"] == 2
     ge = group_energies(respa, x, box)
