@@ -99,3 +99,4 @@ from .reporters import (
     XYZReporter,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
+from .profiling import profile_forces, profile_step
