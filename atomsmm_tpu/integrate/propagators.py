@@ -233,14 +233,27 @@ class SuzukiYoshidaPropagator(Propagator):
 
 
 class TranslationPropagator(Propagator):
-    """x <- x + v * t (atomsmm/propagators.py::TranslationPropagator)."""
+    """x <- x + v * t (atomsmm/propagators.py::TranslationPropagator).
+
+    When the system carries a ConstraintSet, the move is followed by SHAKE
+    position projection and the corresponding velocity correction
+    (openmm applies constraints inside its integrator steps — N5)."""
 
     def apply(self, ctx, state, fraction):
         t = fraction * ctx.dt
-        return replace(state, x=state.x + state.v * t)
+        cons = getattr(ctx.system, "constraints", None)
+        x_unc = state.x + state.v * t
+        if cons is None:
+            return replace(state, x=x_unc)
+        from ..ops.constraints import shake_positions
+
+        inv_mass = 1.0 / ctx.masses
+        x_new = shake_positions(cons, x_unc, state.x, inv_mass)
+        v = state.v + (x_new - x_unc) / t
+        return replace(state, x=x_new, v=v)
 
     def describe(self, fraction=1.0):
-        return [f"x <- x + v * {fraction:g} dt"]
+        return [f"x <- x + v * {fraction:g} dt (+SHAKE if constrained)"]
 
 
 def force_cache_tag(groups) -> str:
@@ -285,6 +298,11 @@ class BoostPropagator(Propagator):
         else:
             f = ctx.forces(state, self.groups)
         v = state.v + f / ctx.masses[:, None] * t
+        cons = getattr(ctx.system, "constraints", None)
+        if cons is not None:
+            from ..ops.constraints import rattle_velocities
+
+            v = rattle_velocities(cons, state.x, v, 1.0 / ctx.masses)
         state = replace(state, v=v)
         if self.cache == "write":
             state = state.with_extra(**{force_cache_tag(self.groups): f})

@@ -201,3 +201,109 @@ def water_system(
             )
         )
     return system, jnp.asarray(x, dtype), box
+
+
+# --- rigid TIP3P water (constraints path, SURVEY.md §2b N5) ----------------
+
+TIP3P_Q_O = -0.834
+TIP3P_Q_H = 0.417
+TIP3P_SIGMA_O = 0.31507
+TIP3P_EPSILON_O = 0.6364  # kJ/mol
+TIP3P_R_OH = 0.09572
+TIP3P_THETA = 104.52 * np.pi / 180.0
+
+
+def rigid_water_system(
+    n_molecules: int = 216,
+    method: str = "cutoff",
+    r_cut: float = 0.9,
+    r_switch: float = 0.8,
+    seed: int = 0,
+    dtype=None,
+    neighbors: bool = False,
+    skin: float = 0.1,
+):
+    """Rigid TIP3P water: no intramolecular forces; the geometry is held by
+    a ConstraintSet (two O-H distances + the H-H distance per molecule),
+    enforced by SHAKE/RATTLE inside the integrator (ops/constraints.py).
+    Returns (System, positions, box)."""
+    from ..ops.constraints import ConstraintSet
+
+    dtype = dtype or jnp.result_type(float)
+    m = n_molecules
+    n = 3 * m
+    box_l = (m / WATER_NUMBER_DENSITY) ** (1.0 / 3.0)
+    if r_cut > 0.5 * box_l:
+        from ..utils import InputError
+
+        raise InputError(f"r_cut {r_cut} > box/2 ({box_l/2:.3f})")
+
+    # reuse the lattice placer with the TIP3P geometry
+    global BOND_R0, ANGLE_T0  # only for _water_geometry's module constants
+    x = []
+    rs = np.random.RandomState(seed)
+    n_side = int(np.ceil(m ** (1.0 / 3.0)))
+    spacing = box_l / n_side
+    grid = (np.arange(n_side) + 0.5) * spacing
+    centers = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), -1)
+    centers = centers.reshape(-1, 3)[:m]
+    r, t = TIP3P_R_OH, TIP3P_THETA
+    mol = np.stack([
+        np.zeros(3),
+        [r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+        [-r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+    ])
+    rot = _random_rotations(m, rs)
+    x = (centers[:, None, :] + np.einsum("mij,aj->mai", rot, mol)).reshape(-1, 3)
+
+    o = 3 * np.arange(m)
+    excl_pairs = np.concatenate(
+        [np.stack([o, o + 1], 1), np.stack([o, o + 2], 1),
+         np.stack([o + 1, o + 2], 1)]
+    )
+    nb_kwargs = dict(
+        group=0,
+        charge=jnp.asarray(np.tile([TIP3P_Q_O, TIP3P_Q_H, TIP3P_Q_H], m), dtype),
+        sigma=jnp.asarray(np.tile([TIP3P_SIGMA_O, 1.0, 1.0], m), dtype),
+        epsilon=jnp.asarray(np.tile([TIP3P_EPSILON_O, 0.0, 0.0], m), dtype),
+        exclusions=make_exclusions_array(n, excl_pairs),
+        r_cut=jnp.asarray(r_cut, dtype),
+        r_switch=jnp.asarray(r_switch, dtype),
+        eps_rf=jnp.asarray(1e15, dtype),
+        method=method,
+        use_switch=True,
+    )
+    if method == "pme":
+        from ..ops.pme import choose_pme_parameters
+
+        alpha, grid_shape = choose_pme_parameters(r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid_shape))
+
+    d_hh = 2.0 * r * np.sin(t / 2.0)
+    pairs = np.concatenate(
+        [np.stack([o, o + 1], 1), np.stack([o, o + 2], 1),
+         np.stack([o + 1, o + 2], 1)]
+    ).astype(np.int32)
+    d0 = np.concatenate(
+        [np.full(m, TIP3P_R_OH), np.full(m, TIP3P_R_OH), np.full(m, d_hh)]
+    )
+    cons = ConstraintSet(pairs=jnp.asarray(pairs), d0=jnp.asarray(d0, dtype))
+
+    box = jnp.full((3,), box_l, dtype)
+    system = System(
+        masses=jnp.asarray(np.tile([MASS_O, MASS_H, MASS_H], m), dtype),
+        forces=(NonbondedForce(**nb_kwargs),),
+        molecule=jnp.asarray(np.repeat(np.arange(m), 3), jnp.int32),
+        default_box=box,
+        constraints=cons,
+        num_molecules=m,
+        num_constraints=3 * m,
+    )
+    if neighbors:
+        from ..ops.neighbors import make_neighbor_spec
+
+        system = system.with_neighbors(
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
+                               exclusions=nb_kwargs["exclusions"])
+        )
+    return system, jnp.asarray(x, dtype), box

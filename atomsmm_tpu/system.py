@@ -39,6 +39,7 @@ class System:
     default_box: jnp.ndarray = None
     neighbors: object = None  # Optional[ops.neighbors.NeighborSpec] (default)
     extra_neighbor_specs: dict = None  # name -> NeighborSpec (e.g. 'near')
+    constraints: object = None  # Optional[ops.constraints.ConstraintSet]
     num_molecules: int = static_field(default=0)
     num_constraints: int = static_field(default=0)
     remove_com_motion: bool = static_field(default=True)
