@@ -58,6 +58,39 @@ def molecular_kinetic_energy(system, v):
     return 0.5 * jnp.sum(jnp.sum(p_mol * p_mol, axis=1) / m_mol)
 
 
+def coulomb_energy(system, x, box, globals=None, aux=None):
+    """Electrostatic part of the nonbonded energy (the reference's
+    `coulombEnergy` reporter column): evaluate the nonbonded forces with all
+    LJ epsilons zeroed — a pure System transformation, no auxiliary context
+    (the reference rewires a ComputingSystem for this)."""
+    from .utils import replace as dreplace
+
+    forces = []
+    for f in system.forces:
+        if hasattr(f, "epsilon") and hasattr(f, "charge"):
+            f = dreplace(f, epsilon=jnp.zeros_like(f.epsilon))
+            if getattr(f, "dispersion_coeff", None) is not None:
+                f = dreplace(f, dispersion_coeff=None)
+        elif hasattr(f, "full"):  # FarNonbondedForce composite
+            f = dreplace(
+                f,
+                full=dreplace(f.full, epsilon=jnp.zeros_like(f.full.epsilon)),
+                minus_near=dreplace(
+                    f.minus_near,
+                    epsilon=jnp.zeros_like(f.minus_near.epsilon),
+                ),
+            )
+        elif f.name in ("HarmonicBondForce", "HarmonicAngleForce",
+                        "PeriodicTorsionForce", "TemplateBondedForce",
+                        "SoftcoreLennardJonesForce", "MonteCarloBarostat"):
+            continue
+        elif f.name == "NonbondedExceptionsForce":
+            f = dreplace(f, epsilon=jnp.zeros_like(f.epsilon))
+        forces.append(f)
+    coul_system = system.replace_forces(forces)
+    return potential_energy(coul_system, x, box, globals, aux=aux)
+
+
 def atomic_pressure(system, state, globals=None, aux=None):
     """P = (2K + W)/(3V) [kJ/mol/nm^3]; multiply by PRESSURE_IN_BAR for bar."""
     w = atomic_virial(system, state.x, state.box, globals, aux)

@@ -87,10 +87,12 @@ class ExtendedStateDataReporter(StateDataReporter):
     def __init__(self, file, interval, separator: str = ",",
                  energy_split: bool = True,
                  pressure: bool = True,
+                 coulomb_energy: bool = False,
                  global_parameters: Optional[Sequence[str]] = None):
         super().__init__(file, interval, separator)
         self.energy_split = energy_split
         self.pressure = pressure
+        self.coulomb_energy = coulomb_energy
         self.global_parameters = list(global_parameters or [])
 
     def _columns(self, simulation, snap):
@@ -99,6 +101,17 @@ class ExtendedStateDataReporter(StateDataReporter):
             for name, value in snap.energy_split.items():
                 if name != "Total":
                     cols.append((f"{name} (kJ/mole)", float(value)))
+        if self.coulomb_energy:
+            from .computers import coulomb_energy
+
+            cstate = simulation.context.state
+            cols.append((
+                "Coulomb Energy (kJ/mole)",
+                float(coulomb_energy(
+                    simulation.system, cstate.x, cstate.box,
+                    simulation.context.parameters,
+                )),
+            ))
         if self.pressure:
             from .computers import (
                 atomic_pressure,

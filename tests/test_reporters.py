@@ -172,3 +172,37 @@ def test_checkpoint_rejects_mismatched_extras(tmp_path, argon_sim):
     bad = argon_sim.context.state.with_extra(bogus=jnp.zeros(3))
     with pytest.raises(ValueError, match="extended variables"):
         load_checkpoint(path, like=bad)
+
+
+def test_coulomb_energy_column():
+    """coulombEnergy (SURVEY §2a reporter column): total nonbonded minus the
+    LJ-only evaluation."""
+    import io
+
+    from atomsmm_tpu import ExtendedStateDataReporter, Simulation
+    from atomsmm_tpu import VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.computers import coulomb_energy
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.potential import potential_energy
+    from atomsmm_tpu.utils import replace as dreplace
+
+    system, x, box = water_system(n_molecules=64, r_cut=0.55, r_switch=0.45)
+    ec = float(coulomb_energy(system, x, box))
+    nb = system.forces[0]
+    lj_only = system.replace_forces(
+        [dreplace(nb, charge=jnp.zeros_like(nb.charge))]
+    )
+    np.testing.assert_allclose(
+        ec, float(nb.energy(x, box, {})) - float(potential_energy(lj_only, x, box)),
+        rtol=1e-7, atol=1e-7,
+    )
+
+    sim = Simulation(system, VelocityVerletIntegrator(0.001), make_state(x, box=box))
+    buf = io.StringIO()
+    sim.reporters.append(
+        ExtendedStateDataReporter(buf, interval=5, pressure=False,
+                                  coulomb_energy=True)
+    )
+    sim.step(5)
+    header = buf.getvalue().splitlines()[0]
+    assert "Coulomb Energy (kJ/mole)" in header
