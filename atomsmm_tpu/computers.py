@@ -74,7 +74,11 @@ def coulomb_energy(system, x, box, globals=None, aux=None):
         elif hasattr(f, "full"):  # FarNonbondedForce composite
             f = dreplace(
                 f,
-                full=dreplace(f.full, epsilon=jnp.zeros_like(f.full.epsilon)),
+                full=dreplace(
+                    f.full,
+                    epsilon=jnp.zeros_like(f.full.epsilon),
+                    dispersion_coeff=None,
+                ),
                 minus_near=dreplace(
                     f.minus_near,
                     epsilon=jnp.zeros_like(f.minus_near.epsilon),

@@ -216,6 +216,14 @@ class Context:
                         f"cell-list capacity overflow ({key}): increase "
                         "cell_capacity (or density_safety) in the NeighborSpec"
                     )
+                if key.startswith("nbr") and key.endswith("undercover") and bool(flag):
+                    raise RuntimeError(
+                        f"cell-list coverage loss ({key}): the box shrank until "
+                        "the stencil reach no longer covers the cutoff — pairs "
+                        "would be silently dropped. Rebuild the NeighborSpec at "
+                        "the current box, or pass a larger min_skin to "
+                        "make_neighbor_spec for NPT runs"
+                    )
         return self
 
     def get_state(self) -> StateSnapshot:

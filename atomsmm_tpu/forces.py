@@ -403,6 +403,8 @@ class FarNonbondedForce(_PairForceMixin, Force):
         e = self._nb_energy(x, box, globals, aux, self.full.r_cut)
         if self.full.method == "pme":
             e = e + self.full._recip_energy(x, box, globals)
+        if self.full.dispersion_coeff is not None:
+            e = e + self.full.dispersion_coeff / jnp.prod(box)
         return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -416,6 +418,8 @@ class FarNonbondedForce(_PairForceMixin, Force):
                 lambda xx: self.full._recip_energy(xx, box, globals)
             )(x)
             e, f = e + e2, f - g2
+        if self.full.dispersion_coeff is not None:
+            e = e + self.full.dispersion_coeff / jnp.prod(box)
         return e, f
 
     def uses_neighbors(self) -> bool:

@@ -101,10 +101,20 @@ class VelocityVerletIntegrator(Integrator):
 class GlobalThermostatIntegrator(Integrator):
     """NVE core propagator + a global thermostat applied symmetrically:
     thermostat(t/2) nve(t) thermostat(t/2)
-    (atomsmm/integrators.py::GlobalThermostatIntegrator)."""
+    (atomsmm/integrators.py::GlobalThermostatIntegrator).
 
-    def __init__(self, dt, thermostat: Propagator, nve: Optional[Propagator] = None):
+    Argument order matches the reference: (stepSize, nve, thermostat). As a
+    convenience, a single propagator argument is taken as the thermostat with
+    the default velocity-Verlet NVE core: ``GlobalThermostatIntegrator(dt, csvr)``.
+    """
+
+    def __init__(self, dt, nve: Optional[Propagator] = None,
+                 thermostat: Optional[Propagator] = None):
         super().__init__(dt)
+        if thermostat is None:
+            nve, thermostat = None, nve
+        if thermostat is None:
+            raise ValueError("GlobalThermostatIntegrator needs a thermostat")
         self.thermostat = thermostat
         nve = nve or VelocityVerletPropagator()
         self.propagator = TrotterSuzukiPropagator(nve, thermostat)

@@ -579,6 +579,14 @@ class OrnsteinUhlenbeckPropagator(Propagator):
             sigma = jnp.sqrt(kT / m)
             r = jax.random.normal(sub, state.v.shape, state.v.dtype)
             v = state.v * decay + sigma * noise * r
+            # Additive noise breaks constraint tangency (d/dt|r_ij| = 0);
+            # re-project like BoostPropagator does. Uniform rescalings
+            # (NHC/CSVR) preserve tangency and need no projection (ADVICE r01).
+            cons = getattr(ctx.system, "constraints", None)
+            if cons is not None:
+                from ..ops.constraints import rattle_velocities
+
+                v = rattle_velocities(cons, state.x, v, 1.0 / ctx.masses)
             return replace(state, v=v, rng=rng)
         z = state.extra[self.variable]
         sigma = jnp.sqrt(kT / self.mass)
@@ -622,7 +630,11 @@ class VelocityRescalingPropagator(Propagator):
             + (1.0 - c) * ratio * (r1 * r1 + rsum)
             + 2.0 * r1 * jnp.sqrt(c * (1.0 - c) * ratio)
         )
-        alpha = jnp.sqrt(alpha2)
+        # Bussi's alpha carries a sign: negative when the r1 noise term
+        # dominates (sign of r1 + sqrt(c/((1-c)*ratio))) — losing the velocity
+        # flip biases the KE distribution at small dof (ADVICE r01).
+        sign = jnp.sign(r1 + jnp.sqrt(c / ((1.0 - c) * ratio)))
+        alpha = jnp.where(sign == 0, 1.0, sign) * jnp.sqrt(alpha2)
         return replace(state, v=state.v * alpha, rng=rng)
 
     def describe(self, fraction=1.0):

@@ -239,7 +239,6 @@ def rigid_water_system(
         raise InputError(f"r_cut {r_cut} > box/2 ({box_l/2:.3f})")
 
     # reuse the lattice placer with the TIP3P geometry
-    global BOND_R0, ANGLE_T0  # only for _water_geometry's module constants
     x = []
     rs = np.random.RandomState(seed)
     n_side = int(np.ceil(m ** (1.0 / 3.0)))

@@ -55,6 +55,21 @@ def _keys(name: str):
     )
 
 
+def _cover_key(name: str) -> str:
+    return "nbr_undercover" if name == "default" else f"nbr_{name}_undercover"
+
+
+def coverage_deficient(spec: "NeighborSpec", box):
+    """True when the stencil reach (fixed at setup) no longer covers the
+    cutoff at the *current* box — e.g. after an NPT shrink. Silently dropping
+    pairs is the failure mode this guards (ADVICE r01 medium): overflow is
+    flagged elsewhere, under-coverage was not."""
+    grid = jnp.asarray(spec.grid, box.dtype)
+    reach = jnp.asarray(spec.reach, box.dtype)
+    r_cut = spec.r_build - spec.skin
+    return jnp.any(box / grid * reach < r_cut.astype(box.dtype))
+
+
 def iter_specs(system):
     """(name, spec) pairs for every neighbor spec attached to a system."""
     if getattr(system, "neighbors", None) is not None:
@@ -82,6 +97,7 @@ class NeighborSpec:
     nbr_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
     inv_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
     grid: Tuple[int, int, int] = static_field(default=(1, 1, 1))
+    reach: Tuple[int, int, int] = static_field(default=(1, 1, 1))
     cell_capacity: int = static_field(default=64)
     cell_chunk: int = static_field(default=4)  # home cells per scan step
     backend: str = static_field(default="xla")  # 'xla' | 'pallas'
@@ -212,6 +228,7 @@ def make_neighbor_spec(
         nbr_cells_half=None if nbr_half is None else jnp.asarray(nbr_half),
         inv_cells_half=None if inv_half is None else jnp.asarray(inv_half),
         grid=grid,
+        reach=reach,
         cell_capacity=cap,
         cell_chunk=cell_chunk,
         backend=backend,
@@ -249,7 +266,8 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
 def neighbor_list_extras(spec: NeighborSpec, x, box, name: str = "default") -> Dict[str, jnp.ndarray]:
     kb, kx, kbox, kov = _keys(name)
     bucket, overflow = build_cell_buckets(spec, x, box)
-    return {kb: bucket, kx: x, kbox: box, kov: overflow}
+    return {kb: bucket, kx: x, kbox: box, kov: overflow,
+            _cover_key(name): coverage_deficient(spec, box)}
 
 
 def all_neighbor_extras(system, x, box) -> Dict[str, jnp.ndarray]:
@@ -286,18 +304,22 @@ def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):
 def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):
     """Conditionally re-bin (lax.cond — static shapes both ways)."""
     kb, kx, kbox, kov = _keys(name)
+    kcv = _cover_key(name)
+    cover_prev = extra.get(kcv, jnp.zeros((), bool))
 
     def rebuild(_):
         bucket, overflow = build_cell_buckets(spec, x, box)
-        return bucket, x, box, extra[kov] | overflow
+        return (bucket, x, box, extra[kov] | overflow,
+                cover_prev | coverage_deficient(spec, box))
 
     def keep(_):
-        return extra[kb], extra[kx], extra[kbox], extra[kov]
+        return extra[kb], extra[kx], extra[kbox], extra[kov], cover_prev
 
-    bucket, xref, boxref, overflow = jax.lax.cond(
+    bucket, xref, boxref, overflow, undercover = jax.lax.cond(
         needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
     )
-    return {kb: bucket, kx: xref, kbox: boxref, kov: overflow}
+    return {kb: bucket, kx: xref, kbox: boxref, kov: overflow,
+            kcv: undercover}
 
 
 def update_all_neighbors(system, extra, x, box):

@@ -18,7 +18,7 @@ class InputError(Exception):
     """Invalid user input (mirror of atomsmm/utils.py::InputError)."""
 
     def __init__(self, msg: str):
-        super().__init__(f"\033[1;31m{msg}\033[0m" if False else msg)
+        super().__init__(msg)
 
 
 def pytree_dataclass(cls=None, *, frozen: bool = False):

@@ -149,3 +149,24 @@ def test_half_stencil_matches_full_and_dense():
 
     e_d = potential_energy(system, x, box)
     np.testing.assert_allclose(float(e_h), float(e_d), rtol=1e-12)
+
+
+def test_coverage_loss_detection():
+    """ADVICE r01 (medium): an NPT box shrink can make reach*cell_width <
+    r_cut, silently dropping pairs. The rebuild must flag under-coverage."""
+    from atomsmm_tpu.ops.neighbors import coverage_deficient, update_neighbors
+
+    system, x, box = argon_system(n=512, jitter=0.05, seed=2, neighbors=True)
+    spec = system.neighbors
+    assert not bool(coverage_deficient(spec, box))
+    extra = neighbor_list_extras(spec, x, box)
+    assert not bool(extra["nbr_undercover"])
+
+    # shrink far enough to break coverage at the fixed reach
+    r_cut = float(spec.r_build - spec.skin)
+    w_min = float(np.min(np.asarray(box) / np.asarray(spec.grid)))
+    factor = 0.95 * r_cut / (w_min * max(spec.reach))
+    small = box * factor
+    assert bool(coverage_deficient(spec, small))
+    out = update_neighbors(spec, extra, x * factor, small)
+    assert bool(out["nbr_undercover"])

@@ -66,6 +66,35 @@ def test_near_plus_far_equals_full(water):
     )
 
 
+def test_near_plus_far_with_dispersion_correction():
+    """ADVICE r01 (high): the fused FarNonbondedForce branches dropped the
+    long-range LJ tail (coeff/V), breaking near + far == full exactly by that
+    amount. Checks energy, energy_and_forces, and the coulomb_energy strip."""
+    from atomsmm_tpu.computers import coulomb_energy
+    from atomsmm_tpu.potential import force_fn
+
+    system, x, box = water_system(
+        n_molecules=96, r_cut=0.7, r_switch=0.6, seed=3,
+        dispersion_correction=True,
+    )
+    respa = RESPASystem(system, rcut_in=0.45, rswitch_in=0.35)
+    e_full = split_potential_energy(system, x, box)
+    e_respa = split_potential_energy(respa, x, box)
+    np.testing.assert_allclose(
+        float(e_respa["NearNonbondedForce"]) + float(e_respa["FarNonbondedForce"]),
+        float(e_full["NonbondedForce"]), rtol=1e-12,
+    )
+    e1, f1 = force_fn(system)(x, box)
+    e2, f2 = force_fn(respa)(x, box)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-9)
+    # coulombEnergy must exclude the LJ tail in both decompositions
+    np.testing.assert_allclose(
+        float(coulomb_energy(system, x, box)),
+        float(coulomb_energy(respa, x, box)), rtol=1e-12,
+    )
+
+
 def test_group_assignment(water):
     system, x, box = water
     respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
