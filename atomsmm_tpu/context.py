@@ -229,6 +229,32 @@ class Context:
     def get_state(self) -> StateSnapshot:
         return self._observe(self.system, self.state, self.parameters)
 
+    def retune_neighbors(self, safety: float = 1.15):
+        """Resize every neighbor spec's cell capacity to the MEASURED max
+        occupancy of the current configuration (ops.neighbors.retune_spec).
+
+        Cold-start sizing must survive lattice clustering; an equilibrated
+        liquid needs ~40% less capacity, and pair work scales with cap^2 —
+        call this once after equilibration for ~2x faster pair kernels.
+        Static shapes change, so the next step() recompiles once.
+        """
+        if self.system.neighbors is None:
+            return self
+        from .ops.neighbors import all_neighbor_extras, retune_neighbor_specs
+
+        self.system = retune_neighbor_specs(
+            self.system, self.state.x, self.state.box, safety
+        )
+        kept = {
+            k: v for k, v in self.state.extra.items()
+            if not k.startswith("nbr")
+        }
+        state = replace(self.state, extra=kept)
+        self.state = state.with_extra(
+            **jax.jit(all_neighbor_extras)(self.system, state.x, state.box)
+        )
+        return self
+
     # -- convenience -------------------------------------------------------
 
     @property

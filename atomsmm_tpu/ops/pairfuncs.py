@@ -36,15 +36,24 @@ def kernel_safe_math():
         _KERNEL_SAFE_MATH.pop()
 
 
+@jax.custom_jvp
 def erfc_approx(x):
     """A&S 7.1.26 for x >= 0 (pair distances are positive): t-polynomial
-    times exp(-x^2); max abs error 1.5e-7."""
+    times exp(-x^2); max abs error 1.5e-7. The tangent uses the EXACT
+    derivative d/dx erfc = -2/sqrt(pi) e^{-x^2} (also Mosaic-lowerable), so
+    kernel forces don't inherit the polynomial's larger derivative error."""
     t = 1.0 / (1.0 + 0.3275911 * x)
     poly = t * (
         0.254829592
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
     )
     return poly * jnp.exp(-x * x)
+
+
+@erfc_approx.defjvp
+def _erfc_approx_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return erfc_approx(x), -1.1283791670955126 * jnp.exp(-x * x) * dx
 
 
 def erfc(x):
@@ -70,13 +79,16 @@ def lj(r, sigma, epsilon):
     >>> float(lj(jnp.float64(0.34), 0.34, 0.65))  # zero crossing at sigma
     0.0
     """
-    s6 = (sigma / r) ** 6
+    # single-reciprocal form: every pair primitive multiplies by (1/r) so XLA
+    # CSE merges the divide across LJ/Coulomb terms — divides are the dominant
+    # per-slot cost on the TPU VPU
+    s6 = (sigma * (1.0 / r)) ** 6
     return 4.0 * epsilon * s6 * (s6 - 1.0)
 
 
 def coulomb(r, qq):
     """Plain Coulomb k qq / r; qq = qi*qj [e^2]."""
-    return ONE_4PI_EPS0 * qq / r
+    return ONE_4PI_EPS0 * qq * (1.0 / r)
 
 def damped_coulomb(r, qq, alpha):
     """Damped (Wolf-style) Coulomb k qq erfc(alpha r)/r.
@@ -85,7 +97,7 @@ def damped_coulomb(r, qq, alpha):
     DampedSmoothedForce / NearNonbondedForce real-space terms and as the PME
     direct-space term.
     """
-    return ONE_4PI_EPS0 * qq * erfc(alpha * r) / r
+    return ONE_4PI_EPS0 * qq * erfc(alpha * r) * (1.0 / r)
 
 
 def reaction_field_coulomb(r, qq, r_cut, eps_rf):
@@ -97,7 +109,7 @@ def reaction_field_coulomb(r, qq, r_cut, eps_rf):
     """
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * r_cut**3)
     c_rf = 1.0 / r_cut + k_rf * r_cut**2
-    return ONE_4PI_EPS0 * qq * (1.0 / r + k_rf * r * r - c_rf)
+    return ONE_4PI_EPS0 * qq * ((1.0 / r) + k_rf * r * r - c_rf)
 
 
 def softcore_lj(r, sigma, epsilon, lamb, alpha=0.5):
@@ -141,12 +153,13 @@ def near_pair_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut,
     undamped = isinstance(alpha, (int, float)) and float(alpha) == 0.0
 
     def base(rr):
-        s6 = (sigma / rr) ** 6
+        inv = 1.0 / rr
+        s6 = (sigma * inv) ** 6
         u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
         if undamped:
-            u_c = ONE_4PI_EPS0 * qq / rr
+            u_c = ONE_4PI_EPS0 * qq * inv
         else:
-            u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr) / rr
+            u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr) * inv
         return u_lj + u_c
 
     # shifted-force: u(r) - u(rc) - u'(rc)(r - rc), derivative via jvp at trace
@@ -162,7 +175,8 @@ def damped_smoothed_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut):
     The damped-shifted formulation of Fennell & Gezelter (JCP 2006) with a
     smoothing (switching) polynomial instead of the force shift.
     """
-    s6 = (sigma / r) ** 6
+    inv = 1.0 / r
+    s6 = (sigma * inv) ** 6
     u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
-    u_c = ONE_4PI_EPS0 * qq * erfc(alpha * r) / r
+    u_c = ONE_4PI_EPS0 * qq * erfc(alpha * r) * inv
     return (u_lj + u_c) * switch_quintic(r, r_switch, r_cut)

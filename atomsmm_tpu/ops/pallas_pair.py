@@ -65,7 +65,7 @@ def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
             xi = hf_ref[c, :, k : k + 1]
             xj = cf_ref[c, k : k + 1, :]
             d = xi - xj
-            d = d - box[k] * jnp.round(d / box[k])
+            d = d - box[k] * jnp.round(d * (1.0 / box[k]))
             dxs.append(d)
             r2 = d * d if r2 is None else r2 + d * d
 
@@ -90,7 +90,7 @@ def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
         )
         zero = jnp.zeros_like(r)
         e_half = 0.5 * jnp.sum(jnp.where(mask, u, zero), axis=1, keepdims=True)
-        fmag = jnp.where(mask, dudr / r, zero)
+        fmag = jnp.where(mask, dudr * (1.0 / r), zero)
 
         out_ref[c, :, 3:4] += e_half
         for k in range(3):
@@ -175,6 +175,227 @@ def cell_pair_kernel_call(
         interpret=interpret,
     )(scal_full, home_feats, home_meta, cand_feats, cand_ids)
     return out
+
+
+def _hoist_consts(pair_fn, param_names, capP, j_tile, dtype):
+    """Close the pair function into a jaxpr and pull its captured scalars
+    (cutoffs, switch radii, lambdas, shifted-force constants...) out as
+    explicit trailing args: Pallas kernels cannot capture tracers, so the
+    captures travel via SMEM instead. Returns (converted_fn, consts)."""
+    names = list(param_names)
+    ex_r = jax.ShapeDtypeStruct((capP, j_tile), dtype)
+    ex_pi = {k: jax.ShapeDtypeStruct((capP, 1), dtype) for k in names}
+    ex_pj = {k: jax.ShapeDtypeStruct((1, j_tile), dtype) for k in names}
+    from . import pairfuncs
+
+    with pairfuncs.kernel_safe_math():
+        closed = jax.make_jaxpr(lambda rr, pi, pj: pair_fn(rr, pi, pj))(
+            ex_r, ex_pi, ex_pj
+        )
+    consts = closed.consts
+    for c in consts:
+        assert jnp.ndim(c) == 0, (
+            "pair-function closure captures a non-scalar; the Pallas path "
+            f"supports scalar captures only (got shape {jnp.shape(c)})"
+        )
+
+    def converted(rr, pi, pj, *const_vals):
+        flat_args = jax.tree.leaves((rr, pi, pj))
+        (out,) = jax.core.eval_jaxpr(closed.jaxpr, const_vals, *flat_args)
+        return out
+
+    return converted, consts
+
+
+def _half_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
+                 capP, sj_used, j_tile,
+                 scal_ref, hf_ref, hm_ref, cf_ref, ci_ref,
+                 oh_ref, oc_ref):
+    """Grid (ncells/cb, SJ/JT). Each program: `cell_block` home cells against
+    one J-tile of the half-stencil candidate axis (self cell occupies global
+    columns [0, capP), Newton directions after).
+
+    Every (capP, JT) pair tile — r2, mask, u, du/dr — lives in VMEM only; HBM
+    sees the staged per-cell features and two compact outputs:
+      oh (capP, 8): [fx fy fz e] per home atom, accumulated over J-tiles
+          (self columns weighted 1/2, Newton columns weight 1);
+      oc (8, SJ):   rows 0-2 = candidate-side reaction sums per J-tile (zero
+          for self columns, already both-ordered inside the tile).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        oh_ref[...] = jnp.zeros_like(oh_ref)
+
+    bx = scal_ref[0, 0]
+    by = scal_ref[0, 1]
+    bz = scal_ref[0, 2]
+    rc2 = scal_ref[0, 3]
+    box = (bx, by, bz)
+    consts = [scal_ref[0, 8 + k] for k in range(n_consts)]
+    col = j * j_tile + jax.lax.broadcasted_iota(jnp.int32, (1, j_tile), 1)
+    is_self = col < capP
+    w_col = jnp.where(is_self, 0.5, 1.0)
+    j_col = jnp.where(is_self | (col >= sj_used), 0.0, 1.0)
+
+    for c in range(cell_block):
+        r2 = None
+        dxs = []
+        for k in range(3):
+            xi = hf_ref[c, :, k : k + 1]
+            xj = cf_ref[c, k : k + 1, :]
+            d = xi - xj
+            d = d - box[k] * jnp.round(d * (1.0 / box[k]))
+            dxs.append(d)
+            r2 = d * d if r2 is None else r2 + d * d
+
+        hid = hm_ref[c, :, 0:1]
+        cid = ci_ref[c, 0:1, :]
+        mask = (hid < n_atoms) & (cid < n_atoms) & (hid != cid) & (r2 < rc2)
+        for e in range(max_exc):
+            mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
+
+        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        pi = {
+            name: hf_ref[c, :, 3 + k : 4 + k]
+            for k, name in enumerate(param_names)
+        }
+        pj = {
+            name: cf_ref[c, 3 + k : 4 + k, :]
+            for k, name in enumerate(param_names)
+        }
+        u, dudr = jax.jvp(
+            lambda rr: pair_fn(rr, pi, pj, *consts), (r,), (jnp.ones_like(r),)
+        )
+        zero = jnp.zeros_like(r)
+        e_home = jnp.sum(jnp.where(mask, u, zero) * w_col, axis=1,
+                         keepdims=True)
+        fmag = jnp.where(mask, dudr * (1.0 / r), zero)
+
+        oh_ref[c, :, 3:4] += e_home
+        for k in range(3):
+            fvec = fmag * dxs[k]
+            oh_ref[c, :, k : k + 1] += -jnp.sum(fvec, axis=1, keepdims=True)
+            oc_ref[c, k : k + 1, :] = (
+                jnp.sum(fvec, axis=0, keepdims=True) * j_col
+            )
+
+
+def stage_and_run_half(
+    spec,
+    pair_fn,
+    x,
+    box,
+    per_particle: Dict[str, jnp.ndarray],
+    bucket,
+    r_cut,
+    interpret: bool = False,
+):
+    """Newton half-stencil Pallas path: stage compact bucket-layout features
+    (XLA, coarse gathers only), run the VMEM pair kernel over
+    spec.nbr_cells_half, then route the candidate-side reaction sums back
+    through spec.inv_cells_half (same write-back as the XLA half path in
+    ops/neighbors.py::_cell_pair_sums_half). Returns (energy, forces (N, 3)).
+    """
+    n = x.shape[0]
+    ncells, cap = bucket.shape
+    capP = _round_up(cap, 8)
+    s_half = spec.nbr_cells_half.shape[1]
+    names = list(per_particle.keys())
+    f_cols = 3 + len(names)
+    assert f_cols <= 8, "at most 5 per-particle parameters in the kernel path"
+    exc = spec.exclusions
+    max_exc = exc.shape[1]
+    assert 1 + max_exc <= 8, "at most 7 exclusions/atom in the half-kernel path"
+
+    dtype = x.dtype
+    cols = [x] + [p[:, None].astype(dtype) for p in per_particle.values()]
+    feats = jnp.concatenate(cols, axis=1)
+    feats = jnp.concatenate([feats, jnp.zeros((1, f_cols), dtype)])
+    feats = jnp.pad(feats, ((0, 0), (0, 8 - f_cols)))
+    meta = jnp.concatenate(
+        [jnp.arange(n + 1, dtype=jnp.int32)[:, None],
+         jnp.concatenate([exc, jnp.full((1, max_exc), -1, jnp.int32)])],
+        axis=1,
+    )
+    meta = jnp.pad(meta, ((0, 0), (0, 8 - 1 - max_exc)), constant_values=-1)
+
+    bucket_p = jnp.pad(bucket, ((0, 0), (0, capP - cap)), constant_values=n)
+    hf = feats[bucket_p]              # (ncells, capP, 8)
+    hm = meta[bucket_p]               # (ncells, capP, 8)
+
+    sj_used = s_half * capP
+    # J-tile: big enough to amortize, small enough that ~20 live (capP, JT)
+    # f32 tiles stay under the VMEM budget
+    j_tile = 512 if capP * 512 * 4 * 20 <= (10 << 20) else 256
+    sj = _round_up(sj_used, j_tile)
+    nbr = spec.nbr_cells_half        # (ncells, S_half), always valid ids
+    cf = hf[nbr]                     # (ncells, S_half, capP, 8)
+    ci = hm[nbr][..., :1]            # (ncells, S_half, capP, 1)
+    cf = cf.transpose(0, 3, 1, 2).reshape(ncells, 8, sj_used)
+    ci = ci.transpose(0, 3, 1, 2).reshape(ncells, 1, sj_used)
+    cf = jnp.pad(cf, ((0, 0), (0, 0), (0, sj - sj_used)))
+    ci = jnp.pad(ci, ((0, 0), (0, 8 - 1), (0, sj - sj_used)),
+                 constant_values=n)
+
+    scal = jnp.zeros((1, 8), dtype)
+    scal = scal.at[0, :3].set(box.astype(dtype))
+    scal = scal.at[0, 3].set(jnp.asarray(r_cut, dtype) ** 2)
+
+    converted, consts = _hoist_consts(pair_fn, names, capP, j_tile, dtype)
+    n_scal = 8 + len(consts)
+    scal_full = jnp.zeros((1, _round_up(max(n_scal, 8), 8)), dtype)
+    scal_full = scal_full.at[0, :8].set(scal[0, :8])
+    for k, c in enumerate(consts):
+        scal_full = scal_full.at[0, 8 + k].set(c.astype(dtype))
+
+    # VMEM budget: ~20 live (capP, JT) f32 tiles per home cell
+    per_cell = capP * j_tile * 4 * 20
+    cell_block = max(1, min(8, (10 << 20) // per_cell))
+    while ncells % cell_block:
+        cell_block -= 1
+
+    kernel = functools.partial(
+        _half_kernel, converted, len(consts), tuple(names), n, max_exc,
+        cell_block, capP, sj_used, j_tile,
+    )
+    cb = cell_block
+    oh, oc = pl.pallas_call(
+        kernel,
+        grid=(ncells // cb, sj // j_tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, scal_full.shape[1]),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((cb, capP, 8), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cb, capP, 8), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cb, 8, j_tile), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((cb, 8, j_tile), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((cb, capP, 8), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cb, 8, j_tile), lambda i, j: (i, 0, j)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ncells, capP, 8), dtype),
+            jax.ShapeDtypeStruct((ncells, 8, sj), dtype),
+        ),
+        interpret=interpret,
+    )(scal_full, hf, hm, cf, ci)
+
+    energy = jnp.sum(oh[:, :cap, 3])
+    f_home = oh[:, :, :3]                              # (ncells, capP, 3)
+    f_cand = oc[:, :3, :sj_used].reshape(ncells, 3, s_half, capP)
+    f_cand = f_cand.transpose(0, 2, 3, 1)              # (ncells, S_half, capP, 3)
+    inv = spec.inv_cells_half
+    gathered = f_cand[inv, jnp.arange(s_half)[None, :]]
+    f_bucket = (f_home + jnp.sum(gathered, axis=1))[:, :cap]
+    forces = jnp.zeros((n + 1, 3), dtype)
+    forces = forces.at[bucket.reshape(-1)].add(f_bucket.reshape(-1, 3))
+    return energy, forces[:n]
 
 
 def stage_and_run(

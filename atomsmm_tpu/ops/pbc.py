@@ -11,8 +11,12 @@ import jax.numpy as jnp
 
 
 def minimum_image(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
-    """Minimum-image displacement for orthorhombic box; dx (..., 3), box (3,)."""
-    return dx - box * jnp.round(dx / box)
+    """Minimum-image displacement for orthorhombic box; dx (..., 3), box (3,).
+
+    Multiplies by the (3,)-vector reciprocal instead of dividing elementwise:
+    the reciprocal is hoisted out of the pair tile, the per-slot op is a mul.
+    """
+    return dx - box * jnp.round(dx * (1.0 / box))
 
 
 def wrap_positions(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:

@@ -30,7 +30,8 @@ def switch_quintic(r, r_switch, r_cut):
     >>> round(float(switch_quintic(jnp.float64(0.8), 0.7, 0.9)), 6)
     0.5
     """
-    u = (r - r_switch) / (r_cut - r_switch)
+    # reciprocal of the (scalar) switch width so the per-element op is a mul
+    u = (r - r_switch) * (1.0 / (r_cut - r_switch))
     u = jnp.clip(u, 0.0, 1.0)
     return 1.0 + u * u * u * (-10.0 + u * (15.0 - 6.0 * u))
 

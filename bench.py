@@ -53,6 +53,12 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=0.002, method="cutoff"):
     sync()
     log(f"water {3*n_molecules} ({method}): compile+first "
         f"{time.perf_counter()-t0:.0f}s")
+    # steady state: equilibrate off the lattice, then size cell capacities to
+    # measured occupancy (pair work ~ cap^2; Context.retune_neighbors)
+    ctx.step(300)
+    ctx.retune_neighbors()
+    ctx.step(1)
+    sync()
 
     best = None
     for _ in range(3):
