@@ -49,14 +49,11 @@ from .utils import pytree_dataclass, static_field
 
 
 def _resolve_neighbors(aux, key: str):
-    """(spec, bucket) for this force's neighbor grid, falling back to the
-    default grid; None -> dense path."""
+    """Aux entry ({'spec', 'bucket'[, 'cand']}) for this force's neighbor
+    structure, falling back to the default one; None -> dense path."""
     if not aux:
         return None
-    entry = aux.get(key) or aux.get("default")
-    if entry is None:
-        return None
-    return entry["spec"], entry["bucket"]
+    return aux.get(key) or aux.get("default")
 
 
 @pytree_dataclass
@@ -95,8 +92,16 @@ class _PairForceMixin:
         pp = self._per_particle(globals)
         nbr = _resolve_neighbors(aux, self.neighbor_key)
         if nbr is not None:
-            spec, bucket = nbr
-            return cell_pair_energy(pair_fn, x, box, pp, spec, bucket, r_cut)
+            if "cand" in nbr:  # atom-block tile path (ops/blocks.py)
+                from .ops.blocks import block_pair_energy
+
+                return block_pair_energy(
+                    pair_fn, x, box, pp, nbr["spec"], nbr["bucket"],
+                    nbr["cand"], r_cut,
+                )
+            return cell_pair_energy(
+                pair_fn, x, box, pp, nbr["spec"], nbr["bucket"], r_cut
+            )
         return dense_pair_energy(
             pair_fn, x, box, pp, self.exclusions, r_cut, chunk=self.chunk
         )
@@ -106,9 +111,15 @@ class _PairForceMixin:
         pp = self._per_particle(globals)
         nbr = _resolve_neighbors(aux, self.neighbor_key)
         if nbr is not None:
-            spec, bucket = nbr
+            if "cand" in nbr:
+                from .ops.blocks import block_pair_energy_forces
+
+                return block_pair_energy_forces(
+                    pair_fn, x, box, pp, nbr["spec"], nbr["bucket"],
+                    nbr["cand"], r_cut,
+                )
             return cell_pair_energy_forces(
-                pair_fn, x, box, pp, spec, bucket, r_cut
+                pair_fn, x, box, pp, nbr["spec"], nbr["bucket"], r_cut
             )
         e, g = jax.value_and_grad(
             lambda xx: dense_pair_energy(

@@ -64,6 +64,18 @@ class MonteCarloBarostatPropagator(Propagator):
                 aux = make_aux(system, all_neighbor_extras(system, x, box))
             return potential_energy(system, x, box, ctx.globals, aux=aux)
 
+        def energy_current():
+            # the step loop maintains valid neighbor structures for the
+            # CURRENT x/box in state.extra — no rebuild for e_old
+            aux = None
+            if system.neighbors is not None:
+                from ..ops.neighbors import make_aux
+
+                aux = make_aux(system, state.extra)
+            return potential_energy(
+                system, state.x, state.box, ctx.globals, aux=aux
+            )
+
         v_old = jnp.prod(state.box)
         dv = jax.random.uniform(
             k_dv, (), state.x.dtype, minval=-1.0, maxval=1.0
@@ -76,7 +88,7 @@ class MonteCarloBarostatPropagator(Propagator):
         )
         box_new = state.box * s
 
-        e_old = energy_of(state.x, state.box)
+        e_old = energy_current()
         e_new = energy_of(x_new, box_new)
         n_mol = system.num_molecules
         w = (

@@ -194,14 +194,22 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "Neighbor
 
 
 def retune_neighbor_specs(system, x, box, safety: float = 1.15):
-    """Retune every neighbor spec attached to a system (see retune_spec)."""
+    """Retune every neighbor spec attached to a system (see retune_spec /
+    blocks.retune_block_spec)."""
     from ..utils import replace as dreplace
+    from .blocks import BlockNeighborSpec, retune_block_spec
 
     if getattr(system, "neighbors", None) is None:
         return system
-    default = retune_spec(system.neighbors, x, box, safety)
+
+    def one(spec):
+        if isinstance(spec, BlockNeighborSpec):
+            return retune_block_spec(spec, x, box, max(safety, 1.15))
+        return retune_spec(spec, x, box, safety)
+
+    default = one(system.neighbors)
     extra = {
-        name: retune_spec(spec, x, box, safety)
+        name: one(spec)
         for name, spec in (system.extra_neighbor_specs or {}).items()
     }
     return dreplace(
@@ -326,7 +334,11 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
     return bucket.reshape(ncells, cap), jnp.any(~ok)
 
 
-def neighbor_list_extras(spec: NeighborSpec, x, box, name: str = "default") -> Dict[str, jnp.ndarray]:
+def neighbor_list_extras(spec, x, box, name: str = "default") -> Dict[str, jnp.ndarray]:
+    from .blocks import BlockNeighborSpec, block_list_extras
+
+    if isinstance(spec, BlockNeighborSpec):
+        return block_list_extras(spec, x, box, name)
     kb, kx, kbox, kov = _keys(name)
     bucket, overflow = build_cell_buckets(spec, x, box)
     return {kb: bucket, kx: x, kbox: box, kov: overflow,
@@ -343,9 +355,19 @@ def all_neighbor_extras(system, x, box) -> Dict[str, jnp.ndarray]:
 def make_aux(system, extra):
     """Assemble the aux dict passed to force evaluations: for each attached
     neighbor spec (the default plus any named ones, e.g. the finer 'near'
-    grid), its spec + current bucket. None when no neighbor path exists."""
+    grid), its spec + current bucket (cell path) or order+cand (block path).
+    None when no neighbor path exists."""
+    from . import blocks as blk
+
     aux = {}
     for name, spec in iter_specs(system):
+        if isinstance(spec, blk.BlockNeighborSpec):
+            ko, kc, *_ = blk._keys(name)
+            if ko in extra:
+                aux[name] = {
+                    "spec": spec, "bucket": extra[ko], "cand": extra[kc]
+                }
+            continue
         kb, *_ = _keys(name)
         if kb in extra:
             aux[name] = {"spec": spec, "bucket": extra[kb]}
@@ -386,8 +408,15 @@ def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):
 
 
 def update_all_neighbors(system, extra, x, box):
+    from . import blocks as blk
+
     out = {}
     for name, spec in iter_specs(system):
+        if isinstance(spec, blk.BlockNeighborSpec):
+            ko, *_ = blk._keys(name)
+            if ko in extra:
+                out.update(blk.update_blocks(spec, extra, x, box, name))
+            continue
         kb, *_ = _keys(name)
         if kb in extra:
             out.update(update_neighbors(spec, extra, x, box, name))

@@ -101,41 +101,30 @@ class ExtendedStateDataReporter(StateDataReporter):
             for name, value in snap.energy_split.items():
                 if name != "Total":
                     cols.append((f"{name} (kJ/mole)", float(value)))
-        if self.coulomb_energy:
-            from .computers import coulomb_energy
+        if self.pressure or self.coulomb_energy:
+            # ONE jitted evaluation for all extended observables, neighbor
+            # structures threaded from State.extra (computers.py)
+            from .computers import compute_observables
 
-            cstate = simulation.context.state
+            obs = compute_observables(
+                simulation.system,
+                simulation.context.state,
+                simulation.context.parameters,
+            )
+        if self.coulomb_energy:
             cols.append((
-                "Coulomb Energy (kJ/mole)",
-                float(coulomb_energy(
-                    simulation.system, cstate.x, cstate.box,
-                    simulation.context.parameters,
-                )),
+                "Coulomb Energy (kJ/mole)", float(obs["coulomb_energy"])
             ))
         if self.pressure:
-            from .computers import (
-                atomic_pressure,
-                atomic_virial,
-                molecular_kinetic_energy,
-                molecular_pressure,
-                molecular_virial,
-            )
-            from .units import PRESSURE_IN_BAR
-
-            system = simulation.system
-            state = simulation.context.state
-            globals = simulation.context.parameters
             cols += [
-                ("Atomic Virial (kJ/mole)",
-                 float(atomic_virial(system, state.x, state.box, globals))),
+                ("Atomic Virial (kJ/mole)", float(obs["atomic_virial"])),
                 ("Molecular Virial (kJ/mole)",
-                 float(molecular_virial(system, state.x, state.box, globals))),
-                ("Atomic Pressure (bar)",
-                 float(atomic_pressure(system, state, globals)) * PRESSURE_IN_BAR),
+                 float(obs["molecular_virial"])),
+                ("Atomic Pressure (bar)", float(obs["atomic_pressure"])),
                 ("Molecular Pressure (bar)",
-                 float(molecular_pressure(system, state, globals)) * PRESSURE_IN_BAR),
+                 float(obs["molecular_pressure"])),
                 ("Molecular Kinetic Energy (kJ/mole)",
-                 float(molecular_kinetic_energy(system, state.v))),
+                 float(obs["molecular_kinetic_energy"])),
             ]
         for p in self.global_parameters:
             cols.append((p, float(simulation.context.parameters[p])))

@@ -206,3 +206,59 @@ def test_coulomb_energy_column():
     sim.step(5)
     header = buf.getvalue().splitlines()[0]
     assert "Coulomb Energy (kJ/mole)" in header
+
+
+def test_system_serialization_roundtrip(tmp_path):
+    """SURVEY §2b N8 (XmlSerializer analog): save/load(System) must reproduce
+    energies bitwise WITHOUT re-running builder code — forces, parameters,
+    neighbor specs, and constraints all round-trip."""
+    from atomsmm_tpu import RESPASystem, split_potential_energy
+    from atomsmm_tpu.checkpoint import load_system, save_system
+    from atomsmm_tpu.models import rigid_water_system, water_system
+
+    system, x, box = water_system(
+        n_molecules=48, r_cut=0.5, r_switch=0.4, seed=3, neighbors=True,
+        dispersion_correction=True,
+    )
+    respa = RESPASystem(system, rcut_in=0.35, rswitch_in=0.3)
+    respa = respa.with_neighbors(system.neighbors)
+    path = tmp_path / "system.npz"
+    save_system(str(path), respa)
+    loaded = load_system(str(path))
+
+    e0 = split_potential_energy(respa, x, box)
+    e1 = split_potential_energy(loaded, x, box)
+    assert set(e0) == set(e1)
+    for k in e0:
+        assert float(e0[k]) == float(e1[k]), k  # bitwise
+    assert loaded.neighbors.grid == respa.neighbors.grid
+    assert loaded.neighbors.cell_capacity == respa.neighbors.cell_capacity
+    assert loaded.num_molecules == respa.num_molecules
+
+    # constraints round-trip (rigid TIP3P)
+    rigid, xr, boxr = rigid_water_system(n_molecules=27, r_cut=0.45)
+    path2 = tmp_path / "rigid.npz"
+    save_system(str(path2), rigid)
+    loaded2 = load_system(str(path2))
+    assert loaded2.num_constraints == rigid.num_constraints
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(loaded2.constraints.pairs), np.asarray(rigid.constraints.pairs)
+    )
+
+
+def test_system_serialization_rejects_callables(tmp_path):
+    from atomsmm_tpu.checkpoint import save_system
+    from atomsmm_tpu.forces import CustomBondForce
+    from atomsmm_tpu.models import argon_system
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    system, x, box = argon_system(n=32, jitter=0.0, seed=0, r_cut=0.5, r_switch=0.45)
+    bad = system.add_force(CustomBondForce(
+        pairs=jnp.asarray([[0, 1]], jnp.int32), per_bond={},
+        energy_function=lambda r, p: r * 0.0,
+    ))
+    with _pytest.raises(TypeError, match="callable"):
+        save_system(str(tmp_path / "bad.npz"), bad)
