@@ -80,11 +80,25 @@ class Context:
         if system.neighbors is not None:
             from .ops.neighbors import all_neighbor_extras
 
-            state = state.with_extra(
-                **jax.jit(all_neighbor_extras, static_argnums=())(
+            extras = jax.jit(all_neighbor_extras, static_argnums=())(
+                system, state.x, state.box
+            )
+            if any(
+                bool(v) for k, v in extras.items()
+                if k.startswith("nbr") and k.endswith("overflow")
+            ):
+                # Cold-start capacity estimate busted (e.g. a clustered
+                # lattice): retune every spec to the measured configuration
+                # instead of raising — same mechanism as retune_neighbors().
+                from .ops.neighbors import retune_neighbor_specs
+
+                self.system = system = retune_neighbor_specs(
                     system, state.x, state.box
                 )
-            )
+                extras = jax.jit(all_neighbor_extras, static_argnums=())(
+                    system, state.x, state.box
+                )
+            state = state.with_extra(**extras)
         self.state = integrator.initialize(system, state)
         # openmm semantics: a MonteCarloBarostat force in the system drives
         # MC volume moves after each step (integrate/barostat.py)

@@ -201,13 +201,15 @@ class NonbondedForce(_PairForceMixin, Force):
             if use_switch:
                 from .ops.switching import switch_quintic
 
-                u_lj = u_lj * switch_quintic(r, r_switch, r_cut)
+                rr = r.r if isinstance(r, pairfuncs.Rv) else r
+                u_lj = u_lj * switch_quintic(rr, r_switch, r_cut)
             if method == "cutoff":
                 u_c = pairfuncs.reaction_field_coulomb(r, qq, r_cut, eps_rf)
             else:  # 'pme': real-space (direct) Ewald term
                 u_c = pairfuncs.damped_coulomb(r, qq, alpha)
             return u_lj + u_c
 
+        pair.takes_rv = True
         return pair
 
     def _recip_energy(self, x, box, globals=None):
@@ -359,6 +361,7 @@ class NearNonbondedForce(_PairForceMixin, Force):
                 r, sigma, epsilon, qq, alpha, r_switch, r_cut, subtract=subtract
             )
 
+        pair.takes_rv = True
         return pair
 
     def energy(self, x, box, globals, aux=None):
@@ -405,6 +408,9 @@ class FarNonbondedForce(_PairForceMixin, Force):
         def pair(r, pi, pj):
             return pf(r, pi, pj) + pn(r, pi, pj)
 
+        pair.takes_rv = getattr(pf, "takes_rv", False) and getattr(
+            pn, "takes_rv", False
+        )
         return pair
 
     def energy(self, x, box, globals, aux=None):
@@ -470,6 +476,7 @@ class DampedSmoothedForce(_PairForceMixin, Force):
                 r, sigma, epsilon, qq, alpha, r_switch, r_cut
             )
 
+        pair.takes_rv = True
         return pair
 
     def energy(self, x, box, globals, aux=None):
@@ -515,11 +522,13 @@ class SoftcoreLennardJonesForce(_PairForceMixin, Force):
             if use_switch:
                 from .ops.switching import switch_quintic
 
-                u = u * switch_quintic(r, r_switch, r_cut)
+                rr = r.r if isinstance(r, pairfuncs.Rv) else r
+                u = u * switch_quintic(rr, r_switch, r_cut)
             # interaction group: exactly one of (i, j) in the solute set
             cross = pi["solute"] + pj["solute"] - 2.0 * pi["solute"] * pj["solute"]
             return u * cross
 
+        pair.takes_rv = True
         return pair
 
     def energy(self, x, box, globals, aux=None):

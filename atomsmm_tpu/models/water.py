@@ -192,14 +192,21 @@ def water_system(
         num_molecules=m,
     )
     if neighbors:
-        from ..ops.neighbors import make_neighbor_spec
+        if neighbors == "blocks":
+            from ..ops.blocks import make_block_spec
 
-        system = system.with_neighbors(
-            make_neighbor_spec(
+            spec = make_block_spec(
+                np.full(3, box_l), n, r_cut, skin=skin,
+                exclusions=nb_kwargs["exclusions"], occupancy_from=x,
+            )
+        else:
+            from ..ops.neighbors import make_neighbor_spec
+
+            spec = make_neighbor_spec(
                 np.full(3, box_l), n, r_cut, skin=skin,
                 exclusions=nb_kwargs["exclusions"],
             )
-        )
+        system = system.with_neighbors(spec)
     return system, jnp.asarray(x, dtype), box
 
 

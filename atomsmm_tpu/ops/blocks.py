@@ -38,6 +38,7 @@ import numpy as np
 
 from ..utils import pytree_dataclass, static_field
 from .pbc import minimum_image
+from .rv import pair_eval
 
 _MORTON_BITS = 6  # 64^3 fine grid for the space-filling sort (unused by
                   # default; see _serpentine_key)
@@ -251,21 +252,18 @@ def block_pair_sums(spec, pair_fn, x, box, per_particle, order, cand, r_cut,
         ).reshape(bi.shape[0], 1, k_max * b)
         j_col = jnp.where(is_self | ~valid, 0.0, 1.0)[:, :, None]  # (C,K,1)
 
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        r2m = jnp.where(mask, r2, 1.0)
         pi = {k: home_f[:, :, None, 3 + i] for i, k in enumerate(names)}
         pj = {k: cand_f[:, None, :, 3 + i] for i, k in enumerate(names)}
+        u, dudr2 = pair_eval(pair_fn, r2m, pi, pj, with_forces)
         if with_forces:
-            u, dudr = jax.jvp(
-                lambda rr: pair_fn(rr, pi, pj), (r,), (jnp.ones_like(r),)
-            )
-            fmag = jnp.where(mask, dudr * (1.0 / r), 0.0)
+            fmag = jnp.where(mask, 2.0 * dudr2, 0.0)
             fvec = fmag[..., None] * dx                # (C, B, K*B, 3)
             f_home = -jnp.sum(fvec, axis=2)            # (C, B, 3)
             f_cand = jnp.sum(fvec, axis=1).reshape(
                 bi.shape[0], k_max, b, 3
             ) * j_col[..., None]
         else:
-            u = pair_fn(r, pi, pj)
             f_home = f_cand = None
         e = jnp.sum(jnp.where(mask, u, 0.0) * w_col)
         return carry + e, (f_home, f_cand)
@@ -335,9 +333,21 @@ def make_block_spec(
     # compact without Morton's octant jumps
     sort_grid = tuple(max(1, int(round(b / side))) for b in box)
     if max_cand is None:
-        vol = (side + 2.0 * r_build) ** 3
+        # Minkowski sum of the AABB-overlap cube (side 2*s) with a ball of
+        # radius r_build — the exact acceptance region for equal cubic
+        # blocks — times a fragmentation margin for non-cubic snake blocks.
+        # (The naive (s + 2r)^3 underestimates ~2x: measured mean 52 vs est
+        # 18 at 30k water, r_build = 1.0.)
+        a = 2.0 * side
+        vol = (
+            a ** 3
+            + 6.0 * a * a * r_build
+            + 3.0 * math.pi * a * r_build ** 2
+            + (4.0 / 3.0) * math.pi * r_build ** 3
+        )
         est = vol * rho / block_size / 2.0
-        max_cand = int(math.ceil(est * cand_safety)) + 4
+        frag = 2.0  # snake-wrap blocks: measured max/mean ~1.9 on lattices
+        max_cand = int(math.ceil(est * max(cand_safety, 1.0) * frag)) + 4
     max_cand = min(max_cand, nb)
     if exclusions is None:
         exclusions = jnp.full((n, 1), -1, jnp.int32)

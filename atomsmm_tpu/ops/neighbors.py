@@ -35,6 +35,7 @@ import numpy as np
 
 from ..utils import pytree_dataclass, static_field
 from .pbc import minimum_image
+from .rv import pair_eval
 
 # State.extra keys used by the neighbor subsystem (default spec; named
 # specs use nbr_<name>_bucket etc.)
@@ -507,17 +508,15 @@ def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
         )
         mask &= ~excluded
 
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        r2m = jnp.where(mask, r2, 1.0)
         pi = {k: v[:, :, None] for k, v in home_pp.items()}
         pj = {k: v[:, None, :] for k, v in cand_pp.items()}
+        u, dudr2 = pair_eval(pair_fn, r2m, pi, pj, with_forces)
         if with_forces:
-            u, dudr = jax.jvp(
-                lambda rr: pair_fn(rr, pi, pj), (r,), (jnp.ones_like(r),)
-            )
-            fmag = jnp.where(mask, dudr * (1.0 / r), 0.0)
+            # f = -u'(r) r̂ = -2 (du/dr²) Δx — no 1/r (ops/rv.py)
+            fmag = jnp.where(mask, 2.0 * dudr2, 0.0)
             f_home = -jnp.sum(fmag[..., None] * dx, axis=2)  # (B, cap, 3)
         else:
-            u = pair_fn(r, pi, pj)
             f_home = None
         e = 0.5 * jnp.sum(jnp.where(mask, u, 0.0))
         return carry + e, f_home
@@ -595,19 +594,16 @@ def _cell_pair_sums_half(spec, pair_fn, x, box, per_particle, bucket, r_cut,
         )
         mask &= ~excluded
 
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        r2m = jnp.where(mask, r2, 1.0)
         pi = {k: v[:, :, None] for k, v in home_pp.items()}
         pj = {k: v[:, None, :] for k, v in cand_pp.items()}
+        u, dudr2 = pair_eval(pair_fn, r2m, pi, pj, with_forces)
         if with_forces:
-            u, dudr = jax.jvp(
-                lambda rr: pair_fn(rr, pi, pj), (r,), (jnp.ones_like(r),)
-            )
-            fmag = jnp.where(mask, dudr * (1.0 / r), 0.0)
+            fmag = jnp.where(mask, 2.0 * dudr2, 0.0)
             fvec = fmag[..., None] * dx                      # (B, cap, S*cap, 3)
             f_home = -jnp.sum(fvec, axis=2)                  # (B, cap, 3)
             f_cand = jnp.sum(fvec, axis=1) * j_cols[None, :, None]
         else:
-            u = pair_fn(r, pi, pj)
             f_home = f_cand = None
         e = jnp.sum(jnp.where(mask, u, 0.0) * w_cols[None, None, :])
         return carry + e, (f_home, f_cand)

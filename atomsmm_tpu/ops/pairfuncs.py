@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from contextlib import contextmanager
 
 from ..units import ONE_4PI_EPS0
+from .rv import Rv, make_rv, rv_parts  # noqa: F401  (re-exported)
 from .switching import switch_quintic
 
 # --- erfc dispatch ----------------------------------------------------------
@@ -79,16 +80,21 @@ def lj(r, sigma, epsilon):
     >>> float(lj(jnp.float64(0.34), 0.34, 0.65))  # zero crossing at sigma
     0.0
     """
-    # single-reciprocal form: every pair primitive multiplies by (1/r) so XLA
-    # CSE merges the divide across LJ/Coulomb terms — divides are the dominant
-    # per-slot cost on the TPU VPU
-    s6 = (sigma * (1.0 / r)) ** 6
+    # single-reciprocal form: every pair primitive multiplies by (1/r) (or an
+    # Rv's shared rsqrt — ops/rv.py) so the reciprocal is computed once per
+    # slot — divides/sqrts are the dominant per-slot cost on the TPU VPU
+    _, rinv, _ = rv_parts(r)
+    t = sigma * rinv
+    t2 = t * t
+    s6 = t2 * t2 * t2
     return 4.0 * epsilon * s6 * (s6 - 1.0)
 
 
 def coulomb(r, qq):
     """Plain Coulomb k qq / r; qq = qi*qj [e^2]."""
-    return ONE_4PI_EPS0 * qq * (1.0 / r)
+    _, rinv, _ = rv_parts(r)
+    return ONE_4PI_EPS0 * qq * rinv
+
 
 def damped_coulomb(r, qq, alpha):
     """Damped (Wolf-style) Coulomb k qq erfc(alpha r)/r.
@@ -97,7 +103,8 @@ def damped_coulomb(r, qq, alpha):
     DampedSmoothedForce / NearNonbondedForce real-space terms and as the PME
     direct-space term.
     """
-    return ONE_4PI_EPS0 * qq * erfc(alpha * r) * (1.0 / r)
+    rr, rinv, _ = rv_parts(r)
+    return ONE_4PI_EPS0 * qq * erfc(alpha * rr) * rinv
 
 
 def reaction_field_coulomb(r, qq, r_cut, eps_rf):
@@ -109,7 +116,8 @@ def reaction_field_coulomb(r, qq, r_cut, eps_rf):
     """
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * r_cut**3)
     c_rf = 1.0 / r_cut + k_rf * r_cut**2
-    return ONE_4PI_EPS0 * qq * ((1.0 / r) + k_rf * r * r - c_rf)
+    _, rinv, r2 = rv_parts(r)
+    return ONE_4PI_EPS0 * qq * (rinv + k_rf * r2 - c_rf)
 
 
 def softcore_lj(r, sigma, epsilon, lamb, alpha=0.5):
@@ -129,7 +137,9 @@ def softcore_lj(r, sigma, epsilon, lamb, alpha=0.5):
     >>> bool(jnp.isfinite(softcore_lj(jnp.float64(1e-6), 0.34, 0.65, 0.5)))
     True
     """
-    x = alpha * (1.0 - lamb) + (r / sigma) ** 6
+    _, _, r2 = rv_parts(r)
+    t = r2 / (sigma * sigma)
+    x = alpha * (1.0 - lamb) + t * t * t
     inv = 1.0 / x
     return 4.0 * epsilon * lamb * inv * (inv - 1.0)
 
@@ -153,19 +163,25 @@ def near_pair_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut,
     undamped = isinstance(alpha, (int, float)) and float(alpha) == 0.0
 
     def base(rr):
-        inv = 1.0 / rr
-        s6 = (sigma * inv) ** 6
+        _, inv, _ = rv_parts(rr)
+        t = sigma * inv
+        t2 = t * t
+        s6 = t2 * t2 * t2
         u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
         if undamped:
             u_c = ONE_4PI_EPS0 * qq * inv
         else:
-            u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr) * inv
+            rr_ = rr.r if isinstance(rr, Rv) else rr
+            u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr_) * inv
         return u_lj + u_c
 
     # shifted-force: u(r) - u(rc) - u'(rc)(r - rc), derivative via jvp at trace
     # time (replaces the reference's symbolically shifted Lepton strings).
     u_rc, du_rc = jax.jvp(base, (r_cut,), (jnp.ones_like(r_cut),))
-    u = (base(r) - u_rc - du_rc * (r - r_cut)) * switch_quintic(r, r_switch, r_cut)
+    rr_ = r.r if isinstance(r, Rv) else r
+    u = (base(r) - u_rc - du_rc * (rr_ - r_cut)) * switch_quintic(
+        rr_, r_switch, r_cut
+    )
     return -u if subtract else u
 
 
@@ -175,8 +191,10 @@ def damped_smoothed_energy(r, sigma, epsilon, qq, alpha, r_switch, r_cut):
     The damped-shifted formulation of Fennell & Gezelter (JCP 2006) with a
     smoothing (switching) polynomial instead of the force shift.
     """
-    inv = 1.0 / r
-    s6 = (sigma * inv) ** 6
+    rr, inv, _ = rv_parts(r)
+    t = sigma * inv
+    t2 = t * t
+    s6 = t2 * t2 * t2
     u_lj = 4.0 * epsilon * s6 * (s6 - 1.0)
-    u_c = ONE_4PI_EPS0 * qq * erfc(alpha * r) * inv
-    return (u_lj + u_c) * switch_quintic(r, r_switch, r_cut)
+    u_c = ONE_4PI_EPS0 * qq * erfc(alpha * rr) * inv
+    return (u_lj + u_c) * switch_quintic(rr, r_switch, r_cut)

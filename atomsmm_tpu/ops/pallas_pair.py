@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .rv import Rv, make_rv
+
 LANE = 128
 
 
@@ -42,8 +44,8 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
-                 scal_ref, hf_ref, hm_ref, cf_ref, ci_ref, out_ref):
+def _pair_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
+                 cell_block, scal_ref, hf_ref, hm_ref, cf_ref, ci_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -75,7 +77,7 @@ def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
         for e in range(max_exc):
             mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
 
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        r2m = jnp.where(mask, r2, 1.0)
         pi = {
             name: hf_ref[c, :, 3 + k : 4 + k]
             for k, name in enumerate(param_names)
@@ -85,12 +87,14 @@ def _pair_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
             for k, name in enumerate(param_names)
         }
 
-        u, dudr = jax.jvp(
-            lambda rr: pair_fn(rr, pi, pj, *consts), (r,), (jnp.ones_like(r),)
-        )
-        zero = jnp.zeros_like(r)
+        def f(s):
+            rv = make_rv(s)
+            return pair_fn(rv if takes_rv else rv.r, pi, pj, *consts)
+
+        u, dudr2 = jax.jvp(f, (r2m,), (jnp.ones_like(r2m),))
+        zero = jnp.zeros_like(r2m)
         e_half = 0.5 * jnp.sum(jnp.where(mask, u, zero), axis=1, keepdims=True)
-        fmag = jnp.where(mask, dudr * (1.0 / r), zero)
+        fmag = jnp.where(mask, 2.0 * dudr2, zero)
 
         out_ref[c, :, 3:4] += e_half
         for k in range(3):
@@ -125,26 +129,9 @@ def cell_pair_kernel_call(
     # function takes them as explicit trailing args, delivered via SMEM.
     dtype = home_feats.dtype
     names = list(param_names)
-    ex_r = jax.ShapeDtypeStruct((capP, j_tile), dtype)
-    ex_pi = {k: jax.ShapeDtypeStruct((capP, 1), dtype) for k in names}
-    ex_pj = {k: jax.ShapeDtypeStruct((1, j_tile), dtype) for k in names}
-    from . import pairfuncs
-
-    with pairfuncs.kernel_safe_math():
-        closed = jax.make_jaxpr(lambda rr, pi, pj: pair_fn(rr, pi, pj))(
-            ex_r, ex_pi, ex_pj
-        )
-    consts = closed.consts  # captured values: tracers AND concrete arrays
-    for c in consts:
-        assert jnp.ndim(c) == 0, (
-            "pair-function closure captures a non-scalar; the Pallas path "
-            f"supports scalar captures only (got shape {jnp.shape(c)})"
-        )
-
-    def converted(rr, pi, pj, *const_vals):
-        flat_args = jax.tree.leaves((rr, pi, pj))
-        (out,) = jax.core.eval_jaxpr(closed.jaxpr, const_vals, *flat_args)
-        return out
+    converted, consts, takes_rv = _hoist_consts(
+        pair_fn, names, capP, j_tile, dtype
+    )
     n_scal = 8 + len(consts)
     scal_full = jnp.zeros((1, _round_up(max(n_scal, 8), 8)), dtype)
     scal_full = scal_full.at[0, :8].set(scal[0, :8])
@@ -152,8 +139,8 @@ def cell_pair_kernel_call(
         scal_full = scal_full.at[0, 8 + k].set(c.astype(dtype))
 
     kernel = functools.partial(
-        _pair_kernel, converted, len(consts), tuple(names), n_atoms, max_exc,
-        cell_block,
+        _pair_kernel, converted, takes_rv, len(consts), tuple(names), n_atoms,
+        max_exc, cell_block,
     )
     cb = cell_block
     out = pl.pallas_call(
@@ -181,9 +168,12 @@ def _hoist_consts(pair_fn, param_names, capP, j_tile, dtype):
     """Close the pair function into a jaxpr and pull its captured scalars
     (cutoffs, switch radii, lambdas, shifted-force constants...) out as
     explicit trailing args: Pallas kernels cannot capture tracers, so the
-    captures travel via SMEM instead. Returns (converted_fn, consts)."""
+    captures travel via SMEM instead. Returns (converted_fn, consts,
+    takes_rv)."""
     names = list(param_names)
-    ex_r = jax.ShapeDtypeStruct((capP, j_tile), dtype)
+    takes_rv = getattr(pair_fn, "takes_rv", False)
+    sds = jax.ShapeDtypeStruct((capP, j_tile), dtype)
+    ex_r = Rv(sds, sds, sds) if takes_rv else sds
     ex_pi = {k: jax.ShapeDtypeStruct((capP, 1), dtype) for k in names}
     ex_pj = {k: jax.ShapeDtypeStruct((1, j_tile), dtype) for k in names}
     from . import pairfuncs
@@ -204,11 +194,11 @@ def _hoist_consts(pair_fn, param_names, capP, j_tile, dtype):
         (out,) = jax.core.eval_jaxpr(closed.jaxpr, const_vals, *flat_args)
         return out
 
-    return converted, consts
+    return converted, consts, takes_rv
 
 
-def _half_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
-                 capP, sj_used, j_tile,
+def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
+                 cell_block, capP, sj_used, j_tile,
                  scal_ref, hf_ref, hm_ref, cf_ref, ci_ref,
                  oh_ref, oc_ref):
     """Grid (ncells/cb, SJ/JT). Each program: `cell_block` home cells against
@@ -256,7 +246,7 @@ def _half_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
         for e in range(max_exc):
             mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
 
-        r = jnp.sqrt(jnp.where(mask, r2, 1.0))
+        r2m = jnp.where(mask, r2, 1.0)
         pi = {
             name: hf_ref[c, :, 3 + k : 4 + k]
             for k, name in enumerate(param_names)
@@ -265,13 +255,16 @@ def _half_kernel(pair_fn, n_consts, param_names, n_atoms, max_exc, cell_block,
             name: cf_ref[c, 3 + k : 4 + k, :]
             for k, name in enumerate(param_names)
         }
-        u, dudr = jax.jvp(
-            lambda rr: pair_fn(rr, pi, pj, *consts), (r,), (jnp.ones_like(r),)
-        )
-        zero = jnp.zeros_like(r)
+
+        def f(s):
+            rv = make_rv(s)
+            return pair_fn(rv if takes_rv else rv.r, pi, pj, *consts)
+
+        u, dudr2 = jax.jvp(f, (r2m,), (jnp.ones_like(r2m),))
+        zero = jnp.zeros_like(r2m)
         e_home = jnp.sum(jnp.where(mask, u, zero) * w_col, axis=1,
                          keepdims=True)
-        fmag = jnp.where(mask, dudr * (1.0 / r), zero)
+        fmag = jnp.where(mask, 2.0 * dudr2, zero)
 
         oh_ref[c, :, 3:4] += e_home
         for k in range(3):
@@ -343,7 +336,9 @@ def stage_and_run_half(
     scal = scal.at[0, :3].set(box.astype(dtype))
     scal = scal.at[0, 3].set(jnp.asarray(r_cut, dtype) ** 2)
 
-    converted, consts = _hoist_consts(pair_fn, names, capP, j_tile, dtype)
+    converted, consts, takes_rv = _hoist_consts(
+        pair_fn, names, capP, j_tile, dtype
+    )
     n_scal = 8 + len(consts)
     scal_full = jnp.zeros((1, _round_up(max(n_scal, 8), 8)), dtype)
     scal_full = scal_full.at[0, :8].set(scal[0, :8])
@@ -357,8 +352,8 @@ def stage_and_run_half(
         cell_block -= 1
 
     kernel = functools.partial(
-        _half_kernel, converted, len(consts), tuple(names), n, max_exc,
-        cell_block, capP, sj_used, j_tile,
+        _half_kernel, converted, takes_rv, len(consts), tuple(names), n,
+        max_exc, cell_block, capP, sj_used, j_tile,
     )
     cb = cell_block
     oh, oc = pl.pallas_call(

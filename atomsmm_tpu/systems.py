@@ -82,18 +82,29 @@ def RESPASystem(
     out = system.replace_forces(new_forces)
     if near_grid and system.neighbors is not None:
         # the near force integrates most often — give it its own finer cell
-        # grid (slot count scales with cell width cubed)
+        # grid / tighter tile list (slot count scales with the build radius
+        # cubed)
         import numpy as np
 
+        from .ops.blocks import BlockNeighborSpec, make_block_spec
         from .ops.neighbors import make_neighbor_spec
 
-        near_spec = make_neighbor_spec(
-            np.asarray(system.default_box),
-            system.num_particles,
-            float(rcut_in),
-            exclusions=np.asarray(nb.exclusions),
-            backend=system.neighbors.backend,
-        )
+        if isinstance(system.neighbors, BlockNeighborSpec):
+            near_spec = make_block_spec(
+                np.asarray(system.default_box),
+                system.num_particles,
+                float(rcut_in),
+                exclusions=np.asarray(nb.exclusions),
+                block_size=system.neighbors.block_size,
+            )
+        else:
+            near_spec = make_neighbor_spec(
+                np.asarray(system.default_box),
+                system.num_particles,
+                float(rcut_in),
+                exclusions=np.asarray(nb.exclusions),
+                backend=system.neighbors.backend,
+            )
         out = out.with_neighbors(system.neighbors, near=near_spec)
         out = out.replace_forces(
             replace(f, neighbor_key="near")
