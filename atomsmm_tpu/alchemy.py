@@ -9,6 +9,32 @@ solver is implemented as a plain JAX fixed point — SURVEY.md §7 M7).
 TPU shape: lambda is a traced scalar inside the potential, so the multi-state
 energy evaluation is ONE vmap over the globals dict — no recompilation, no
 loops (SURVEY.md §2b N9).
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> from atomsmm_tpu import SolvationSystem
+>>> from atomsmm_tpu.models import water_system
+>>> from atomsmm_tpu.potential import potential_energy
+>>> system, x, box = water_system(n_molecules=27, r_cut=0.45, r_switch=0.35)
+>>> solv = SolvationSystem(system, solute_atoms=jnp.arange(3))
+>>> lams = jnp.asarray([0.0, 0.5, 1.0])
+>>> es = multistate_energies(solv, x, box,
+...                          {"lambda_vdw": lams, "lambda_coul": lams})
+>>> es.shape
+(3,)
+>>> e_mid = potential_energy(solv, x, box,
+...                          {"lambda_vdw": 0.5, "lambda_coul": 0.5})
+>>> bool(abs(es[1] - e_mid) < 1e-10)             # vmap == scalar evaluation
+True
+
+MBAR on an analytically solvable case — two identical states have zero free
+energy difference:
+
+>>> u_kn = jnp.stack([jnp.asarray([1.0, 2.0, 3.0, 4.0])] * 2)
+>>> f = mbar_free_energies(u_kn, jnp.asarray([2, 2]))
+>>> bool(abs(f[1] - f[0]) < 1e-10)
+True
 """
 from __future__ import annotations
 

@@ -11,6 +11,30 @@ of the potential with respect to an isotropic scaling parameter —
 which is exact for every force term (pair, bonded, PME reciprocal including
 its box dependence) — this replaces the reference's parameter-differentiation
 tricks with actual differentiation.
+
+Examples — two LJ particles at the potential minimum have zero virial
+(du/dr = 0 there, W = -r u'(r)):
+
+>>> import jax.numpy as jnp
+>>> from atomsmm_tpu.forces import NonbondedForce
+>>> from atomsmm_tpu.system import System
+>>> r0 = 2.0 ** (1 / 6) * 0.34
+>>> system = System(
+...     masses=jnp.ones(2) * 39.9,
+...     forces=(NonbondedForce(
+...         charge=jnp.zeros(2), sigma=jnp.full(2, 0.34),
+...         epsilon=jnp.full(2, 0.65), exclusions=jnp.full((2, 1), -1),
+...         r_cut=jnp.asarray(1.0), r_switch=jnp.asarray(0.99),
+...         use_switch=False),),
+...     default_box=jnp.full(3, 5.0))
+>>> x = jnp.asarray([[1.0, 1.0, 1.0], [1.0 + r0, 1.0, 1.0]])
+>>> w = atomic_virial(system, x, jnp.full(3, 5.0))
+>>> bool(abs(w) < 1e-9)
+True
+>>> x2 = x.at[1, 0].set(1.0 + 0.34)   # at sigma: W = -r u'(r) = +24 eps
+>>> w2 = atomic_virial(system, x2, jnp.full(3, 5.0))
+>>> bool(abs(w2 - 24.0 * 0.65) < 1e-8)
+True
 """
 from __future__ import annotations
 

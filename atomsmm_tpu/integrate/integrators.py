@@ -6,6 +6,28 @@ its propagator emits an instruction program; ours holds a Propagator and
 compiles it into a single jitted step function State -> State. `describe()`
 plays the role of the reference's pretty-printed `__str__` instruction dump
 (the de-facto integrator debugger).
+
+Examples — the instruction dump for a 2-level RESPA integrator with a
+Nosé-Hoover bath (compare SURVEY.md §3.2's hot-loop sketch):
+
+>>> mts = MultipleTimeScaleIntegrator(0.004, [2, 1], temperature=300.0,
+...                                   time_scale=0.1, degrees_of_freedom=93)
+>>> print(mts.describe())
+MultipleTimeScaleIntegrator(dt=0.004 ps)
+RESPA(loops=[2, 1]):
+  bath[-1](0.5 dt)
+  repeat x1:
+    v <- v + F[1]/m * 0.5 dt
+    repeat x2:
+      v <- v + F[0]/m * 0.25 dt
+      x <- x + v * 0.5 dt
+      v <- v + F[0]/m * 0.25 dt
+    v <- v + F[1]/m * 0.5 dt
+  bath[-1](0.5 dt)
+
+>>> vv = VelocityVerletIntegrator(dt=0.002)
+>>> "x <- x + v" in vv.describe()
+True
 """
 from __future__ import annotations
 

@@ -19,6 +19,30 @@ Every propagator implements:
 
 `ctx` is a StepContext carrying the system, the global-parameter dict, the
 step size, and cached per-group force evaluators.
+
+Examples — composition mirrors the operator-splitting math:
+
+>>> vv = VelocityVerletPropagator()
+>>> for line in vv.describe(1.0):
+...     print(line)
+VelocityVerlet:
+  v <- v + F[all]/m * 0.5 dt, read cache
+  x <- x + v * 1 dt (+SHAKE if constrained)
+  v <- v + F[all]/m * 0.5 dt, write cache
+
+>>> ts = TrotterSuzukiPropagator(TranslationPropagator(),
+...                              BoostPropagator(groups={0}))
+>>> for line in ts.describe(1.0):
+...     print(line)
+TrotterSuzuki:
+  v <- v + F[[0]]/m * 0.5 dt
+  x <- x + v * 1 dt (+SHAKE if constrained)
+  v <- v + F[[0]]/m * 0.5 dt
+
+Suzuki-Yoshida weights sum to 1 at every supported order (1/3/7/15):
+
+>>> [round(sum(_SY_WEIGHTS[n]), 12) for n in (1, 3, 7, 15)]
+[1.0, 1.0, 1.0, 1.0]
 """
 from __future__ import annotations
 
@@ -195,7 +219,7 @@ _SY_WEIGHTS = {
         -1.44485223686048,
         0.253693336566229,
         0.914844246229740,
-        1.063_654_190_467_575,  # central weight = 1 - 2*sum(others)
+        1.708453070786998,  # central weight = 1 - 2*sum(others)
         0.914844246229740,
         0.253693336566229,
         -1.44485223686048,

@@ -6,6 +6,20 @@ integrator "global"/"per-DOF" variables live in the CustomIntegrator VM
 that flows through the jitted step function: positions, velocities, box,
 RNG key, step counter, and a dict of extended variables (thermostat chain
 positions/velocities, SIN(R) auxiliary velocities v1/v2, barostat statistics…).
+
+Examples:
+
+>>> import jax.numpy as jnp
+>>> s = make_state(jnp.zeros((4, 3)), box=jnp.full(3, 2.0), seed=1)
+>>> s.v.shape, int(s.step)
+((4, 3), 0)
+>>> s2 = s.with_extra(nhc_xi=jnp.zeros(3))
+>>> sorted(s2.extra)
+['nhc_xi']
+>>> masses = jnp.asarray([1.0, 1.0, 16.0, 16.0])
+>>> v = maxwell_boltzmann_velocities(jax.random.PRNGKey(0), masses, 300.0)
+>>> v.shape
+(4, 3)
 """
 from __future__ import annotations
 

@@ -14,6 +14,31 @@ play the same constructor role.
   AlchemicalRespaSystem — both transformations combined.
   ComputingSystem  — atomsmm/systems.py::ComputingSystem: per-term evaluable
                      rewiring used by PressureComputer (computers.py).
+
+Examples (executable — the reference's docs double as regression tests,
+SURVEY.md §4):
+
+>>> from atomsmm_tpu.models import water_system
+>>> from atomsmm_tpu.potential import potential_energy
+>>> system, x, box = water_system(n_molecules=27, r_cut=0.45, r_switch=0.35)
+>>> respa = RESPASystem(system, rcut_in=0.3, rswitch_in=0.25)
+>>> sorted({f.group for f in respa.forces})      # bonded / near / far
+[0, 1, 2]
+>>> e_full = potential_energy(system, x, box)
+>>> e_split = potential_energy(respa, x, box)    # near + far == full
+>>> bool(abs(e_split - e_full) < 1e-9 * abs(e_full))
+True
+
+>>> comp = ComputingSystem(system)
+>>> [f.group for f in comp.forces]               # one group per force term
+[0, 1]
+
+>>> import jax.numpy as jnp
+>>> solv = SolvationSystem(system, solute_atoms=jnp.arange(3))
+>>> e_on = potential_energy(solv, x, box,
+...                         {"lambda_vdw": 1.0, "lambda_coul": 1.0})
+>>> bool(abs(e_on - e_full) < 1e-9 * abs(e_full))  # identity at lambda = 1
+True
 """
 from __future__ import annotations
 

@@ -5,6 +5,19 @@ The reference exposes `InputError`, `countDegreesOfFreedom`, `findNonbondedForce
 splitting lives in `atomsmm_tpu.potential.split_potential_energy`; this module
 holds the small pure-Python utilities plus the pytree-dataclass helper used by
 the whole package.
+
+Examples:
+
+>>> from atomsmm_tpu.models import water_system
+>>> system, x, box = water_system(n_molecules=8, r_cut=0.3, r_switch=0.25)
+>>> count_degrees_of_freedom(system)   # 3N - 3 (COM motion removed)
+69
+>>> find_nonbonded_force(system)       # index of the NonbondedForce
+0
+>>> from atomsmm_tpu.models import rigid_water_system
+>>> rigid, _, _ = rigid_water_system(n_molecules=8, r_cut=0.3, r_switch=0.25)
+>>> count_degrees_of_freedom(rigid)    # 3N - 3 constraints/molecule - 3
+45
 """
 from __future__ import annotations
 

@@ -1,17 +1,49 @@
 """Docstring doctests — the reference's docs double as regression tests
-(SURVEY.md §4); ours carry executable examples in the energy-expression
-modules."""
+(SURVEY.md §4): executable examples with asserted outputs across the energy
+expressions, system transformations, propagator algebra, alchemy, observable
+computers, and the data model."""
 import doctest
 
-import atomsmm_tpu.ops.pairfuncs as pairfuncs
-import atomsmm_tpu.ops.switching as switching
+import pytest
+
+import atomsmm_tpu.alchemy
+import atomsmm_tpu.computers
+import atomsmm_tpu.integrate.integrators
+import atomsmm_tpu.integrate.propagators
+import atomsmm_tpu.ops.pairfuncs
+import atomsmm_tpu.ops.pbc
+import atomsmm_tpu.ops.switching
+import atomsmm_tpu.state
+import atomsmm_tpu.systems
+import atomsmm_tpu.utils
+
+MODULES = {
+    "pairfuncs": (atomsmm_tpu.ops.pairfuncs, 5),
+    "switching": (atomsmm_tpu.ops.switching, 3),
+    "pbc": (atomsmm_tpu.ops.pbc, 2),
+    "systems": (atomsmm_tpu.systems, 7),
+    "alchemy": (atomsmm_tpu.alchemy, 7),
+    "computers": (atomsmm_tpu.computers, 6),
+    "utils": (atomsmm_tpu.utils, 5),
+    "state": (atomsmm_tpu.state, 5),
+    "propagators": (atomsmm_tpu.integrate.propagators, 3),
+    "integrators": (atomsmm_tpu.integrate.integrators, 3),
+}
 
 
-def test_pairfuncs_doctests():
-    result = doctest.testmod(pairfuncs, verbose=False)
-    assert result.failed == 0 and result.attempted >= 5
+@pytest.mark.smoke
+@pytest.mark.parametrize("name", sorted(MODULES))
+def test_module_doctests(name):
+    module, min_examples = MODULES[name]
+    result = doctest.testmod(module, verbose=False)
+    assert result.failed == 0, f"{name}: {result.failed} doctest failures"
+    assert result.attempted >= min_examples, (
+        f"{name}: only {result.attempted} examples (expected >= {min_examples})"
+    )
 
 
-def test_switching_doctests():
-    result = doctest.testmod(switching, verbose=False)
-    assert result.failed == 0 and result.attempted >= 3
+def test_total_example_count():
+    total = sum(
+        doctest.testmod(m, verbose=False).attempted for m, _ in MODULES.values()
+    )
+    assert total >= 25, total
