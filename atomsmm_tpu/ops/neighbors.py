@@ -449,15 +449,19 @@ def _stage_buckets(x, per_particle, bucket):
 
 
 def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
-                    with_forces: bool):
+                    with_forces: bool, cell_ids=None):
     """Core loop: scan over home-cell chunks; returns (energy, bucket_forces
-    or None)."""
+    or None).
+
+    cell_ids: optional flat (K,) int32 array of home cells to process (ids
+    >= ncells are masked padding) — the spatial force-decomposition shard
+    path (parallel/spatial.py) passes each device's slice. Default: all
+    cells. When given, the returned bucket forces align with cell_ids rows
+    (K, cap, 3) instead of (ncells, cap, 3)."""
     n = x.shape[0]
     ncells, cap = bucket.shape
     s = spec.nbr_cells.shape[1]
     chunk = min(spec.cell_chunk, ncells)
-    n_chunks = -(-ncells // chunk)
-    pad_cells = n_chunks * chunk - ncells
 
     bucket_x, bucket_pp = _stage_buckets(x, per_particle, bucket)
 
@@ -466,9 +470,20 @@ def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
         [exc, jnp.full((1, exc.shape[1]), -1, exc.dtype)]
     )
 
-    cells = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
-        n_chunks, chunk
-    )
+    explicit_ids = cell_ids is not None
+    if explicit_ids:
+        k = cell_ids.shape[0]
+        n_chunks = -(-k // chunk)
+        pad = n_chunks * chunk - k
+        cells = jnp.concatenate(
+            [cell_ids.astype(jnp.int32),
+             jnp.full((pad,), ncells, jnp.int32)]
+        ).reshape(n_chunks, chunk)
+    else:
+        n_chunks = -(-ncells // chunk)
+        cells = jnp.arange(n_chunks * chunk, dtype=jnp.int32).reshape(
+            n_chunks, chunk
+        )
     rc2 = jnp.asarray(r_cut, x.dtype) ** 2
 
     nbr_map = spec.nbr_cells  # (ncells, S)
@@ -526,7 +541,8 @@ def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
     )
     if not with_forces:
         return energy, None
-    f_bucket = f_chunks.reshape(n_chunks * chunk, cap, 3)[:ncells]
+    rows = cell_ids.shape[0] if explicit_ids else ncells
+    f_bucket = f_chunks.reshape(n_chunks * chunk, cap, 3)[:rows]
     return energy, f_bucket
 
 

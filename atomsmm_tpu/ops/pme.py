@@ -125,9 +125,16 @@ def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
 def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
                           chunk: int = 2048):
     """Reciprocal-space PME energy [kJ/mol]."""
-    k1, k2, k3 = grid_shape
-    dtype = x.dtype
     Q = spread_charges(x, box, q, grid_shape, order, chunk)
+    return pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order)
+
+
+def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
+    """FFT + reciprocal convolution of an already-spread charge grid —
+    split out so the sharded path (parallel/spatial.py) can psum per-device
+    grids before this replicated part."""
+    k1, k2, k3 = grid_shape
+    dtype = Q.dtype
     Qhat = jnp.fft.fftn(Q)
 
     def freqs(k):

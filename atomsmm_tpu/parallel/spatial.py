@@ -1,0 +1,116 @@
+"""Spatial decomposition across a device mesh (SURVEY.md §2c optional row).
+
+The reference runs on a single device; for atom counts where one chip's
+FLOPs bind (~100k+, BASELINE.md config 5) the honest TPU analog of "domain
+decomposition" splits the dominant costs over the mesh:
+
+  * pair forces — FORCE decomposition over home cells: every device holds
+    the replicated positions/buckets (a few MB — trivially affordable next
+    to pair-tile compute) and evaluates the cell-pair tiles for its slice of
+    home cells, on the full (symmetric) stencil so each atom's force is
+    complete within its home device; one `psum` over ICI combines the
+    disjoint per-device force arrays. Communication per evaluation: one
+    (N, 3) psum + a scalar — no halo bookkeeping, no load-imbalance cliffs,
+    exact same numerics as the single-device full-stencil path.
+
+  * PME reciprocal — ATOM-sharded charge spreading (the scatter-heavy,
+    dominant part): each device spreads its atom shard onto a local grid,
+    one grid `psum` combines them, and the small FFT + convolution runs
+    replicated. Gradient flows through the shard_map, so forces come from
+    the same `jax.grad` as the single-device path.
+
+Both are pure functions of a `jax.sharding.Mesh`; the driver-facing demo
+lives in `__graft_entry__.dryrun_multichip` (replica axis) and
+tests/test_parallel.py (virtual 8-device CPU mesh — SURVEY.md §2c says
+validate sharding without real chips).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.neighbors import _cell_pair_sums
+
+
+def sharded_cell_pair_energy_forces(
+    pair_fn, x, box, per_particle, spec, bucket, r_cut, mesh: Mesh,
+    axis: str = "dp",
+):
+    """(energy, forces (N, 3)) — force decomposition of the cell-pair sweep
+    over `mesh[axis]`. Matches ops/neighbors.cell_pair_energy_forces on the
+    full-stencil path exactly (same tiles, same summation order per cell)."""
+    n = x.shape[0]
+    ncells, cap = bucket.shape
+    ndev = mesh.shape[axis]
+    nper = -(-ncells // ndev)
+    ids = jnp.concatenate(
+        [jnp.arange(ncells, dtype=jnp.int32),
+         jnp.full((ndev * nper - ncells,), ncells, jnp.int32)]
+    )
+    # force decomposition needs complete per-home-cell forces -> symmetric
+    # full stencil (the Newton half-stencil's reaction write-back would cross
+    # shard boundaries)
+    spec_full = dataclasses.replace(spec, half_stencil=False)
+
+    def local(cell_ids):
+        e, f_bucket = _cell_pair_sums(
+            spec_full, pair_fn, x, box, per_particle, bucket, r_cut,
+            with_forces=True, cell_ids=cell_ids,
+        )
+        rows = jnp.where(
+            cell_ids < ncells, cell_ids, ncells
+        )
+        bucket_pad = jnp.concatenate(
+            [bucket, jnp.full((1, cap), n, jnp.int32)]
+        )
+        slots = bucket_pad[rows]
+        forces = jnp.zeros((n + 1, 3), x.dtype)
+        forces = forces.at[slots.reshape(-1)].add(
+            f_bucket.reshape(-1, 3), mode="drop"
+        )
+        return (
+            jax.lax.psum(e, axis),
+            jax.lax.psum(forces[:n], axis),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(ids)
+
+
+def sharded_pme_reciprocal_energy(
+    x, box, q, alpha, grid_shape, mesh: Mesh, axis: str = "dp",
+    order: int = 4, chunk: int = 2048,
+):
+    """Reciprocal-space PME energy with atom-sharded spreading + one grid
+    psum; FFT/convolution replicated. Matches ops/pme.pme_reciprocal_energy."""
+    from ..ops.pme import pme_reciprocal_from_grid, spread_charges
+
+    n = x.shape[0]
+    ndev = mesh.shape[axis]
+    nper = -(-n // ndev)
+    pad = ndev * nper - n
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    qp = jnp.pad(q, (0, pad))  # zero charge -> no contribution
+
+    def local(xs, qs):
+        grid = spread_charges(xs, box, qs, grid_shape, order,
+                              min(chunk, nper))
+        grid = jax.lax.psum(grid, axis)
+        return pme_reciprocal_from_grid(grid, box, alpha, grid_shape, order)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )(xp, qp)

@@ -109,3 +109,79 @@ def test_f32_vs_f64_consistency():
     np.testing.assert_allclose(
         np.asarray(s32.x), np.asarray(s64.x), atol=5e-6
     )
+
+
+# --------------------------------------------------------------------------
+# Spatial decomposition (parallel/spatial.py — SURVEY.md §2c optional row)
+# --------------------------------------------------------------------------
+
+
+def test_sharded_cell_forces_match_single_device():
+    """Force decomposition over home cells on the 8-device virtual mesh must
+    reproduce the single-device full-stencil cell path exactly."""
+    import dataclasses
+
+    from atomsmm_tpu.ops.neighbors import (
+        build_cell_buckets,
+        cell_pair_energy_forces,
+    )
+    from atomsmm_tpu.parallel import sharded_cell_pair_energy_forces
+
+    system, x, box = argon_system(n=512, jitter=0.2, seed=5, neighbors=True)
+    spec = system.neighbors
+    bucket, ov = build_cell_buckets(spec, x, box)
+    assert not bool(ov)
+    force = system.forces[0]
+    pair_fn = force._pair_fn({})
+    pp = force._per_particle({})
+
+    full = dataclasses.replace(spec, half_stencil=False, backend="xla")
+    e_ref, f_ref = cell_pair_energy_forces(
+        pair_fn, x, box, pp, full, bucket, force.r_cut
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    e_sh, f_sh = sharded_cell_pair_energy_forces(
+        pair_fn, x, box, pp, spec, bucket, force.r_cut, mesh
+    )
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(f_sh), np.asarray(f_ref), rtol=1e-10, atol=1e-12
+    )
+
+
+def test_sharded_pme_matches_single_device():
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+    from atomsmm_tpu.parallel import sharded_pme_reciprocal_energy
+
+    system, x, box = water_system(
+        n_molecules=64, method="pme", r_cut=0.55, r_switch=0.45
+    )
+    nb = system.forces[0]
+    q = nb.charge
+    e_ref = pme_reciprocal_energy(
+        x, box, q, nb.ewald_alpha, nb.grid_shape, nb.spline_order
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    e_sh = sharded_pme_reciprocal_energy(
+        x, box, q, nb.ewald_alpha, nb.grid_shape, mesh,
+        order=nb.spline_order,
+    )
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-11)
+
+    # gradient (forces) flows through the shard_map
+    g_ref = jax.grad(
+        lambda xx: pme_reciprocal_energy(
+            xx, box, q, nb.ewald_alpha, nb.grid_shape, nb.spline_order
+        )
+    )(x)
+    g_sh = jax.grad(
+        lambda xx: sharded_pme_reciprocal_energy(
+            xx, box, q, nb.ewald_alpha, nb.grid_shape, mesh,
+            order=nb.spline_order,
+        )
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), rtol=1e-9, atol=1e-11
+    )
