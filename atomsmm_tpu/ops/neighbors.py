@@ -97,6 +97,11 @@ class NeighborSpec:
     # the grid is too small (direction collisions) — full stencil then.
     nbr_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
     inv_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
+    wrap_half: jnp.ndarray = None          # (ncells, S_half, 3) int8
+    # relative-offset exclusion bitmask (ops/tilepair.py convention): bit
+    # (j - i + 16) per atom, bit 16 = self; None when some excluded pair
+    # spans more than +-14 atom indices (kernels then use the column form)
+    excbits: jnp.ndarray = None            # (N + 1,) int32
     grid: Tuple[int, int, int] = static_field(default=(1, 1, 1))
     reach: Tuple[int, int, int] = static_field(default=(1, 1, 1))
     cell_capacity: int = static_field(default=64)
@@ -137,12 +142,19 @@ def _neighbor_cell_map(grid, reach=(1, 1, 1)) -> np.ndarray:
 
 
 def _half_stencil_maps(grid, reach):
-    """(nbr_half, inv_half) or (None, None) when the periodic grid is too
-    small for collision-free direction maps (any dim < 2*reach + 1)."""
+    """(nbr_half, inv_half, wrap_half) or (None, None, None) when the
+    periodic grid is too small for collision-free direction maps (any dim
+    < 2*reach + 1).
+
+    wrap_half[c, k, :] is the integer periodic image offset of candidate
+    cell nbr_half[c, k] relative to home cell c: a candidate atom's wrapped
+    position plus wrap*box is geometrically adjacent to c, so staged
+    candidates can be PRE-SHIFTED and the kernels skip the per-slot
+    minimum-image rounding entirely."""
     nx, ny, nz = grid
     rx, ry, rz = reach
     if nx < 2 * rx + 1 or ny < 2 * ry + 1 or nz < 2 * rz + 1:
-        return None, None
+        return None, None, None
     dirs = [(0, 0, 0)]
     for dx in range(-rx, rx + 1):
         for dy in range(-ry, ry + 1):
@@ -152,6 +164,8 @@ def _half_stencil_maps(grid, reach):
     ncells = nx * ny * nz
     nbr = np.zeros((ncells, len(dirs)), np.int32)
     inv = np.zeros((ncells, len(dirs)), np.int32)
+    wrap = np.zeros((ncells, len(dirs), 3), np.int8)
+    dims = (nx, ny, nz)
     for cx in range(nx):
         for cy in range(ny):
             for cz in range(nz):
@@ -163,7 +177,12 @@ def _half_stencil_maps(grid, reach):
                     inv[cid, k] = (
                         ((cx - dx) % nx) * ny + ((cy - dy) % ny)
                     ) * nz + ((cz - dz) % nz)
-    return nbr, inv
+                    for d_i, (c_i, dd_i) in enumerate(
+                        zip((cx, cy, cz), (dx, dy, dz))
+                    ):
+                        # floor div: -1 below, 0 inside, +1 above the box
+                        wrap[cid, k, d_i] = (c_i + dd_i) // dims[d_i]
+    return nbr, inv, wrap
 
 
 def _max_cell_occupancy(x, box, grid) -> int:
@@ -284,7 +303,15 @@ def make_neighbor_spec(
                 ncells)
         per_cell = cap * s * cap * 4
         cell_chunk = max(1, min(ncells, (48 << 20) // max(per_cell, 1)))
-    nbr_half, inv_half = _half_stencil_maps(grid, reach)
+    nbr_half, inv_half, wrap_half = _half_stencil_maps(grid, reach)
+    try:
+        from .tilepair import make_exclusion_bits
+
+        excbits = jnp.asarray(
+            make_exclusion_bits(n, np.asarray(exclusions))
+        )
+    except ValueError:  # excluded pair outside the +-14 index window
+        excbits = None
     if backend == "auto":
         import jax
 
@@ -299,6 +326,8 @@ def make_neighbor_spec(
         skin=jnp.asarray(skin_eff),
         nbr_cells_half=None if nbr_half is None else jnp.asarray(nbr_half),
         inv_cells_half=None if inv_half is None else jnp.asarray(inv_half),
+        wrap_half=None if wrap_half is None else jnp.asarray(wrap_half),
+        excbits=excbits,
         grid=grid,
         reach=reach,
         cell_capacity=cap,

@@ -198,7 +198,7 @@ def _hoist_consts(pair_fn, param_names, capP, j_tile, dtype):
 
 
 def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
-                 cell_block, capP, sj_used, j_tile,
+                 cell_block, capP, sj_used, j_tile, use_excbits,
                  scal_ref, hf_ref, hm_ref, cf_ref, ci_ref,
                  oh_ref, oc_ref):
     """Grid (ncells/cb, SJ/JT). Each program: `cell_block` home cells against
@@ -211,6 +211,14 @@ def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
           (self columns weighted 1/2, Newton columns weight 1);
       oc (8, SJ):   rows 0-2 = candidate-side reaction sums per J-tile (zero
           for self columns, already both-ordered inside the tile).
+
+    Fast-mask form (use_excbits): candidates arrive PRE-SHIFTED by the
+    per-(cell, direction) periodic wrap (no per-slot minimum image), sentinel
+    slots carry poisoned coordinates (r2 >> rc2 — no id-validity compares),
+    and exclusions + the self pair collapse to one relative-offset bitmask op
+    (ops/tilepair.py convention). Legacy form keeps minimum-image rounding
+    and per-exclusion-column compares for systems whose excluded pairs span
+    more than +-14 atom indices.
     """
     j = pl.program_id(1)
 
@@ -236,15 +244,29 @@ def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
             xi = hf_ref[c, :, k : k + 1]
             xj = cf_ref[c, k : k + 1, :]
             d = xi - xj
-            d = d - box[k] * jnp.round(d * (1.0 / box[k]))
+            if not use_excbits:
+                d = d - box[k] * jnp.round(d * (1.0 / box[k]))
             dxs.append(d)
             r2 = d * d if r2 is None else r2 + d * d
 
-        hid = hm_ref[c, :, 0:1]
-        cid = ci_ref[c, 0:1, :]
-        mask = (hid < n_atoms) & (cid < n_atoms) & (hid != cid) & (r2 < rc2)
-        for e in range(max_exc):
-            mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
+        if use_excbits:
+            oid_h = hm_ref[c, :, 0:1]
+            exc_h = hm_ref[c, :, 1:2]
+            oid_c = ci_ref[c, 0:1, :]
+            off = jnp.clip(oid_c - oid_h + 16, 0, 31)
+            bit = jax.lax.shift_right_logical(
+                jnp.broadcast_to(exc_h, off.shape), off
+            ) & 1
+            mask = (r2 < rc2) & (bit == 0)
+        else:
+            hid = hm_ref[c, :, 0:1]
+            cid = ci_ref[c, 0:1, :]
+            mask = (
+                (hid < n_atoms) & (cid < n_atoms) & (hid != cid)
+                & (r2 < rc2)
+            )
+            for e in range(max_exc):
+                mask &= hm_ref[c, :, 1 + e : 2 + e] != cid
 
         r2m = jnp.where(mask, r2, 1.0)
         pi = {
@@ -300,19 +322,39 @@ def stage_and_run_half(
     assert f_cols <= 8, "at most 5 per-particle parameters in the kernel path"
     exc = spec.exclusions
     max_exc = exc.shape[1]
-    assert 1 + max_exc <= 8, "at most 7 exclusions/atom in the half-kernel path"
+    use_excbits = spec.excbits is not None and spec.wrap_half is not None
+    assert use_excbits or 1 + max_exc <= 8, (
+        "at most 7 exclusions/atom in the legacy half-kernel path"
+    )
 
     dtype = x.dtype
-    cols = [x] + [p[:, None].astype(dtype) for p in per_particle.values()]
+    POISON = jnp.asarray(1.0e4, dtype)
+    if use_excbits:
+        # wrapped coords: the per-(cell, direction) wrap shifts below assume
+        # in-box positions (forces are translation invariant)
+        xs = x - box * jnp.floor(x * (1.0 / box))
+    else:
+        xs = x
+    cols = [xs] + [p[:, None].astype(dtype) for p in per_particle.values()]
     feats = jnp.concatenate(cols, axis=1)
-    feats = jnp.concatenate([feats, jnp.zeros((1, f_cols), dtype)])
+    sentinel = jnp.zeros((1, f_cols), dtype)
+    if use_excbits:
+        sentinel = sentinel.at[0, :3].set(POISON)
+    feats = jnp.concatenate([feats, sentinel])
     feats = jnp.pad(feats, ((0, 0), (0, 8 - f_cols)))
-    meta = jnp.concatenate(
-        [jnp.arange(n + 1, dtype=jnp.int32)[:, None],
-         jnp.concatenate([exc, jnp.full((1, max_exc), -1, jnp.int32)])],
-        axis=1,
-    )
-    meta = jnp.pad(meta, ((0, 0), (0, 8 - 1 - max_exc)), constant_values=-1)
+    if use_excbits:
+        meta = jnp.stack(
+            [jnp.arange(n + 1, dtype=jnp.int32), spec.excbits], axis=1
+        )
+        meta = jnp.pad(meta, ((0, 0), (0, 8 - 2)))
+    else:
+        meta = jnp.concatenate(
+            [jnp.arange(n + 1, dtype=jnp.int32)[:, None],
+             jnp.concatenate([exc, jnp.full((1, max_exc), -1, jnp.int32)])],
+            axis=1,
+        )
+        meta = jnp.pad(meta, ((0, 0), (0, 8 - 1 - max_exc)),
+                       constant_values=-1)
 
     bucket_p = jnp.pad(bucket, ((0, 0), (0, capP - cap)), constant_values=n)
     hf = feats[bucket_p]              # (ncells, capP, 8)
@@ -324,11 +366,25 @@ def stage_and_run_half(
     j_tile = 512 if capP * 512 * 4 * 20 <= (10 << 20) else 256
     sj = _round_up(sj_used, j_tile)
     nbr = spec.nbr_cells_half        # (ncells, S_half), always valid ids
-    cf = hf[nbr]                     # (ncells, S_half, capP, 8)
-    ci = hm[nbr][..., :1]            # (ncells, S_half, capP, 1)
-    cf = cf.transpose(0, 3, 1, 2).reshape(ncells, 8, sj_used)
-    ci = ci.transpose(0, 3, 1, 2).reshape(ncells, 1, sj_used)
-    cf = jnp.pad(cf, ((0, 0), (0, 0), (0, sj - sj_used)))
+    # candidate staging via the TRANSPOSED layout: the axis swap then moves
+    # contiguous capP-rows (cheap) instead of 8-element columns
+    hft = hf.transpose(0, 2, 1)      # (ncells, 8, capP)
+    cf = hft[nbr]                    # (ncells, S_half, 8, capP)
+    if use_excbits:
+        # pre-shift candidate coordinates by the periodic wrap of their cell
+        # relative to the home cell — the kernel then skips minimum image
+        shift = spec.wrap_half.astype(dtype) * box  # (ncells, S_half, 3)
+        cf = cf.at[:, :, :3, :].add(shift[:, :, :, None])
+    ci = hm.transpose(0, 2, 1)[nbr][:, :, :1, :]   # (ncells, S_half, 1, capP)
+    cf = cf.transpose(0, 2, 1, 3).reshape(ncells, 8, sj_used)
+    ci = ci.transpose(0, 2, 1, 3).reshape(ncells, 1, sj_used)
+    if use_excbits:
+        # poisoned tail so padded lanes fail the r2 < rc2 test
+        tail = jnp.zeros((ncells, 8, sj - sj_used), dtype)
+        tail = tail.at[:, :3, :].set(POISON)
+        cf = jnp.concatenate([cf, tail], axis=2)
+    else:
+        cf = jnp.pad(cf, ((0, 0), (0, 0), (0, sj - sj_used)))
     ci = jnp.pad(ci, ((0, 0), (0, 8 - 1), (0, sj - sj_used)),
                  constant_values=n)
 
@@ -353,7 +409,7 @@ def stage_and_run_half(
 
     kernel = functools.partial(
         _half_kernel, converted, takes_rv, len(consts), tuple(names), n,
-        max_exc, cell_block, capP, sj_used, j_tile,
+        max_exc, cell_block, capP, sj_used, j_tile, use_excbits,
     )
     cb = cell_block
     oh, oc = pl.pallas_call(
@@ -382,12 +438,16 @@ def stage_and_run_half(
     )(scal_full, hf, hm, cf, ci)
 
     energy = jnp.sum(oh[:, :cap, 3])
-    f_home = oh[:, :, :3]                              # (ncells, capP, 3)
-    f_cand = oc[:, :3, :sj_used].reshape(ncells, 3, s_half, capP)
-    f_cand = f_cand.transpose(0, 2, 3, 1)              # (ncells, S_half, capP, 3)
+    # reaction write-back, component-major (no (..., 3)-minor transposes):
+    # cell c receives, for direction k, the J-side sums computed by home
+    # cell inv[c, k] = c - d_k
     inv = spec.inv_cells_half
-    gathered = f_cand[inv, jnp.arange(s_half)[None, :]]
-    f_bucket = (f_home + jnp.sum(gathered, axis=1))[:, :cap]
+    dirs = jnp.arange(s_half)[None, :]
+    comps = []
+    for k in range(3):
+        comp = oc[:, k, :sj_used].reshape(ncells, s_half, capP)
+        comps.append(oh[:, :, k] + jnp.sum(comp[inv, dirs], axis=1))
+    f_bucket = jnp.stack(comps, axis=-1)[:, :cap]       # (ncells, cap, 3)
     forces = jnp.zeros((n + 1, 3), dtype)
     forces = forces.at[bucket.reshape(-1)].add(f_bucket.reshape(-1, 3))
     return energy, forces[:n]

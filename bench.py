@@ -14,10 +14,12 @@ no network — BASELINE.md "Comparator caveat"); a provisional literature-
 scale comparator of 5 ns/day (OpenMM CPU, ~30k atoms, multicore) is used —
 treat the ratio as conditional until a real comparator run exists.
 
-Headline integration parameters: outer step 4 fs with RESPA loops [8, 2, 1]
-(bonded 0.5 fs, near 2 fs, far 4 fs) — see TIMESTEP.md for the stability
-study (temperature control, conserved-quantity drift, and PE agreement vs
-the 2 fs reference from the same equilibrated state).
+Headline integration parameters: outer step 4 fs with RESPA loops [4, 2, 1]
+(bonded 0.5 fs, near 2 fs, far 4 fs) and near cutoff 0.5 nm — see
+TIMESTEP.md for the stability study (temperature control, conserved-
+quantity drift, and PE agreement vs the 2 fs reference from the same
+equilibrated state). The near/far SPLIT point changes only integration
+error, never the potential (near + far == full exactly).
 """
 from __future__ import annotations
 
@@ -26,7 +28,8 @@ import sys
 import time
 
 HEADLINE_DT = 0.004
-HEADLINE_LOOPS = [8, 2, 1]
+HEADLINE_LOOPS = [4, 2, 1]
+HEADLINE_RCUT_IN = 0.5
 
 
 def log(*a):
@@ -50,7 +53,7 @@ def _best_rate(ctx, steps, tries=3):
 
 
 def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
-                      loops=None, method="cutoff", equil=300):
+                      loops=None, method="cutoff", equil=600):
     from atomsmm_tpu import (
         Context,
         MultipleTimeScaleIntegrator,
@@ -63,7 +66,8 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
     system, x, box = water_system(
         n_molecules=n_molecules, method=method, neighbors=True
     )
-    respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
+    respa = RESPASystem(system, rcut_in=HEADLINE_RCUT_IN,
+                        rswitch_in=HEADLINE_RCUT_IN - 0.1)
     dof = 3 * system.num_particles - 3
     integ = MultipleTimeScaleIntegrator(
         dt, loops, temperature=300.0, time_scale=0.1,
@@ -81,8 +85,8 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
     # of potential energy faster than the tau=0.1 ps NHC removes it, so
     # rescale velocities between chunks), then size cell capacities to
     # measured occupancy (pair work ~ cap^2; Context.retune_neighbors)
-    for _ in range(4):
-        ctx.step(equil // 4)
+    for _ in range(8):
+        ctx.step(equil // 8)
         t_now = float(ctx.temperature())
         ctx.set_velocities((300.0 / t_now) ** 0.5 * ctx.state.v)
     ctx.retune_neighbors()
@@ -200,7 +204,8 @@ def bench_npt_100k(steps=100):
     system = system.add_force(
         MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=25)
     )
-    respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
+    respa = RESPASystem(system, rcut_in=HEADLINE_RCUT_IN,
+                        rswitch_in=HEADLINE_RCUT_IN - 0.1)
     integ = MultipleTimeScaleIntegrator(
         HEADLINE_DT, HEADLINE_LOOPS, temperature=300.0, time_scale=0.1,
         degrees_of_freedom=3 * 3 * nmol - 3,
