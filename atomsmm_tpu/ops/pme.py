@@ -132,10 +132,16 @@ def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
 def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
     """FFT + reciprocal convolution of an already-spread charge grid —
     split out so the sharded path (parallel/spatial.py) can psum per-device
-    grids before this replicated part."""
+    grids before this replicated part.
+
+    The charge grid is real, so the last axis uses the half-spectrum real
+    FFT (rfftn); interior k3 columns carry weight 2 (their conjugate twins
+    are not stored), while k3 = 0 and the Nyquist column (even K3) appear
+    once in the full spectrum and keep weight 1."""
     k1, k2, k3 = grid_shape
     dtype = Q.dtype
-    Qhat = jnp.fft.fftn(Q)
+    Qhat = jnp.fft.rfftn(Q)
+    k3r = k3 // 2 + 1
 
     def freqs(k):
         m = jnp.arange(k)
@@ -143,14 +149,19 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
 
     m1 = freqs(k1)[:, None, None] / box[0]
     m2 = freqs(k2)[None, :, None] / box[1]
-    m3 = freqs(k3)[None, None, :] / box[2]
+    m3 = jnp.arange(k3r).astype(dtype)[None, None, :] / box[2]
     m2_tilde = m1 * m1 + m2 * m2 + m3 * m3
 
     b2 = (
         _bspline_moduli(k1, order, dtype)[:, None, None]
         * _bspline_moduli(k2, order, dtype)[None, :, None]
-        * _bspline_moduli(k3, order, dtype)[None, None, :]
+        * _bspline_moduli(k3, order, dtype)[None, None, :k3r]
     )
+    w3 = jnp.ones((k3r,), dtype)
+    w3 = w3.at[1:].set(2.0)
+    if k3 % 2 == 0:
+        w3 = w3.at[-1].set(1.0)
+    b2 = b2 * w3[None, None, :]
     volume = box[0] * box[1] * box[2]
     pi2 = jnp.asarray(math.pi**2, dtype)
     safe_m2 = jnp.where(m2_tilde > 0, m2_tilde, 1.0)
