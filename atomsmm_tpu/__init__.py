@@ -16,6 +16,7 @@ from .forces import (
     CustomNonbondedForce,
     DampedSmoothedForce,
     FarNonbondedForce,
+    PMEReciprocalForce,
     HarmonicAngleForce,
     HarmonicBondForce,
     NearNonbondedForce,

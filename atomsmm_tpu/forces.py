@@ -212,15 +212,17 @@ class NonbondedForce(_PairForceMixin, Force):
         pair.takes_rv = True
         return pair
 
-    def _recip_energy(self, x, box, globals=None):
+    def _recip_energy(self, x, box, globals=None, include_reciprocal=True):
         from .ops.pme import pme_corrections, pme_reciprocal_energy
 
         q = self._effective_charge(globals)
-        e_rec = pme_reciprocal_energy(
-            x, box, q, self.ewald_alpha, self.grid_shape, self.spline_order
-        )
-        e_corr = pme_corrections(x, box, q, self.exclusions, self.ewald_alpha)
-        return e_rec + e_corr
+        e = pme_corrections(x, box, q, self.exclusions, self.ewald_alpha)
+        if include_reciprocal:
+            e = e + pme_reciprocal_energy(
+                x, box, q, self.ewald_alpha, self.grid_shape,
+                self.spline_order,
+            )
+        return e
 
     def energy(self, x, box, globals, aux=None):
         r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
@@ -386,6 +388,10 @@ class FarNonbondedForce(_PairForceMixin, Force):
 
     full: NonbondedForce = None
     minus_near: NearNonbondedForce = None
+    # False when a PMEReciprocalForce carries the reciprocal sum at its own
+    # (slower) RESPA level (RESPASystem(reciprocal_level=True)); the fast-
+    # varying self/exclusion corrections always stay here
+    include_reciprocal: bool = static_field(default=True)
 
     @property
     def chunk(self):
@@ -415,11 +421,21 @@ class FarNonbondedForce(_PairForceMixin, Force):
 
     def energy(self, x, box, globals, aux=None):
         if not self._fusable():
-            return self.full.energy(x, box, globals, aux) + \
-                self.minus_near.energy(x, box, globals, aux)
+            e = self.full._nb_energy(
+                x, box, globals, aux, self.full.r_cut
+            ) + self.minus_near.energy(x, box, globals, aux)
+            if self.full.method == "pme":
+                e = e + self.full._recip_energy(
+                    x, box, globals, self.include_reciprocal
+                )
+            if self.full.dispersion_coeff is not None:
+                e = e + self.full.dispersion_coeff / jnp.prod(box)
+            return e
         e = self._nb_energy(x, box, globals, aux, self.full.r_cut)
         if self.full.method == "pme":
-            e = e + self.full._recip_energy(x, box, globals)
+            e = e + self.full._recip_energy(
+                x, box, globals, self.include_reciprocal
+            )
         if self.full.dispersion_coeff is not None:
             e = e + self.full.dispersion_coeff / jnp.prod(box)
         return e
@@ -428,11 +444,26 @@ class FarNonbondedForce(_PairForceMixin, Force):
         if not self._fusable():
             e1, f1 = self.full.energy_and_forces(x, box, globals, aux)
             e2, f2 = self.minus_near.energy_and_forces(x, box, globals, aux)
+            if self.full.method == "pme" and not self.include_reciprocal:
+                # full.energy_and_forces included the reciprocal sum; remove
+                # it again (the PMEReciprocalForce carries it)
+                from .ops.pme import pme_reciprocal_energy
+
+                q = self.full._effective_charge(globals)
+                er, gr = jax.value_and_grad(
+                    lambda xx: pme_reciprocal_energy(
+                        xx, box, q, self.full.ewald_alpha,
+                        self.full.grid_shape, self.full.spline_order,
+                    )
+                )(x)
+                e1, f1 = e1 - er, f1 + gr
             return e1 + e2, f1 + f2
         e, f = self._nb_energy_forces(x, box, globals, aux, self.full.r_cut)
         if self.full.method == "pme":
             e2, g2 = jax.value_and_grad(
-                lambda xx: self.full._recip_energy(xx, box, globals)
+                lambda xx: self.full._recip_energy(
+                    xx, box, globals, self.include_reciprocal
+                )
             )(x)
             e, f = e + e2, f - g2
         if self.full.dispersion_coeff is not None:
@@ -441,6 +472,44 @@ class FarNonbondedForce(_PairForceMixin, Force):
 
     def uses_neighbors(self) -> bool:
         return True
+
+
+@pytree_dataclass
+class PMEReciprocalForce(Force):
+    """The PME reciprocal (FFT) sum as its OWN force group, for a third
+    RESPA level (Stuart/Berne-style triple split): it is the smoothest
+    component of the potential, so it integrates stably at a multiple of
+    the far step. Produced by `RESPASystem(..., reciprocal_level=True)`
+    together with `FarNonbondedForce(include_reciprocal=False)` — the fast
+    self/exclusion corrections stay at the far level."""
+
+    charge: jnp.ndarray = None
+    charge_scale_mask: Any = None
+    ewald_alpha: float = static_field(default=3.0)
+    grid_shape: Tuple[int, int, int] = static_field(default=(0, 0, 0))
+    spline_order: int = static_field(default=4)
+    charge_scale_name: str = static_field(default="lambda_coul")
+
+    def _effective_charge(self, globals):
+        q = self.charge
+        if self.charge_scale_mask is not None:
+            lam = (globals or {}).get(self.charge_scale_name, 1.0)
+            q = q * (1.0 - self.charge_scale_mask * (1.0 - lam))
+        return q
+
+    def energy(self, x, box, globals, aux=None):
+        from .ops.pme import pme_reciprocal_energy
+
+        return pme_reciprocal_energy(
+            x, box, self._effective_charge(globals), self.ewald_alpha,
+            self.grid_shape, self.spline_order,
+        )
+
+    def energy_and_forces(self, x, box, globals, aux=None):
+        e, g = jax.value_and_grad(
+            lambda xx: self.energy(xx, box, globals, aux)
+        )(x)
+        return e, -g
 
 
 @pytree_dataclass

@@ -61,6 +61,7 @@ def RESPASystem(
     rswitch_in,
     fast_exceptions: bool = True,
     near_grid: bool = True,
+    reciprocal_level: bool = False,
 ) -> System:
     """Split for r-RESPA (SURVEY.md §3.1):
 
@@ -69,6 +70,9 @@ def RESPASystem(
                 switched over [rswitch_in, rcut_in]
       group 2 — FarNonbondedForce: the original full nonbonded force plus the
                 negated near force, so near + far == full holds exactly.
+      group 3 — (reciprocal_level=True, PME only) the reciprocal FFT sum as
+                its own slowest level (triple split); pass a 4-entry loops
+                list to MultipleTimeScaleIntegrator, e.g. [4, 2, 2, 1].
 
     The near force's Coulomb damping follows the far method: the PME Ewald
     alpha when the full force uses PME, else undamped.
@@ -98,12 +102,26 @@ def RESPASystem(
         subtract=False,
         chunk=nb.chunk,
     )
+    split_recip = bool(reciprocal_level) and nb.method == "pme"
     far = FarNonbondedForce(
         group=2,
         full=replace(nb, group=2),
         minus_near=replace(near, subtract=True, group=2),
+        include_reciprocal=not split_recip,
     )
     new_forces += [near, far]
+    if split_recip:
+        from .forces import PMEReciprocalForce
+
+        new_forces.append(PMEReciprocalForce(
+            group=3,
+            charge=nb.charge,
+            charge_scale_mask=nb.charge_scale_mask,
+            ewald_alpha=float(nb.ewald_alpha),
+            grid_shape=nb.grid_shape,
+            spline_order=nb.spline_order,
+            charge_scale_name=nb.charge_scale_name,
+        ))
     out = system.replace_forces(new_forces)
     if near_grid and system.neighbors is not None:
         # the near force integrates most often — give it its own finer cell

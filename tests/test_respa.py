@@ -173,3 +173,51 @@ def test_respa_nvt_temperature(equilibrated, water):
     ctx.step(600)  # 1.2 ps
     t = float(ctx.temperature())
     assert 240.0 < t < 360.0, t
+
+
+def test_reciprocal_level_triple_split():
+    """RESPASystem(reciprocal_level=True): groups 0-3 with the PME FFT sum
+    at its own level; the total still equals the unsplit potential, and a
+    4-level MultipleTimeScaleIntegrator runs."""
+    from atomsmm_tpu import (
+        Context,
+        MultipleTimeScaleIntegrator,
+        RESPASystem,
+        make_state,
+    )
+    from atomsmm_tpu.potential import force_fn, potential_energy
+
+    system, x, box = water_system(
+        n_molecules=125, method="pme", r_cut=0.7, r_switch=0.6
+    )
+    respa = RESPASystem(system, rcut_in=0.45, rswitch_in=0.35,
+                        reciprocal_level=True)
+    groups = sorted({f.group for f in respa.forces})
+    assert groups == [0, 1, 2, 3]
+
+    e_full = potential_energy(system, x, box)
+    e_split = potential_energy(respa, x, box)
+    np.testing.assert_allclose(float(e_split), float(e_full), rtol=1e-10)
+    _, f_full = force_fn(system)(x, box)
+    _, f_split = force_fn(respa)(x, box)
+    np.testing.assert_allclose(
+        np.asarray(f_split), np.asarray(f_full), rtol=1e-8, atol=1e-9
+    )
+    # group 3 energy is exactly the reciprocal sum (no corrections)
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+
+    nb = system.forces[0]
+    e3 = group_energies(respa, x, box, {}, None)[3]
+    e_rec = pme_reciprocal_energy(
+        x, box, nb.charge, nb.ewald_alpha, nb.grid_shape, nb.spline_order
+    )
+    np.testing.assert_allclose(float(e3), float(e_rec), rtol=1e-12)
+
+    integ = MultipleTimeScaleIntegrator(
+        0.004, [4, 2, 2, 1], temperature=300.0, time_scale=0.1,
+        degrees_of_freedom=3 * system.num_particles - 3,
+    )
+    ctx = Context(respa, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=3)
+    ctx.step(8)
+    assert np.isfinite(float(ctx.temperature()))
