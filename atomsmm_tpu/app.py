@@ -33,6 +33,28 @@ class Simulation:
     def set_velocities_to_temperature(self, temperature, seed: int = 0):
         self.context.set_velocities_to_temperature(temperature, seed)
 
+    # openmm-style camelCase aliases
+    def minimizeEnergy(self, steps: int = 200, **kwargs):
+        return self.minimize_energy(steps, **kwargs)
+
+    def setPositions(self, x):
+        return self.set_positions(x)
+
+    def setVelocitiesToTemperature(self, temperature, seed: int = 0):
+        return self.set_velocities_to_temperature(temperature, seed)
+
+    def saveCheckpoint(self, path: str):
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.context.state)
+        return self
+
+    def loadCheckpoint(self, path: str):
+        from .checkpoint import load_checkpoint
+
+        self.context.state = load_checkpoint(path, like=self.context.state)
+        return self
+
     @property
     def current_step(self) -> int:
         return int(self.context.state.step)

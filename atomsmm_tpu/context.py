@@ -269,6 +269,30 @@ class Context:
         )
         return self
 
+    # -- openmm-style camelCase aliases (the reference's users call these
+    # spellings; SURVEY.md §3 call stacks) --------------------------------
+
+    def setPositions(self, x):
+        return self.set_positions(x)
+
+    def setVelocities(self, v):
+        return self.set_velocities(v)
+
+    def setVelocitiesToTemperature(self, temperature, seed: int = 0):
+        return self.set_velocities_to_temperature(temperature, seed)
+
+    def setParameter(self, name, value):
+        return self.set_parameter(name, value)
+
+    def getParameter(self, name):
+        return self.get_parameter(name)
+
+    def setPeriodicBoxVectors(self, box):
+        return self.set_periodic_box(box)
+
+    def getState(self, **_ignored) -> StateSnapshot:
+        return self.get_state()
+
     # -- convenience -------------------------------------------------------
 
     @property

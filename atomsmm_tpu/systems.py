@@ -72,7 +72,13 @@ def RESPASystem(
                 negated near force, so near + far == full holds exactly.
       group 3 — (reciprocal_level=True, PME only) the reciprocal FFT sum as
                 its own slowest level (triple split); pass a 4-entry loops
-                list to MultipleTimeScaleIntegrator, e.g. [4, 2, 2, 1].
+                list to MultipleTimeScaleIntegrator, e.g. [4, 2, 2, 1] at
+                8 fs outer. CAUTION (measured, 30k flexible water): the
+                reciprocal sum tracks intramolecular charge motion, so with
+                FLEXIBLE bonds it hits the same ~5 fs resonance wall as the
+                far force (8 fs reciprocal heated 300->560 K in 6 ps); use
+                this level only with constrained bonds or resonance-free
+                thermostatting (SIN(R)).
 
     The near force's Coulomb damping follows the far method: the PME Ewald
     alpha when the full force uses PME, else undamped.

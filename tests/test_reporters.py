@@ -262,3 +262,30 @@ def test_system_serialization_rejects_callables(tmp_path):
     ))
     with _pytest.raises(TypeError, match="callable"):
         save_system(str(tmp_path / "bad.npz"), bad)
+
+
+def test_openmm_style_camelcase_aliases(tmp_path):
+    """The reference's users call openmm spellings (setPositions,
+    setVelocitiesToTemperature, setParameter, getState, minimizeEnergy,
+    saveCheckpoint) — alias parity with the snake_case API."""
+    import atomsmm_tpu as amm
+    from atomsmm_tpu.models import argon_system
+
+    system, x, box = argon_system(n=64, jitter=0.05, seed=1, r_cut=0.5,
+                                  r_switch=0.4)
+    sim = amm.Simulation(system, amm.VelocityVerletIntegrator(dt=0.001))
+    sim.setPositions(x)
+    sim.setVelocitiesToTemperature(120.0, seed=2)
+    sim.minimizeEnergy(20)
+    ctx = sim.context
+    ctx.setParameter("lambda_vdw", 0.5)
+    assert float(ctx.getParameter("lambda_vdw")) == 0.5
+    snap = ctx.getState()
+    assert np.isfinite(float(snap.potential_energy))
+    sim.step(3)
+    p = tmp_path / "ck.npz"
+    sim.saveCheckpoint(str(p))
+    x_after = np.asarray(ctx.state.x)
+    sim.step(3)
+    sim.loadCheckpoint(str(p))
+    np.testing.assert_array_equal(np.asarray(ctx.state.x), x_after)
