@@ -137,6 +137,19 @@ class GlobalThermostatIntegrator(Integrator):
             nve, thermostat = None, nve
         if thermostat is None:
             raise ValueError("GlobalThermostatIntegrator needs a thermostat")
+        if nve is not None and hasattr(nve, "conserved_extra") and not (
+            hasattr(thermostat, "conserved_extra")
+        ):
+            # almost certainly the r1 argument order (dt, thermostat, nve):
+            # a bath in the trajectory-core slot integrates a wrong splitting
+            # silently, so refuse instead
+            raise ValueError(
+                "GlobalThermostatIntegrator(dt, nve, thermostat): the "
+                "`nve` argument looks like a thermostat (it tracks a "
+                "conserved quantity) while `thermostat` does not — the "
+                "argument order is (stepSize, nve, thermostat), matching "
+                "the reference"
+            )
         self.thermostat = thermostat
         nve = nve or VelocityVerletPropagator()
         self.propagator = TrotterSuzukiPropagator(nve, thermostat)

@@ -6,8 +6,8 @@ factor, so only ~2.5% of tile slots are real in-range pairs at water density.
 This module replaces cells with the NAMD/GPU-style *tile list*, reshaped for
 the TPU VPU:
 
-  * atoms are sorted by the Morton (Z-order) code of their fine-grid cell —
-    consecutive 64-atom BLOCKS are then spatially compact (roughly cubic),
+  * atoms are sorted by the serpentine (boustrophedon) order of their
+    fine-grid cell — consecutive 64-atom BLOCKS are then spatially compact,
     and home blocks are 100% dense by construction;
   * per home block, a fixed-capacity list of candidate blocks is built from
     periodic AABB distances (block pair kept iff gap(AABB_i, AABB_j) <=
@@ -40,10 +40,6 @@ from ..utils import pytree_dataclass, static_field
 from .pbc import minimum_image
 from .rv import pair_eval
 
-_MORTON_BITS = 6  # 64^3 fine grid for the space-filling sort (unused by
-                  # default; see _serpentine_key)
-
-
 def _keys(name: str):
     prefix = "nbr" if name == "default" else f"nbr_{name}"
     return (
@@ -73,15 +69,6 @@ class BlockNeighborSpec:
         return self.n_blocks * self.block_size
 
 
-def _morton_interleave(c):
-    """(N, 3) int32 fine-grid coords -> Morton codes (N,) int32."""
-    code = jnp.zeros(c.shape[0], jnp.int32)
-    for bit in range(_MORTON_BITS):
-        for d in range(3):
-            code = code | (((c[:, d] >> bit) & 1) << (3 * bit + d))
-    return code
-
-
 def _serpentine_key(xw, box, grid):
     """Boustrophedon cell ordering: walk z, flip direction each z-row, flip y
     each x-plane — CONSECUTIVE cells are always spatially adjacent, so blocks
@@ -99,34 +86,40 @@ def _serpentine_key(xw, box, grid):
     return (row * gz + ez).astype(jnp.int32)
 
 
+def sorted_block_aabbs(x, box, sort_grid, block_size, n_blocks, n_padded):
+    """Shared prologue of the block/tile-pair builders: serpentine-sort
+    atoms, cut consecutive blocks, compute per-block AABBs from wrapped
+    coordinates. Returns (order, ctr, ext, empty)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    xw = x - box * jnp.floor(x * (1.0 / box))
+    order = jnp.argsort(_serpentine_key(xw, box, sort_grid)).astype(jnp.int32)
+    order = jnp.concatenate([order, jnp.full((n_padded - n,), n, jnp.int32)])
+
+    xw_pad = jnp.concatenate([xw, jnp.zeros((1, 3), dtype)])
+    xs = xw_pad[order].reshape(n_blocks, block_size, 3)
+    real = (order < n).reshape(n_blocks, block_size, 1)
+    big = jnp.asarray(1e30, dtype)
+    lo = jnp.min(jnp.where(real, xs, big), axis=1)       # (NB, 3)
+    hi = jnp.max(jnp.where(real, xs, -big), axis=1)
+    empty = ~jnp.any(real, axis=1)[:, 0]
+    ctr = 0.5 * (lo + hi)
+    ext = 0.5 * (hi - lo)
+    return order, ctr, ext, empty
+
+
 def build_block_lists(spec: BlockNeighborSpec, x, box):
-    """(order, cand, overflow): Morton-sort atoms, list candidate blocks by
-    periodic AABB distance (Newton: j >= i only). All device-side."""
+    """(order, cand, overflow): serpentine-sort atoms, list candidate blocks
+    by periodic AABB distance (Newton: j >= i only). All device-side."""
     n = x.shape[0]
     b = spec.block_size
     nb = spec.n_blocks
     k_max = spec.max_cand
     dtype = x.dtype
 
-    xw = x - box * jnp.floor(x * (1.0 / box))
-    order = jnp.argsort(_serpentine_key(xw, box, spec.sort_grid)).astype(
-        jnp.int32
+    order, ctr, ext, empty = sorted_block_aabbs(
+        x, box, spec.sort_grid, b, nb, spec.n_padded
     )
-    order = jnp.concatenate(
-        [order, jnp.full((spec.n_padded - n,), n, jnp.int32)]
-    )
-
-    # per-block periodic AABBs from wrapped coords, sentinels ignored
-    xw_pad = jnp.concatenate([xw, jnp.zeros((1, 3), dtype)])
-    xs = xw_pad[order].reshape(nb, b, 3)
-    real = (order < n).reshape(nb, b, 1)
-    big = jnp.asarray(1e30, dtype)
-    lo = jnp.min(jnp.where(real, xs, big), axis=1)       # (NB, 3)
-    hi = jnp.max(jnp.where(real, xs, -big), axis=1)
-    empty = ~jnp.any(real, axis=1)                        # (NB, 1)->(NB,)
-    empty = empty[:, 0]
-    ctr = 0.5 * (lo + hi)
-    ext = 0.5 * (hi - lo)
 
     # periodic center distance minus extents, clamped at 0 per dim
     dc = jnp.abs(minimum_image(ctr[:, None, :] - ctr[None, :, :], box))
@@ -156,12 +149,10 @@ def block_list_extras(spec, x, box, name: str = "default") -> Dict[str, jnp.ndar
 
 
 def needs_rebuild(spec, extra, x, box, name: str = "default"):
+    from .neighbors import moved_beyond_half_skin
+
     _, _, kx, kbox, _ = _keys(name)
-    disp = minimum_image(x - extra[kx], box)
-    moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
-        0.5 * spec.skin.astype(x.dtype)
-    ) ** 2
-    return moved | jnp.any(box != extra[kbox])
+    return moved_beyond_half_skin(spec.skin, extra[kx], extra[kbox], x, box)
 
 
 def update_blocks(spec, extra, x, box, name: str = "default"):

@@ -97,7 +97,6 @@ class NeighborSpec:
     # the grid is too small (direction collisions) — full stencil then.
     nbr_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
     inv_cells_half: jnp.ndarray = None     # (ncells, S_half) int32
-    wrap_half: jnp.ndarray = None          # (ncells, S_half, 3) int8
     # relative-offset exclusion bitmask (ops/tilepair.py convention): bit
     # (j - i + 16) per atom, bit 16 = self; None when some excluded pair
     # spans more than +-14 atom indices (kernels then use the column form)
@@ -142,19 +141,12 @@ def _neighbor_cell_map(grid, reach=(1, 1, 1)) -> np.ndarray:
 
 
 def _half_stencil_maps(grid, reach):
-    """(nbr_half, inv_half, wrap_half) or (None, None, None) when the
-    periodic grid is too small for collision-free direction maps (any dim
-    < 2*reach + 1).
-
-    wrap_half[c, k, :] is the integer periodic image offset of candidate
-    cell nbr_half[c, k] relative to home cell c: a candidate atom's wrapped
-    position plus wrap*box is geometrically adjacent to c, so staged
-    candidates can be PRE-SHIFTED and the kernels skip the per-slot
-    minimum-image rounding entirely."""
+    """(nbr_half, inv_half) or (None, None) when the periodic grid is too
+    small for collision-free direction maps (any dim < 2*reach + 1)."""
     nx, ny, nz = grid
     rx, ry, rz = reach
     if nx < 2 * rx + 1 or ny < 2 * ry + 1 or nz < 2 * rz + 1:
-        return None, None, None
+        return None, None
     dirs = [(0, 0, 0)]
     for dx in range(-rx, rx + 1):
         for dy in range(-ry, ry + 1):
@@ -164,8 +156,6 @@ def _half_stencil_maps(grid, reach):
     ncells = nx * ny * nz
     nbr = np.zeros((ncells, len(dirs)), np.int32)
     inv = np.zeros((ncells, len(dirs)), np.int32)
-    wrap = np.zeros((ncells, len(dirs), 3), np.int8)
-    dims = (nx, ny, nz)
     for cx in range(nx):
         for cy in range(ny):
             for cz in range(nz):
@@ -177,12 +167,7 @@ def _half_stencil_maps(grid, reach):
                     inv[cid, k] = (
                         ((cx - dx) % nx) * ny + ((cy - dy) % ny)
                     ) * nz + ((cz - dz) % nz)
-                    for d_i, (c_i, dd_i) in enumerate(
-                        zip((cx, cy, cz), (dx, dy, dz))
-                    ):
-                        # floor div: -1 below, 0 inside, +1 above the box
-                        wrap[cid, k, d_i] = (c_i + dd_i) // dims[d_i]
-    return nbr, inv, wrap
+    return nbr, inv
 
 
 def _max_cell_occupancy(x, box, grid) -> int:
@@ -303,7 +288,7 @@ def make_neighbor_spec(
                 ncells)
         per_cell = cap * s * cap * 4
         cell_chunk = max(1, min(ncells, (48 << 20) // max(per_cell, 1)))
-    nbr_half, inv_half, wrap_half = _half_stencil_maps(grid, reach)
+    nbr_half, inv_half = _half_stencil_maps(grid, reach)
     try:
         from .tilepair import make_exclusion_bits
 
@@ -326,7 +311,6 @@ def make_neighbor_spec(
         skin=jnp.asarray(skin_eff),
         nbr_cells_half=None if nbr_half is None else jnp.asarray(nbr_half),
         inv_cells_half=None if inv_half is None else jnp.asarray(inv_half),
-        wrap_half=None if wrap_half is None else jnp.asarray(wrap_half),
         excbits=excbits,
         grid=grid,
         reach=reach,
@@ -366,7 +350,15 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
 
 def neighbor_list_extras(spec, x, box, name: str = "default") -> Dict[str, jnp.ndarray]:
     from .blocks import BlockNeighborSpec, block_list_extras
+    from .tilepair import TilePairSpec
 
+    if isinstance(spec, TilePairSpec):
+        raise NotImplementedError(
+            "TilePairSpec is an experimental standalone backend (it loses to "
+            "the cell path at production sizes — ops/tilepair.py STATUS); "
+            "drive it via build_tile_pairs + tile_pair_energy_forces, or "
+            "attach a NeighborSpec/BlockNeighborSpec to the System instead"
+        )
     if isinstance(spec, BlockNeighborSpec):
         return block_list_extras(spec, x, box, name)
     kb, kx, kbox, kov = _keys(name)
@@ -404,16 +396,22 @@ def make_aux(system, extra):
     return aux or None
 
 
+def moved_beyond_half_skin(skin, xref, boxref, x, box):
+    """The single rebuild predicate shared by every neighbor backend: some
+    atom moved more than skin/2 since the reference build, or the box
+    changed."""
+    disp = minimum_image(x - xref, box)
+    moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
+        0.5 * skin.astype(x.dtype)
+    ) ** 2
+    return moved | jnp.any(box != boxref)
+
+
 def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):
     """True when any atom moved more than skin/2 since the reference build
     (or the box changed)."""
     _, kx, kbox, _ = _keys(name)
-    disp = minimum_image(x - extra[kx], box)
-    moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
-        0.5 * spec.skin.astype(x.dtype)
-    ) ** 2
-    box_changed = jnp.any(box != extra[kbox])
-    return moved | box_changed
+    return moved_beyond_half_skin(spec.skin, extra[kx], extra[kbox], x, box)
 
 
 def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):

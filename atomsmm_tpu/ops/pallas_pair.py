@@ -212,13 +212,14 @@ def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
       oc (8, SJ):   rows 0-2 = candidate-side reaction sums per J-tile (zero
           for self columns, already both-ordered inside the tile).
 
-    Fast-mask form (use_excbits): candidates arrive PRE-SHIFTED by the
-    per-(cell, direction) periodic wrap (no per-slot minimum image), sentinel
-    slots carry poisoned coordinates (r2 >> rc2 — no id-validity compares),
-    and exclusions + the self pair collapse to one relative-offset bitmask op
-    (ops/tilepair.py convention). Legacy form keeps minimum-image rounding
-    and per-exclusion-column compares for systems whose excluded pairs span
-    more than +-14 atom indices.
+    Fast-mask form (use_excbits): exclusions + the self pair collapse to one
+    relative-offset bitmask op (ops/tilepair.py convention) instead of the
+    per-exclusion-column compare loop. Minimum-image rounding stays per slot
+    in BOTH forms: a pre-shift by build-time cell wraps is NOT valid over the
+    skin-tolerant bucket-reuse window (an atom crossing the periodic face
+    between rebuilds teleports by a box length in wrapped coordinates —
+    caught by review r2). Legacy form is used for systems whose excluded
+    pairs span more than +-14 atom indices.
     """
     j = pl.program_id(1)
 
@@ -244,8 +245,7 @@ def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
             xi = hf_ref[c, :, k : k + 1]
             xj = cf_ref[c, k : k + 1, :]
             d = xi - xj
-            if not use_excbits:
-                d = d - box[k] * jnp.round(d * (1.0 / box[k]))
+            d = d - box[k] * jnp.round(d * (1.0 / box[k]))
             dxs.append(d)
             r2 = d * d if r2 is None else r2 + d * d
 
@@ -257,7 +257,13 @@ def _half_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
             bit = jax.lax.shift_right_logical(
                 jnp.broadcast_to(exc_h, off.shape), off
             ) & 1
-            mask = (r2 < rc2) & (bit == 0)
+            # sentinel ids are n (> any real id): the bitmask can't express
+            # them, so validity compares stay (minimum image above folds any
+            # poisoned coordinate back into range)
+            mask = (
+                (oid_h < n_atoms) & (oid_c < n_atoms) & (r2 < rc2)
+                & (bit == 0)
+            )
         else:
             hid = hm_ref[c, :, 0:1]
             cid = ci_ref[c, 0:1, :]
@@ -322,25 +328,15 @@ def stage_and_run_half(
     assert f_cols <= 8, "at most 5 per-particle parameters in the kernel path"
     exc = spec.exclusions
     max_exc = exc.shape[1]
-    use_excbits = spec.excbits is not None and spec.wrap_half is not None
+    use_excbits = spec.excbits is not None
     assert use_excbits or 1 + max_exc <= 8, (
         "at most 7 exclusions/atom in the legacy half-kernel path"
     )
 
     dtype = x.dtype
-    POISON = jnp.asarray(1.0e4, dtype)
-    if use_excbits:
-        # wrapped coords: the per-(cell, direction) wrap shifts below assume
-        # in-box positions (forces are translation invariant)
-        xs = x - box * jnp.floor(x * (1.0 / box))
-    else:
-        xs = x
-    cols = [xs] + [p[:, None].astype(dtype) for p in per_particle.values()]
+    cols = [x] + [p[:, None].astype(dtype) for p in per_particle.values()]
     feats = jnp.concatenate(cols, axis=1)
-    sentinel = jnp.zeros((1, f_cols), dtype)
-    if use_excbits:
-        sentinel = sentinel.at[0, :3].set(POISON)
-    feats = jnp.concatenate([feats, sentinel])
+    feats = jnp.concatenate([feats, jnp.zeros((1, f_cols), dtype)])
     feats = jnp.pad(feats, ((0, 0), (0, 8 - f_cols)))
     if use_excbits:
         meta = jnp.stack(
@@ -370,21 +366,10 @@ def stage_and_run_half(
     # contiguous capP-rows (cheap) instead of 8-element columns
     hft = hf.transpose(0, 2, 1)      # (ncells, 8, capP)
     cf = hft[nbr]                    # (ncells, S_half, 8, capP)
-    if use_excbits:
-        # pre-shift candidate coordinates by the periodic wrap of their cell
-        # relative to the home cell — the kernel then skips minimum image
-        shift = spec.wrap_half.astype(dtype) * box  # (ncells, S_half, 3)
-        cf = cf.at[:, :, :3, :].add(shift[:, :, :, None])
     ci = hm.transpose(0, 2, 1)[nbr][:, :, :1, :]   # (ncells, S_half, 1, capP)
     cf = cf.transpose(0, 2, 1, 3).reshape(ncells, 8, sj_used)
     ci = ci.transpose(0, 2, 1, 3).reshape(ncells, 1, sj_used)
-    if use_excbits:
-        # poisoned tail so padded lanes fail the r2 < rc2 test
-        tail = jnp.zeros((ncells, 8, sj - sj_used), dtype)
-        tail = tail.at[:, :3, :].set(POISON)
-        cf = jnp.concatenate([cf, tail], axis=2)
-    else:
-        cf = jnp.pad(cf, ((0, 0), (0, 0), (0, sj - sj_used)))
+    cf = jnp.pad(cf, ((0, 0), (0, 0), (0, sj - sj_used)))
     ci = jnp.pad(ci, ((0, 0), (0, 8 - 1), (0, sj - sj_used)),
                  constant_values=n)
 

@@ -1,4 +1,4 @@
-"""Flat tile-pair nonbonded backend — the fast TPU production path.
+"""Flat tile-pair nonbonded backend (EXPERIMENTAL — not wired into Context).
 
 Both earlier formulations pay multiplicatively for padding: cell buckets pad
 home rows AND candidate columns to the max cell occupancy (~1.7x each at
@@ -24,7 +24,9 @@ VPU and Pallas:
     no inverse-stencil write-back;
   * per-entry wrap vectors (from AABB centers at build time) replace the
     per-slot minimum-image round: block extents are << box/2, so the center
-    image is provably safe for every in-range pair (no false in/exclusions);
+    image is safe for every in-range pair AT the staged image — positions
+    must be staged continuously relative to the build reference (pass xref
+    to the evaluators; see _stage);
   * exclusions + self-pairs are ONE relative-offset bitmask op: bit
     (j - i + 16) of a per-atom int32 (requires |i - j| <= 14 for every
     excluded pair — molecules number their atoms contiguously; checked at
@@ -34,6 +36,12 @@ VPU and Pallas:
 Counterpart of OpenMM's CUDA neighbor/tile machinery under atomsmm's forces
 (SURVEY.md §2b N2); same NeighborSpec-style contract as ops/neighbors.py
 (fixed shapes, overflow flagged never dropped, skin/2 displacement rebuild).
+
+STATUS: measured at 30k water on v5e, this matches the cell path on the near
+force (+10%) but loses on the far force and pays a heavy list rebuild, so it
+is NOT dispatched by System.with_neighbors/Context (attach a TilePairSpec
+there and you get an explicit error) — drive it via build_tile_pairs +
+tile_pair_energy_forces directly.
 """
 from __future__ import annotations
 
@@ -177,30 +185,13 @@ def make_tilepair_spec(
 
 
 def _block_geometry(spec: TilePairSpec, x, box):
-    """(order, ctr, ext, empty) — sorted atom ids + per-block periodic AABBs."""
-    n = x.shape[0]
-    b = spec.block_size
-    nb = spec.n_blocks
-    dtype = x.dtype
+    """(order, ctr, ext, empty) — sorted atom ids + per-block periodic AABBs
+    (shared with ops/blocks.py)."""
+    from .blocks import sorted_block_aabbs
 
-    xw = x - box * jnp.floor(x * (1.0 / box))
-    order = jnp.argsort(_serpentine_key(xw, box, spec.sort_grid)).astype(
-        jnp.int32
+    return sorted_block_aabbs(
+        x, box, spec.sort_grid, spec.block_size, spec.n_blocks, spec.n_padded
     )
-    order = jnp.concatenate(
-        [order, jnp.full((spec.n_padded - n,), n, jnp.int32)]
-    )
-
-    xw_pad = jnp.concatenate([xw, jnp.zeros((1, 3), dtype)])
-    xs = xw_pad[order].reshape(nb, b, 3)
-    real = (order < n).reshape(nb, b, 1)
-    big = jnp.asarray(1e30, dtype)
-    lo = jnp.min(jnp.where(real, xs, big), axis=1)
-    hi = jnp.max(jnp.where(real, xs, -big), axis=1)
-    empty = ~jnp.any(real, axis=1)[:, 0]
-    ctr = 0.5 * (lo + hi)
-    ext = 0.5 * (hi - lo)
-    return order, ctr, ext, empty
 
 
 def _wrap_set(spec: TilePairSpec):
@@ -346,12 +337,10 @@ def tilepair_extras(spec, x, box, name: str = "default") -> Dict[str, jnp.ndarra
 
 
 def needs_rebuild(spec, extra, x, box, name: str = "default"):
+    from .neighbors import moved_beyond_half_skin
+
     _, _, _, _, kx, kbox, _ = _keys(name)
-    disp = minimum_image(x - extra[kx], box)
-    moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
-        0.5 * spec.skin.astype(x.dtype)
-    ) ** 2
-    return moved | jnp.any(box != extra[kbox])
+    return moved_beyond_half_skin(spec.skin, extra[kx], extra[kbox], x, box)
 
 
 def update_tile_pairs(spec, extra, x, box, name: str = "default"):
@@ -484,13 +473,20 @@ def _tile_kernel(pair_fn, takes_rv, n_consts, param_names, nb, b, entry_block,
             oaccT_ref[cb1, k : k + 1, :] += row[:, b:]
 
 
-def _stage(spec, x, box, per_particle, excbits, order):
+def _stage(spec, x, box, per_particle, excbits, order, xref=None):
     """Feature staging: sorted block-major layouts (row-major for the home
     side, transposed for the candidate side). One gather + one transpose.
 
-    Coordinates are WRAPPED into the box: the per-entry wrap vectors come
-    from wrapped AABB centers, so they only apply to wrapped positions
-    (forces/energies are invariant under per-atom box translations)."""
+    Coordinates must live in the SAME periodic image the tile list was built
+    in (the per-entry wrap vectors come from build-time AABB centers).
+    Wrapping the *current* positions breaks that whenever an atom crosses a
+    box face between rebuilds — it teleports by a box length while its block
+    assignment is stale (review r2, confirmed +8.7 kJ/mol / 127 kJ/mol/nm on
+    a 0.011 nm face crossing). With `xref` (the build-time reference
+    positions) each atom is staged at wrap(xref) + min_image(x - xref):
+    continuous across faces, exact for displacements < box/2 (the skin/2
+    reuse window is far tighter). xref=None wraps x directly — only valid AT
+    the build configuration."""
     n = x.shape[0]
     b = spec.block_size
     nb = spec.n_blocks
@@ -499,7 +495,11 @@ def _stage(spec, x, box, per_particle, excbits, order):
     f_cols = 3 + len(names)
     assert f_cols <= 8, "at most 5 per-particle parameters in the tile path"
 
-    xw = x - box * jnp.floor(x * (1.0 / box))
+    if xref is None:
+        xw = x - box * jnp.floor(x * (1.0 / box))
+    else:
+        xref_w = xref - box * jnp.floor(xref * (1.0 / box))
+        xw = xref_w + minimum_image(x - xref, box)
     cols = [xw] + [p[:, None].astype(dtype) for p in per_particle.values()]
     feats = jnp.concatenate(cols, axis=1)
     poison = jnp.zeros((1, f_cols), dtype).at[0, :3].set(POISON)
@@ -594,8 +594,12 @@ def _tile_xla_eval(pair_fn, spec, box, r_cut, fs, ms, fsC, msC, names,
 
 
 def tile_pair_energy_forces(pair_fn, x, box, per_particle, spec, order, hb,
-                            cb, wrap, r_cut, interpret: bool | None = None):
-    """(energy, forces (N, 3)) over the flat tile-pair list."""
+                            cb, wrap, r_cut, xref=None,
+                            interpret: bool | None = None):
+    """(energy, forces (N, 3)) over the flat tile-pair list.
+
+    Pass `xref` (the positions the list was built at) whenever x may have
+    drifted since the build — see _stage for why."""
     from .pallas_pair import _hoist_consts, _round_up
 
     n = x.shape[0]
@@ -607,7 +611,7 @@ def tile_pair_energy_forces(pair_fn, x, box, per_particle, spec, order, hb,
         # CPU / reference path: identical math as a plain lax.scan (exact in
         # f64 — Mosaic interpret mode cannot run 64-bit)
         fs, ms, fsC, msC, names = _stage(
-            spec, x, box, per_particle, spec.excbits, order
+            spec, x, box, per_particle, spec.excbits, order, xref
         )
         return _tile_xla_eval(
             pair_fn, spec, box, r_cut, fs, ms, fsC, msC, names, order, hb,
@@ -616,7 +620,7 @@ def tile_pair_energy_forces(pair_fn, x, box, per_particle, spec, order, hb,
     interpret = bool(interpret)
 
     fs, ms, fsC, msC, names = _stage(
-        spec, x, box, per_particle, spec.excbits, order
+        spec, x, box, per_particle, spec.excbits, order, xref
     )
 
     converted, consts, takes_rv = _hoist_consts(pair_fn, names, b, 2 * b,
@@ -681,8 +685,8 @@ def tile_pair_energy_forces(pair_fn, x, box, per_particle, spec, order, hb,
 
 
 def tile_pair_energy(pair_fn, x, box, per_particle, spec, order, hb, cb,
-                     wrap, r_cut):
+                     wrap, r_cut, xref=None):
     e, _ = tile_pair_energy_forces(
-        pair_fn, x, box, per_particle, spec, order, hb, cb, wrap, r_cut
+        pair_fn, x, box, per_particle, spec, order, hb, cb, wrap, r_cut, xref
     )
     return e

@@ -102,14 +102,16 @@ class ExtendedStateDataReporter(StateDataReporter):
                 if name != "Total":
                     cols.append((f"{name} (kJ/mole)", float(value)))
         if self.pressure or self.coulomb_energy:
-            # ONE jitted evaluation for all extended observables, neighbor
-            # structures threaded from State.extra (computers.py)
-            from .computers import compute_observables
+            # ONE jitted evaluation for the REQUESTED extended observables,
+            # neighbor structures threaded from State.extra (computers.py)
+            from .computers import compute_observables_jit
 
-            obs = compute_observables(
+            obs = compute_observables_jit(
                 simulation.system,
                 simulation.context.state,
                 simulation.context.parameters,
+                self.pressure,
+                self.coulomb_energy,
             )
         if self.coulomb_energy:
             cols.append((

@@ -133,3 +133,44 @@ def test_softcore_lambda_capture(half):
     glb = {"lambda_vdw": jnp.asarray(0.5)}
     target = solv if solv.neighbors is not None else system
     _check(sc, target, x, box, half, globals=glb)
+
+
+def test_boundary_crossing_between_rebuilds():
+    """Review r2: an atom crossing the periodic face between rebuilds (well
+    within the skin/2 reuse window) must keep its pair interactions on the
+    kernel path — staging tricks that wrap current positions break this."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.models import argon_system
+    from atomsmm_tpu.ops.neighbors import (
+        build_cell_buckets,
+        cell_pair_energy_forces,
+    )
+    from atomsmm_tpu.ops.pallas_pair import stage_and_run_half
+
+    system, x, box = argon_system(n=1728, jitter=0.1, seed=3, neighbors=True)
+    spec = system.neighbors
+    assert spec.half_stencil and spec.excbits is not None
+    # put one atom just inside the face, build, then move it across
+    x = x.at[7, 0].set(0.0009)
+    bucket, ov = build_cell_buckets(spec, x, box)
+    assert not bool(ov)
+    x1 = x.at[7, 0].add(-0.011)   # crosses the face; |disp| << skin/2
+
+    force = system.forces[0]
+    pair_fn = force._pair_fn({})
+    pp = force._per_particle({})
+    xla = dataclasses.replace(spec, backend="xla")
+    e_ref, f_ref = cell_pair_energy_forces(
+        pair_fn, x1, box, pp, xla, bucket, force.r_cut
+    )
+    e_k, f_k = stage_and_run_half(
+        spec, pair_fn, x1, box, pp, bucket, force.r_cut, interpret=True
+    )
+    np.testing.assert_allclose(float(e_k), float(e_ref), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(f_k), np.asarray(f_ref), rtol=1e-7,
+        atol=1e-7 * float(jnp.max(jnp.abs(f_ref))),
+    )

@@ -108,3 +108,30 @@ def test_retune_measures_entries():
     )
     _, _, _, _, ov2 = build_tile_pairs(tight, x, box)
     assert bool(ov2)
+
+
+def test_boundary_crossing_with_xref():
+    """Review r2: positions staged continuously relative to the build
+    reference (xref) keep face-crossing atoms' pairs; wrapping current
+    positions would drop them."""
+    system, x, box = argon_system(n=1728, jitter=0.1, seed=3, neighbors=False)
+    nbf = system.forces[0]
+    x = x.at[7, 0].set(0.0009)
+    spec = make_tilepair_spec(
+        np.asarray(box), x.shape[0], float(nbf.r_cut),
+        exclusions=np.asarray(nbf.exclusions), occupancy_from=np.asarray(x),
+    )
+    order, hb, cb, wrap, ov = build_tile_pairs(spec, x, box)
+    assert not bool(ov)
+    x1 = x.at[7, 0].add(-0.011)
+    e, f = tile_pair_energy_forces(
+        nbf._pair_fn({}), x1, box, nbf._per_particle({}), spec, order, hb,
+        cb, wrap, nbf.r_cut, xref=x,
+    )
+    e_ref = nbf.energy(x1, box, {}, None)
+    _, f_ref = nbf.energy_and_forces(x1, box, {}, None)
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-11)
+    scale = float(np.abs(np.asarray(f_ref)).max())
+    np.testing.assert_allclose(
+        np.asarray(f), np.asarray(f_ref), rtol=1e-8, atol=1e-9 * scale
+    )
