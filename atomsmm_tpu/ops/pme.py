@@ -180,17 +180,22 @@ def pme_self_energy(q, alpha):
 
 def pme_exclusion_correction(x, box, q, exclusions, alpha):
     """Remove reciprocal-space interactions of excluded pairs:
-    -k_e q_i q_j erf(alpha r)/r summed over each excluded pair once."""
-    n = x.shape[0]
-    exc = exclusions  # (N, M), -1 padded
-    iarr = jnp.arange(n, dtype=exc.dtype)[:, None]
-    mask = exc > iarr  # each pair once (j > i)
-    j = jnp.clip(exc, 0, n - 1)
-    dx = minimum_image(x[:, None, :] - x[j], box)
-    r = jnp.sqrt(jnp.sum(dx * dx, axis=-1) + 1e-30)
-    qq = q[:, None] * q[j]
+    -k_e q_i q_j erf(alpha r)/r summed over each excluded pair once.
+
+    Flattened to (N*M,) 1-D ops: the natural (N, M[, 3]) broadcast layout has
+    a tiny minor dimension that pads every VPU tile 32x on TPU (measured 2x
+    slower)."""
+    n, m = exclusions.shape
+    ii = jnp.repeat(jnp.arange(n, dtype=exclusions.dtype), m)
+    ej = exclusions.reshape(-1)
+    valid = ej > ii  # each pair once (j > i); -1 padding drops here too
+    j = jnp.clip(ej, 0, n - 1)
+    dx = minimum_image(jnp.repeat(x, m, axis=0) - x[j], box)
+    r2 = jnp.sum(dx * dx, axis=-1)
+    r = jnp.sqrt(jnp.where(valid, r2, 1.0))
+    qq = jnp.repeat(q, m) * q[j]
     e = -ONE_4PI_EPS0 * qq * jax.scipy.special.erf(alpha * r) / r
-    return jnp.sum(jnp.where(mask, e, 0.0))
+    return jnp.sum(jnp.where(valid, e, 0.0))
 
 
 def pme_corrections(x, box, q, exclusions, alpha):

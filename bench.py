@@ -122,19 +122,21 @@ def bench_argon_nve(n=4096, steps=400):
     return ns_day, ms
 
 
-def bench_alchemy(n_molecules=1000, k_states=16, evals=50):
+def bench_alchemy(n_water=1000, k_states=16, evals=50):
     """Config 3: lambda-sweep throughput — K-state reduced-energy rows via
-    one vmap (phenol-in-water sized down to keep bench time bounded)."""
+    one vmap over a phenol-in-water SolvationSystem."""
+    import jax
     import jax.numpy as jnp
 
     from atomsmm_tpu import SolvationSystem
     from atomsmm_tpu.alchemy import multistate_energies
-    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.models import phenol_in_water
     from atomsmm_tpu.ops.neighbors import all_neighbor_extras, make_aux
-    import jax
 
-    system, x, box = water_system(n_molecules=n_molecules, neighbors=True)
-    solv = SolvationSystem(system, solute_atoms=jnp.arange(3))
+    system, x, box, solute = phenol_in_water(
+        n_water=n_water, neighbors=True
+    )
+    solv = SolvationSystem(system, solute_atoms=solute)
     extras = all_neighbor_extras(solv, x, box)
     aux = make_aux(solv, extras)
     lams = jnp.linspace(0.0, 1.0, k_states)
@@ -153,7 +155,7 @@ def bench_alchemy(n_molecules=1000, k_states=16, evals=50):
         el = time.perf_counter() - t0
         best = el if best is None else min(best, el)
     rows_per_s = evals / best
-    log(f"alchemy {3*n_molecules} atoms x {k_states} states: "
+    log(f"alchemy phenol+{n_water}w ({system.num_particles} atoms) x {k_states} states: "
         f"{rows_per_s:.1f} K-state rows/s "
         f"({rows_per_s * k_states:.0f} state-energies/s)")
     return rows_per_s
@@ -247,7 +249,7 @@ def main():
             log(f"pme bench failed: {e}")
         try:
             rows = bench_alchemy()
-            extras["alchemy3k_16state_rows_per_s"] = round(rows, 2)
+            extras["alchemy_phenol_16state_rows_per_s"] = round(rows, 2)
         except Exception as e:
             log(f"alchemy bench failed: {e}")
         try:
