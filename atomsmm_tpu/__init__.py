@@ -100,4 +100,5 @@ from .reporters import (
     XYZReporter,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
+from .io import AmberPrmtop, amber_system, read_inpcrd, read_prmtop
 from .profiling import profile_forces, profile_step

@@ -1,0 +1,267 @@
+"""AMBER prmtop/inpcrd reader tests (io/amber.py).
+
+The fixtures are authored *in AMBER units* (A, kcal/mol, charge*18.2223,
+k(b-b0)^2 conventions) straight from the published q-SPC/Fw constants, so the
+reader's unit/convention conversion is validated against the independent
+native builder (models/water.py) — a wrong factor cannot cancel.
+Mirrors the reference's workflow: its every test system loads from
+tests/data AMBER files via openmm.app.AmberPrmtopFile (SURVEY.md §2a, §3.1).
+"""
+import numpy as np
+import pytest
+
+from atomsmm_tpu.io import amber_system, read_inpcrd, read_prmtop
+from atomsmm_tpu.models.water import water_system
+from atomsmm_tpu.potential import split_potential_energy
+from atomsmm_tpu.units import ONE_4PI_EPS0
+from atomsmm_tpu.utils import InputError
+
+AMBER_CHARGE = 18.2223
+KCAL = 4.184
+
+
+def _sec(flag, values, kind):
+    if kind == "i":
+        fmt, per, tok = "%FORMAT(10I8)", 10, lambda v: f"{int(v):8d}"
+    elif kind == "e":
+        fmt, per, tok = "%FORMAT(5E16.8)", 5, lambda v: f"{v:16.8E}"
+    else:
+        fmt, per, tok = "%FORMAT(20a4)", 20, lambda v: f"{str(v):<4s}"
+    lines = [f"%FLAG {flag}", fmt]
+    if not values:
+        lines.append("")
+    for i in range(0, len(values), per):
+        lines.append("".join(tok(v) for v in values[i : i + per]))
+    return lines
+
+
+def _prmtop_text(sections, pointers):
+    lines = ["%VERSION  VERSION_STAMP = V0001.000  DATE = 01/01/26"]
+    lines += _sec("POINTERS", pointers, "i")
+    for flag, values, kind in sections:
+        lines += _sec(flag, values, kind)
+    return "\n".join(lines) + "\n"
+
+
+def _inpcrd_text(x_ang, v_amber=None, box_ang=None):
+    vals = list(x_ang.reshape(-1))
+    if v_amber is not None:
+        vals += list(v_amber.reshape(-1))
+    lines = ["generated test restart", f"{len(x_ang):6d}"]
+    for i in range(0, len(vals), 6):
+        lines.append("".join(f"{v:12.7f}" for v in vals[i : i + 6]))
+    if box_ang is not None:
+        lines.append("".join(f"{v:12.7f}" for v in list(box_ang) + [90.0] * 3))
+    return "\n".join(lines) + "\n"
+
+
+def _water_prmtop(m):
+    """q-SPC/Fw water prmtop from the published AMBER-convention constants."""
+    n = 3 * m
+    o = 3 * np.arange(m)
+    sig_a, eps_kcal = 3.165492, 0.1554253
+    a_oo = 4 * eps_kcal * sig_a**12
+    b_oo = 4 * eps_kcal * sig_a**6
+    pointers = [0] * 31
+    pointers[0], pointers[1] = n, 2          # NATOM, NTYPES
+    pointers[2] = 2 * m                      # NBONH
+    pointers[4] = m                          # NTHETH
+    pointers[10] = n                         # NNB (unused by reader)
+    pointers[11] = m                         # NRES
+    pointers[15], pointers[16] = 1, 1        # NUMBND, NUMANG
+    pointers[18] = 2                         # NATYP
+    pointers[20] = 1                         # IFBOX
+    bonds_h = []
+    for i in range(m):
+        bonds_h += [3 * o[i], 3 * (o[i] + 1), 1, 3 * o[i], 3 * (o[i] + 2), 1]
+    angles_h = []
+    for i in range(m):
+        angles_h += [3 * (o[i] + 1), 3 * o[i], 3 * (o[i] + 2), 1]
+    sections = [
+        ("ATOM_NAME", ["O", "H1", "H2"] * m, "a"),
+        ("CHARGE", [-0.84 * AMBER_CHARGE, 0.42 * AMBER_CHARGE, 0.42 * AMBER_CHARGE] * m, "e"),
+        ("MASS", [15.9994, 1.008, 1.008] * m, "e"),
+        ("ATOM_TYPE_INDEX", [1, 2, 2] * m, "i"),
+        ("NONBONDED_PARM_INDEX", [1, 2, 2, 3], "i"),
+        ("RESIDUE_LABEL", ["WAT"] * m, "a"),
+        ("RESIDUE_POINTER", [3 * i + 1 for i in range(m)], "i"),
+        # q-SPC/Fw: kb = 1059.162 kcal/mol/A^2, ka = 75.90 kcal/mol/rad^2 in
+        # the 1/2 k convention -> AMBER's k(b-b0)^2 stores half that
+        ("BOND_FORCE_CONSTANT", [1059.162 / 2], "e"),
+        ("BOND_EQUIL_VALUE", [1.0], "e"),
+        ("ANGLE_FORCE_CONSTANT", [75.90 / 2], "e"),
+        ("ANGLE_EQUIL_VALUE", [112.0 * np.pi / 180.0], "e"),
+        ("LENNARD_JONES_ACOEF", [a_oo, 0.0, 0.0], "e"),
+        ("LENNARD_JONES_BCOEF", [b_oo, 0.0, 0.0], "e"),
+        ("BONDS_INC_HYDROGEN", bonds_h, "i"),
+        ("BONDS_WITHOUT_HYDROGEN", [], "i"),
+        ("ANGLES_INC_HYDROGEN", angles_h, "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", [], "i"),
+    ]
+    return _prmtop_text(sections, pointers)
+
+
+def test_water_prmtop_matches_native_builder():
+    m = 27
+    ref_system, x, box = water_system(
+        n_molecules=m, method="cutoff", r_cut=0.45, r_switch=0.40, seed=11,
+        template_bonded=False,
+    )
+    top = read_prmtop(_water_prmtop(m))
+    assert top.natom == 3 * m
+    assert top.num_molecules == m
+    np.testing.assert_allclose(top.charge[:3], [-0.84, 0.42, 0.42], rtol=1e-10)
+    # sigma/epsilon roundtrip through A = 4 eps sigma^12 — ~1e-9 rel rounding
+    np.testing.assert_allclose(top.sigma[0], 0.3165492, rtol=1e-7)
+    np.testing.assert_allclose(top.epsilon[0], 0.1554253 * KCAL, rtol=1e-7)
+
+    sys_a, _, _ = amber_system(
+        top, box=np.asarray(box), method="cutoff", r_cut=0.45, r_switch=0.40
+    )
+    e_ref = split_potential_energy(ref_system, x, box)
+    e_amb = split_potential_energy(sys_a, x, box)
+    # LJ amplifies the ~1e-9 sigma roundtrip by ~12x through r^-12
+    for term in ("NonbondedForce", "HarmonicBondForce", "HarmonicAngleForce", "Total"):
+        np.testing.assert_allclose(
+            float(e_amb[term]), float(e_ref[term]), rtol=1e-6, atol=1e-9,
+            err_msg=term,
+        )
+
+
+def test_water_prmtop_neighbors_and_groups():
+    m = 27
+    _, x, box = water_system(n_molecules=m, r_cut=0.45, r_switch=0.40, seed=11)
+    sys_a, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.45, r_switch=0.40, neighbors=True,
+    )
+    assert sys_a.neighbors is not None
+    e = split_potential_energy(sys_a, x, box)
+    sys_d, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.45, r_switch=0.40,
+    )
+    e_d = split_potential_energy(sys_d, x, box)
+    np.testing.assert_allclose(float(e["Total"]), float(e_d["Total"]), rtol=1e-10)
+
+
+def _chain_prmtop():
+    """4-atom chain: 3 bonds, 2 angles, a 2-term torsion (second term flagged
+    with the negative-third-atom convention) and the 0-3 1-4 pair."""
+    q = np.array([0.3, -0.3, -0.3, 0.3])
+    sig_a, eps_kcal = 3.4, 0.1
+    a_ = 4 * eps_kcal * sig_a**12
+    b_ = 4 * eps_kcal * sig_a**6
+    pointers = [0] * 31
+    pointers[0], pointers[1] = 4, 1
+    pointers[2], pointers[12] = 0, 3          # NBONH, NBONA
+    pointers[13] = 2                          # NTHETA
+    pointers[14] = 2                          # NPHIA
+    pointers[11] = 1
+    pointers[15], pointers[16], pointers[17] = 1, 1, 2
+    pointers[18] = 1
+    bonds_a = [0, 3, 1, 3, 6, 1, 6, 9, 1]
+    angles_a = [0, 3, 6, 1, 3, 6, 9, 1]
+    # term 2 repeats atoms with third atom negative -> no duplicate 1-4
+    dihedrals_a = [0, 3, 6, 9, 1, 0, 3, -6, 9, 2]
+    sections = [
+        ("ATOM_NAME", ["C1", "C2", "C3", "C4"], "a"),
+        ("CHARGE", list(q * AMBER_CHARGE), "e"),
+        ("MASS", [12.011] * 4, "e"),
+        ("ATOM_TYPE_INDEX", [1] * 4, "i"),
+        ("NONBONDED_PARM_INDEX", [1], "i"),
+        ("RESIDUE_LABEL", ["CHN"], "a"),
+        ("RESIDUE_POINTER", [1], "i"),
+        ("BOND_FORCE_CONSTANT", [300.0], "e"),
+        ("BOND_EQUIL_VALUE", [1.5], "e"),
+        ("ANGLE_FORCE_CONSTANT", [40.0], "e"),
+        ("ANGLE_EQUIL_VALUE", [110.0 * np.pi / 180.0], "e"),
+        ("DIHEDRAL_FORCE_CONSTANT", [1.4, 0.2], "e"),
+        ("DIHEDRAL_PERIODICITY", [3.0, 2.0], "e"),
+        ("DIHEDRAL_PHASE", [0.0, np.pi], "e"),
+        ("SCEE_SCALE_FACTOR", [1.2, 1.2], "e"),
+        ("SCNB_SCALE_FACTOR", [2.0, 2.0], "e"),
+        ("LENNARD_JONES_ACOEF", [a_], "e"),
+        ("LENNARD_JONES_BCOEF", [b_], "e"),
+        ("BONDS_INC_HYDROGEN", [], "i"),
+        ("BONDS_WITHOUT_HYDROGEN", bonds_a, "i"),
+        ("ANGLES_INC_HYDROGEN", [], "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", angles_a, "i"),
+        ("DIHEDRALS_INC_HYDROGEN", [], "i"),
+        ("DIHEDRALS_WITHOUT_HYDROGEN", dihedrals_a, "i"),
+    ]
+    return _prmtop_text(sections, pointers)
+
+
+def test_chain_torsion_and_14():
+    top = read_prmtop(_chain_prmtop())
+    assert len(top.torsions) == 2
+    assert list(top.torsion_periodicity) == [3, 2]
+    # the negative-third-atom second term must not duplicate the 1-4 pair
+    assert top.pairs14.tolist() == [[0, 3]]
+    assert top.exclusion_pairs() == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+    # non-planar chain, in nm
+    x = np.array(
+        [[0.0, 0.0, 0.0], [0.15, 0.0, 0.0], [0.20, 0.14, 0.0], [0.30, 0.16, 0.12]]
+    )
+    box = np.full(3, 3.0)
+    sys_a, _, _ = amber_system(top, box=box, method="cutoff", r_cut=1.2, r_switch=1.0)
+    e = split_potential_energy(sys_a, x, box)
+
+    # hand-computed reference (all nonbonded pairs excluded; only the scaled
+    # 1-4 exception contributes beyond the bonded terms)
+    def bond_e(i, j):
+        r = np.linalg.norm(x[j] - x[i])
+        return 0.5 * (2 * 300.0 * KCAL * 100.0) * (r - 0.15) ** 2
+
+    def angle_e(i, j, k):
+        a, b = x[i] - x[j], x[k] - x[j]
+        th = np.arccos(np.dot(a, b) / np.linalg.norm(a) / np.linalg.norm(b))
+        return 0.5 * (2 * 40.0 * KCAL) * (th - 110.0 * np.pi / 180.0) ** 2
+
+    b01, b12, b23 = x[1] - x[0], x[2] - x[1], x[3] - x[2]
+    n1, n2 = np.cross(b01, b12), np.cross(b12, b23)
+    phi = np.arctan2(
+        np.dot(np.cross(n1, n2), b12 / np.linalg.norm(b12)), np.dot(n1, n2)
+    )
+    tors = 1.4 * KCAL * (1 + np.cos(3 * phi)) + 0.2 * KCAL * (1 + np.cos(2 * phi - np.pi))
+    r14 = np.linalg.norm(x[3] - x[0])
+    sig, eps = 0.34, 0.1 * KCAL
+    e14 = 4 * (eps / 2.0) * ((sig / r14) ** 12 - (sig / r14) ** 6)
+    e14 += ONE_4PI_EPS0 * (0.3 * 0.3 / 1.2) / r14
+
+    np.testing.assert_allclose(
+        float(e["HarmonicBondForce"]), bond_e(0, 1) + bond_e(1, 2) + bond_e(2, 3),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(e["HarmonicAngleForce"]), angle_e(0, 1, 2) + angle_e(1, 2, 3),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(float(e["PeriodicTorsionForce"]), tors, rtol=1e-6)
+    np.testing.assert_allclose(float(e["NonbondedExceptionsForce"]), e14, rtol=1e-6)
+    np.testing.assert_allclose(float(e["NonbondedForce"]), 0.0, atol=1e-12)
+
+
+def test_inpcrd_roundtrip():
+    rs = np.random.RandomState(0)
+    x_a = rs.uniform(0, 20, (5, 3))
+    v_amber = rs.normal(size=(5, 3))
+    text = _inpcrd_text(x_a, v_amber, box_ang=[20.0, 21.0, 22.0])
+    x, v, box = read_inpcrd(text)
+    np.testing.assert_allclose(x, x_a * 0.1, atol=1e-7)
+    np.testing.assert_allclose(v, v_amber * 0.1 * 20.455, atol=1e-5)
+    np.testing.assert_allclose(box, [2.0, 2.1, 2.2], atol=1e-8)
+    # coordinates-only variant
+    x2, v2, box2 = read_inpcrd(_inpcrd_text(x_a))
+    np.testing.assert_allclose(x2, x_a * 0.1, atol=1e-7)
+    assert v2 is None and box2 is None
+
+
+def test_triclinic_box_rejected():
+    x_a = np.zeros((2, 3))
+    lines = _inpcrd_text(x_a).splitlines()
+    lines.append("".join(f"{v:12.7f}" for v in [20.0, 20.0, 20.0, 90.0, 109.47, 90.0]))
+    with pytest.raises(InputError):
+        read_inpcrd("\n".join(lines) + "\n")
