@@ -100,5 +100,13 @@ from .reporters import (
     XYZReporter,
 )
 from .checkpoint import load_checkpoint, save_checkpoint
-from .io import AmberPrmtop, amber_system, read_inpcrd, read_prmtop
+from .io import (
+    AmberPrmtop,
+    PDBFile,
+    amber_system,
+    read_inpcrd,
+    read_pdb,
+    read_prmtop,
+    write_pdb,
+)
 from .profiling import profile_forces, profile_step

@@ -7,5 +7,14 @@ This package provides the TPU-native equivalent: parse the files with numpy,
 emit our ``System`` pytree directly.
 """
 from .amber import AmberPrmtop, amber_system, read_inpcrd, read_prmtop
+from .pdb import PDBFile, read_pdb, write_pdb
 
-__all__ = ["AmberPrmtop", "amber_system", "read_inpcrd", "read_prmtop"]
+__all__ = [
+    "AmberPrmtop",
+    "PDBFile",
+    "amber_system",
+    "read_inpcrd",
+    "read_pdb",
+    "read_prmtop",
+    "write_pdb",
+]

@@ -265,3 +265,54 @@ def test_triclinic_box_rejected():
     lines.append("".join(f"{v:12.7f}" for v in [20.0, 20.0, 20.0, 90.0, 109.47, 90.0]))
     with pytest.raises(InputError):
         read_inpcrd("\n".join(lines) + "\n")
+
+
+def test_pdb_roundtrip(tmp_path):
+    from atomsmm_tpu.io import read_pdb, write_pdb
+
+    rs = np.random.RandomState(2)
+    x = rs.uniform(0, 2.0, (7, 3))
+    box = np.array([2.0, 2.5, 3.0])
+    p = tmp_path / "out.pdb"
+    write_pdb(
+        p, x, box=box,
+        atom_name=["O", "H1", "H2", "O", "H1", "H2", "NA"],
+        residue_name=["WAT"] * 6 + ["ION"],
+        residue_id=[1, 1, 1, 2, 2, 2, 3],
+    )
+    pdb = read_pdb(p)
+    # PDB columns carry 3 decimals in A -> 1e-4 nm
+    np.testing.assert_allclose(pdb.positions, x, atol=6e-5)
+    np.testing.assert_allclose(pdb.box, box, atol=1e-4)
+    assert pdb.atom_name[:3] == ["O", "H1", "H2"]
+    assert pdb.residue_name[-1] == "ION"
+    assert list(pdb.residue_id) == [1, 1, 1, 2, 2, 2, 3]
+
+
+def test_pdb_triclinic_rejected():
+    from atomsmm_tpu.io import read_pdb
+
+    text = (
+        "CRYST1   20.000   20.000   20.000  90.00 109.47  90.00 P 1           1\n"
+        "ATOM      1  O   WAT     1       0.000   0.000   0.000  1.00  0.00           O\n"
+        "END\n"
+    )
+    with pytest.raises(InputError):
+        read_pdb(text)
+
+
+def test_water_prmtop_pme_matches_native_builder():
+    m = 27
+    ref_system, x, box = water_system(
+        n_molecules=m, method="pme", r_cut=0.45, r_switch=0.40, seed=11,
+        template_bonded=False, dispersion_correction=True,
+    )
+    sys_a, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box), method="pme",
+        r_cut=0.45, r_switch=0.40, dispersion_correction=True,
+    )
+    e_ref = split_potential_energy(ref_system, x, box)
+    e_amb = split_potential_energy(sys_a, x, box)
+    np.testing.assert_allclose(
+        float(e_amb["Total"]), float(e_ref["Total"]), rtol=1e-6, atol=1e-9
+    )
