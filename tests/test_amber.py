@@ -101,6 +101,7 @@ def _water_prmtop(m):
     return _prmtop_text(sections, pointers)
 
 
+@pytest.mark.smoke
 def test_water_prmtop_matches_native_builder():
     m = 27
     ref_system, x, box = water_system(
@@ -193,6 +194,7 @@ def _chain_prmtop():
     return _prmtop_text(sections, pointers)
 
 
+@pytest.mark.smoke
 def test_chain_torsion_and_14():
     top = read_prmtop(_chain_prmtop())
     assert len(top.torsions) == 2
@@ -244,6 +246,7 @@ def test_chain_torsion_and_14():
     np.testing.assert_allclose(float(e["NonbondedForce"]), 0.0, atol=1e-12)
 
 
+@pytest.mark.smoke
 def test_inpcrd_roundtrip():
     rs = np.random.RandomState(0)
     x_a = rs.uniform(0, 20, (5, 3))
@@ -267,6 +270,7 @@ def test_triclinic_box_rejected():
         read_inpcrd("\n".join(lines) + "\n")
 
 
+@pytest.mark.smoke
 def test_pdb_roundtrip(tmp_path):
     from atomsmm_tpu.io import read_pdb, write_pdb
 
