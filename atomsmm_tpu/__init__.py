@@ -96,6 +96,7 @@ from .reporters import (
     CenterOfMassReporter,
     CustomIntegratorReporter,
     ExtendedStateDataReporter,
+    PDBReporter,
     StateDataReporter,
     XYZReporter,
 )

@@ -75,16 +75,18 @@ def read_pdb(path_or_text) -> PDBFile:
     )
 
 
-def write_pdb(
-    path,
-    positions,
-    box=None,
-    atom_name=None,
-    residue_name=None,
-    residue_id=None,
-    element=None,
+def format_cryst1(box) -> str:
+    a, b, c = np.asarray(box) * 10.0
+    return (
+        f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}{90.0:7.2f}{90.0:7.2f}{90.0:7.2f}"
+        " P 1           1"
+    )
+
+
+def format_model(
+    positions, atom_name=None, residue_name=None, residue_id=None, element=None
 ):
-    """Write one model. positions (N, 3) in nm; box (3,) in nm."""
+    """ATOM record lines for one model; positions (N, 3) in nm."""
     x = np.asarray(positions) * 10.0
     n = len(x)
     atom_name = atom_name or ["X"] * n
@@ -92,11 +94,6 @@ def write_pdb(
     residue_id = residue_id if residue_id is not None else np.ones(n, int)
     element = element or [str(a)[:1] for a in atom_name]
     lines = []
-    if box is not None:
-        a, b, c = np.asarray(box) * 10.0
-        lines.append(
-            f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}{90.0:7.2f}{90.0:7.2f}{90.0:7.2f} P 1           1"
-        )
     for i in range(n):
         name = atom_name[i][:4]
         # PDB convention: 1-3 char names start in column 14
@@ -107,6 +104,21 @@ def write_pdb(
             f"{x[i, 0]:8.3f}{x[i, 1]:8.3f}{x[i, 2]:8.3f}{1.0:6.2f}{0.0:6.2f}"
             f"          {element[i][:2]:>2s}"
         )
+    return lines
+
+
+def write_pdb(
+    path,
+    positions,
+    box=None,
+    atom_name=None,
+    residue_name=None,
+    residue_id=None,
+    element=None,
+):
+    """Write one model. positions (N, 3) in nm; box (3,) in nm."""
+    lines = [] if box is None else [format_cryst1(box)]
+    lines += format_model(positions, atom_name, residue_name, residue_id, element)
     lines.append("END")
     out = "\n".join(lines) + "\n"
     if hasattr(path, "write"):

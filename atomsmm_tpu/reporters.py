@@ -10,6 +10,7 @@ StateSnapshot, so the hot loop is never interrupted per step (SURVEY.md §5:
       molecular virials/pressures, molecular kinetic energy, and global
       context-parameter columns (atomsmm/reporters.py::ExtendedStateDataReporter)
   XYZReporter                — plain-XYZ trajectories of selected atoms
+  PDBReporter                — multi-MODEL PDB trajectories (io/pdb.py labels)
   CenterOfMassReporter       — per-molecule COM trajectories
   CustomIntegratorReporter   — dumps integrator variables (State.extra), the
       runtime debugging hook (atomsmm/reporters.py::CustomIntegratorReporter)
@@ -153,6 +154,39 @@ class XYZReporter(_Reporter):
         for s, (a, b, c) in zip(syms, x):
             self.out.write(f"{s} {a:.6f} {b:.6f} {c:.6f}\n")
         self.out.flush()
+
+
+class PDBReporter(_Reporter):
+    """Multi-MODEL PDB trajectory (counterpart of openmm.app.PDBReporter;
+    pairs with io/pdb.py). Per-atom labels default to those parsed from a
+    prmtop/PDB when provided."""
+
+    def __init__(self, file, interval, atom_name=None, residue_name=None,
+                 residue_id=None, element=None):
+        super().__init__(file, interval)
+        self.labels = dict(
+            atom_name=atom_name, residue_name=residue_name,
+            residue_id=residue_id, element=element,
+        )
+        self._model = 0
+
+    def report(self, simulation, snap):
+        from .io.pdb import format_cryst1, format_model
+
+        if not self._header_done:
+            self.out.write(format_cryst1(np.asarray(snap.box)) + "\n")
+            self._header_done = True
+        self._model += 1
+        self.out.write(f"MODEL     {self._model:4d}\n")
+        for line in format_model(np.asarray(snap.positions), **self.labels):
+            self.out.write(line + "\n")
+        self.out.write("ENDMDL\n")
+        self.out.flush()
+
+    def close(self):
+        if not self.out.closed:
+            self.out.write("END\n")
+        super().close()
 
 
 class CenterOfMassReporter(_Reporter):

@@ -289,3 +289,21 @@ def test_openmm_style_camelcase_aliases(tmp_path):
     sim.step(3)
     sim.loadCheckpoint(str(p))
     np.testing.assert_array_equal(np.asarray(ctx.state.x), x_after)
+
+
+def test_pdb_reporter(argon_sim):
+    from atomsmm_tpu import PDBReporter
+    from atomsmm_tpu.io import read_pdb
+
+    buf = io.StringIO()
+    argon_sim.reporters.append(
+        PDBReporter(buf, interval=20, atom_name=["AR"] * 125,
+                    residue_name=["AR"] * 125)
+    )
+    argon_sim.step(40)
+    text = buf.getvalue()
+    assert text.count("MODEL") == 2 and text.count("ENDMDL") == 2
+    pdb = read_pdb(text)  # first MODEL
+    assert len(pdb.positions) == 125
+    assert pdb.atom_name[0] == "AR"
+    assert pdb.box is not None
