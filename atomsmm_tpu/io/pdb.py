@@ -8,6 +8,18 @@ the CRYST1 box; write configurations back out for visualization tools.
 Units: PDB is in Å; everything returned/accepted here is nm (units.py).
 Orthorhombic boxes only (CRYST1 angles must be 90°) — consistent with the
 rest of the package.
+
+>>> import io, numpy as np
+>>> buf = io.StringIO()
+>>> write_pdb(buf, np.array([[0.1, 0.2, 0.3]]), box=np.array([2.0, 2.0, 2.0]),
+...           atom_name=["O"], residue_name=["WAT"])
+>>> pdb = read_pdb(buf.getvalue())
+>>> np.round(pdb.positions, 4).tolist()
+[[0.1, 0.2, 0.3]]
+>>> pdb.box.tolist()
+[2.0, 2.0, 2.0]
+>>> pdb.atom_name, pdb.residue_name
+(['O'], ['WAT'])
 """
 from __future__ import annotations
 

@@ -10,6 +10,7 @@ import atomsmm_tpu.alchemy
 import atomsmm_tpu.computers
 import atomsmm_tpu.integrate.integrators
 import atomsmm_tpu.integrate.propagators
+import atomsmm_tpu.io.pdb
 import atomsmm_tpu.ops.pairfuncs
 import atomsmm_tpu.ops.pbc
 import atomsmm_tpu.ops.switching
@@ -21,6 +22,7 @@ MODULES = {
     "pairfuncs": (atomsmm_tpu.ops.pairfuncs, 5),
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
+    "io_pdb": (atomsmm_tpu.io.pdb, 4),
     "systems": (atomsmm_tpu.systems, 7),
     "alchemy": (atomsmm_tpu.alchemy, 7),
     "computers": (atomsmm_tpu.computers, 6),
