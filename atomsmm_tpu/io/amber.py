@@ -152,6 +152,10 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         ptr = s["POINTERS"]
     except KeyError:
         raise InputError("not a prmtop: missing %FLAG POINTERS")
+    for req in ("CHARGE", "MASS", "ATOM_TYPE_INDEX", "NONBONDED_PARM_INDEX",
+                "LENNARD_JONES_ACOEF", "LENNARD_JONES_BCOEF"):
+        if req not in s:
+            raise InputError(f"prmtop is missing required %FLAG {req}")
     natom, ntypes = ptr[0], ptr[1]
     nbonh, nbona = ptr[2], ptr[12]
     ntheth, ntheta = ptr[4], ptr[13]

@@ -320,3 +320,8 @@ def test_water_prmtop_pme_matches_native_builder():
     np.testing.assert_allclose(
         float(e_amb["Total"]), float(e_ref["Total"]), rtol=1e-6, atol=1e-9
     )
+
+
+def test_missing_section_message():
+    with pytest.raises(InputError, match="missing required %FLAG CHARGE"):
+        read_prmtop("%FLAG POINTERS\n%FORMAT(10I8)\n" + f"{4:8d}" * 10 + "\n")
