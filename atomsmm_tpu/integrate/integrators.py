@@ -137,18 +137,32 @@ class GlobalThermostatIntegrator(Integrator):
             nve, thermostat = None, nve
         if thermostat is None:
             raise ValueError("GlobalThermostatIntegrator needs a thermostat")
-        if nve is not None and hasattr(nve, "conserved_extra") and not (
-            hasattr(thermostat, "conserved_extra")
+        if nve is not None and getattr(nve, "is_thermostat", False) and not (
+            getattr(thermostat, "is_thermostat", False)
         ):
-            # almost certainly the r1 argument order (dt, thermostat, nve):
+            # certainly the swapped argument order (dt, thermostat, nve):
             # a bath in the trajectory-core slot integrates a wrong splitting
-            # silently, so refuse instead
+            # silently, so refuse. The check keys on the positive
+            # Propagator.is_thermostat marker — a composite NVE core that
+            # merely tracks a conserved quantity is legitimate (round-2
+            # advisor finding) and only draws a warning below.
             raise ValueError(
                 "GlobalThermostatIntegrator(dt, nve, thermostat): the "
-                "`nve` argument looks like a thermostat (it tracks a "
-                "conserved quantity) while `thermostat` does not — the "
-                "argument order is (stepSize, nve, thermostat), matching "
-                "the reference"
+                "`nve` argument is a thermostat (is_thermostat=True) while "
+                "`thermostat` is not — the argument order is "
+                "(stepSize, nve, thermostat), matching the reference"
+            )
+        if nve is not None and hasattr(nve, "conserved_extra") and not (
+            hasattr(thermostat, "conserved_extra")
+            or getattr(thermostat, "is_thermostat", False)
+        ):
+            import warnings
+
+            warnings.warn(
+                "GlobalThermostatIntegrator: the `nve` argument tracks a "
+                "conserved quantity while `thermostat` does not — check the "
+                "argument order (stepSize, nve, thermostat)",
+                stacklevel=2,
             )
         self.thermostat = thermostat
         nve = nve or VelocityVerletPropagator()

@@ -106,6 +106,11 @@ def _maybe_loop(n: int, body, state: State, unroll_threshold: int = 2):
 class Propagator:
     """Base class (atomsmm/propagators.py::Propagator)."""
 
+    #: positive marker for bath/thermostat propagators, used by
+    #: GlobalThermostatIntegrator's swapped-argument guard (a thermostat in
+    #: the trajectory-core slot silently integrates the wrong splitting)
+    is_thermostat = False
+
     def extra_variables(self, system, state) -> Dict[str, jnp.ndarray]:
         return {}
 
@@ -489,6 +494,8 @@ class NoseHooverChainPropagator(Propagator):
       positions (only enter the conserved quantity).
     """
 
+    is_thermostat = True
+
     def __init__(self, temperature, degrees_of_freedom, time_scale,
                  nchain: int = 2, nsy: int = 3, nloops: int = 1, tag="nhc"):
         self.temperature = float(temperature)
@@ -585,6 +592,8 @@ class OrnsteinUhlenbeckPropagator(Propagator):
     `variable` updates a named extra array with effective mass `mass` instead.
     """
 
+    is_thermostat = True
+
     def __init__(self, temperature, friction, variable: Optional[str] = None,
                  mass=None):
         self.temperature = float(temperature)
@@ -629,6 +638,8 @@ class OrnsteinUhlenbeckPropagator(Propagator):
 class VelocityRescalingPropagator(Propagator):
     """Bussi-Donadio-Parrinello stochastic velocity rescaling (CSVR)
     (atomsmm/propagators.py::VelocityRescalingPropagator)."""
+
+    is_thermostat = True
 
     def __init__(self, temperature, degrees_of_freedom, time_scale):
         self.temperature = float(temperature)

@@ -156,7 +156,33 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
                 "LENNARD_JONES_ACOEF", "LENNARD_JONES_BCOEF"):
         if req not in s:
             raise InputError(f"prmtop is missing required %FLAG {req}")
+    # explicit rejections for formats/features this reader would otherwise
+    # silently mis-parse (VERDICT r2 weak #7): refuse, name the feature
+    if "CTITLE" in s or any(k.startswith("CHARMM") for k in s):
+        raise InputError(
+            "CHAMBER-format prmtop (CHARMM force field sections) is not "
+            "supported — regenerate a plain AMBER prmtop"
+        )
+    if "POLARIZABILITY" in s or (s.get("IPOL") and s["IPOL"][0]):
+        raise InputError("polarizable prmtop (IPOL/POLARIZABILITY) is not supported")
     natom, ntypes = ptr[0], ptr[1]
+    nphb = ptr[19] if len(ptr) > 19 else 0
+    if nphb and any(v != 0.0 for v in s.get("HBOND_ACOEF", [])[:nphb]):
+        raise InputError(
+            "prmtop uses 10-12 hydrogen-bond potentials (NPHB > 0 with "
+            "nonzero HBOND_ACOEF) — not supported"
+        )
+    numextra = ptr[30] if len(ptr) > 30 else 0
+    if numextra:
+        raise InputError(
+            f"prmtop declares {numextra} extra points / virtual sites "
+            "(NUMEXTRA) — not supported"
+        )
+    if any(m == 0.0 for m in s["MASS"][:natom]):
+        raise InputError(
+            "prmtop contains zero-mass atoms (virtual sites / extra points) "
+            "— not supported"
+        )
     nbonh, nbona = ptr[2], ptr[12]
     ntheth, ntheta = ptr[4], ptr[13]
     nphih, nphia = ptr[6], ptr[14]
@@ -284,7 +310,7 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     _, molecule = np.unique(roots, return_inverse=True)
 
     res_ptr = np.asarray(s.get("RESIDUE_POINTER", [1]), dtype=np.int64) - 1
-    return AmberPrmtop(
+    top = AmberPrmtop(
         natom=natom,
         charge=charge,
         mass=mass,
@@ -309,6 +335,33 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         box=box,
         molecule=molecule.astype(np.int32),
     )
+    # The prmtop's EXCLUDED_ATOMS_LIST is authoritative; our exclusions are
+    # derived from the bond graph + dihedral 1-4s (equivalent for standard
+    # topologies). When the section is present, verify the two agree rather
+    # than silently diverging (round-2 advisor finding) — a mismatch means
+    # custom exclusions this reader cannot honor.
+    if "EXCLUDED_ATOMS_LIST" in s and "NUMBER_EXCLUDED_ATOMS" in s:
+        counts = np.asarray(s["NUMBER_EXCLUDED_ATOMS"][:natom], np.int64)
+        ex = np.asarray(s["EXCLUDED_ATOMS_LIST"], np.int64)
+        listed = set()
+        pos = 0
+        for i in range(natom):
+            for j in ex[pos:pos + counts[i]]:
+                if j > 0:  # a single 0 entry means "no exclusions"
+                    a, b = (i, int(j) - 1) if i < j - 1 else (int(j) - 1, i)
+                    listed.add((a, b))
+            pos += counts[i]
+        derived = set(map(tuple, top.exclusion_pairs()))
+        if listed != derived:
+            extra = sorted(listed - derived)[:5]
+            missing = sorted(derived - listed)[:5]
+            raise InputError(
+                "prmtop EXCLUDED_ATOMS_LIST disagrees with the bond-graph "
+                f"derived exclusions (custom exclusions are not supported): "
+                f"{len(listed - derived)} listed-only (e.g. {extra}), "
+                f"{len(derived - listed)} derived-only (e.g. {missing})"
+            )
+    return top
 
 
 def read_inpcrd(path_or_text):

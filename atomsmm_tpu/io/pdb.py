@@ -96,23 +96,31 @@ def format_cryst1(box) -> str:
 
 
 def format_model(
-    positions, atom_name=None, residue_name=None, residue_id=None, element=None
+    positions, atom_name=None, residue_name=None, residue_id=None,
+    element=None, chain=None,
 ):
-    """ATOM record lines for one model; positions (N, 3) in nm."""
+    """ATOM record lines for one model; positions (N, 3) in nm.
+
+    Fields are laid out per PDB v3.3 fixed columns: serial 7-11, name 13-16,
+    altLoc 17, resName 18-20, chainID 22, resSeq 23-26, iCode 27, x from 31.
+    Serials wrap modulo 100000 and resSeq modulo 10000 (OpenMM convention) so
+    >99999-atom systems stay monotonic-ish instead of plateauing.
+    """
     x = np.asarray(positions) * 10.0
     n = len(x)
     atom_name = atom_name or ["X"] * n
     residue_name = residue_name or ["UNK"] * n
     residue_id = residue_id if residue_id is not None else np.ones(n, int)
     element = element or [str(a)[:1] for a in atom_name]
+    chain = chain or ["A"] * n
     lines = []
     for i in range(n):
         name = atom_name[i][:4]
         # PDB convention: 1-3 char names start in column 14
         name_f = f" {name:<3s}" if len(name) < 4 else name
         lines.append(
-            f"ATOM  {min(i + 1, 99999):5d} {name_f} {residue_name[i][:3]:<3s} "
-            f"{min(int(residue_id[i]), 9999):4d}    "
+            f"ATOM  {(i + 1) % 100000:5d} {name_f} {residue_name[i][:3]:<3s} "
+            f"{(chain[i] or 'A')[:1]}{int(residue_id[i]) % 10000:4d}    "
             f"{x[i, 0]:8.3f}{x[i, 1]:8.3f}{x[i, 2]:8.3f}{1.0:6.2f}{0.0:6.2f}"
             f"          {element[i][:2]:>2s}"
         )
@@ -127,10 +135,13 @@ def write_pdb(
     residue_name=None,
     residue_id=None,
     element=None,
+    chain=None,
 ):
     """Write one model. positions (N, 3) in nm; box (3,) in nm."""
     lines = [] if box is None else [format_cryst1(box)]
-    lines += format_model(positions, atom_name, residue_name, residue_id, element)
+    lines += format_model(
+        positions, atom_name, residue_name, residue_id, element, chain
+    )
     lines.append("END")
     out = "\n".join(lines) + "\n"
     if hasattr(path, "write"):

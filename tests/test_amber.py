@@ -293,6 +293,43 @@ def test_pdb_roundtrip(tmp_path):
     assert list(pdb.residue_id) == [1, 1, 1, 2, 2, 2, 3]
 
 
+@pytest.mark.smoke
+def test_pdb_columns_wide_and_negative_coords(tmp_path):
+    """PDB v3.3 fixed columns: chainID in col 22, x starting col 31.
+
+    Regression for the round-2 advisor finding: the chainID column was
+    omitted, shifting coordinates one column left, so a full-width field
+    followed by a negative one round-tripped as e.g. float('123.456-').
+    """
+    from atomsmm_tpu.io import read_pdb, write_pdb
+
+    x = np.array([[12.3456, -10.0123, 100.0], [-0.001, 0.002, -0.003]])
+    p = tmp_path / "wide.pdb"
+    write_pdb(p, x, box=np.array([300.0, 300.0, 300.0]),
+              atom_name=["O", "H1"], residue_name=["WAT"] * 2,
+              residue_id=[1, 1], chain=["B", "B"])
+    lines = [ln for ln in p.read_text().splitlines()
+             if ln.startswith("ATOM")]
+    for ln in lines:
+        assert ln[21] == "B"                       # chainID col 22
+        assert ln[26:30] == "    "                 # iCode + spacer
+        float(ln[30:38]), float(ln[38:46]), float(ln[46:54])
+    pdb = read_pdb(p)
+    np.testing.assert_allclose(pdb.positions, x, atol=6e-5)
+    assert pdb.chain == ["B", "B"]
+
+
+def test_pdb_serial_wraps_past_99999():
+    from atomsmm_tpu.io.pdb import format_model
+
+    x = np.zeros((3, 3))
+    lines = format_model(x)
+    # emulate the serial formatting for large i without building 100k atoms
+    assert f"{(99999 + 1) % 100000:5d}".strip() == "0"
+    assert f"{(100000 + 1) % 100000:5d}".strip() == "1"
+    assert lines[0][6:11].strip() == "1"
+
+
 def test_pdb_triclinic_rejected():
     from atomsmm_tpu.io import read_pdb
 
@@ -325,3 +362,78 @@ def test_water_prmtop_pme_matches_native_builder():
 def test_missing_section_message():
     with pytest.raises(InputError, match="missing required %FLAG CHARGE"):
         read_prmtop("%FLAG POINTERS\n%FORMAT(10I8)\n" + f"{4:8d}" * 10 + "\n")
+
+
+def test_chamber_prmtop_rejected():
+    text = _water_prmtop(1) + "\n".join(_sec("CTITLE", ["x"], "a")) + "\n"
+    with pytest.raises(InputError, match="CHAMBER"):
+        read_prmtop(text)
+    text = _water_prmtop(1) + "\n".join(
+        _sec("CHARMM_UREY_BRADLEY_COUNT", [0, 0], "i")
+    ) + "\n"
+    with pytest.raises(InputError, match="CHAMBER"):
+        read_prmtop(text)
+
+
+def test_polarizable_prmtop_rejected():
+    text = _water_prmtop(1) + "\n".join(_sec("IPOL", [1], "i")) + "\n"
+    with pytest.raises(InputError, match="polarizable"):
+        read_prmtop(text)
+
+
+def test_10_12_potential_rejected():
+    text = _water_prmtop(1)
+    # set NPHB (POINTERS index 19) to 1 and add a nonzero HBOND table
+    lines = text.splitlines()
+    i = lines.index("%FLAG POINTERS") + 2  # first data row, 10 per row
+    row2 = lines[i + 1]
+    lines[i + 1] = row2[: 9 * 8] + f"{1:8d}" + row2[10 * 8:]
+    text = "\n".join(lines) + "\n"
+    text += "\n".join(_sec("HBOND_ACOEF", [7500.0], "e")) + "\n"
+    text += "\n".join(_sec("HBOND_BCOEF", [2300.0], "e")) + "\n"
+    with pytest.raises(InputError, match="10-12"):
+        read_prmtop(text)
+
+
+def test_virtual_sites_rejected():
+    # NUMEXTRA (POINTERS index 30) nonzero
+    text = _water_prmtop(1)
+    lines = text.splitlines()
+    i = lines.index("%FLAG POINTERS") + 2
+    row4 = lines[i + 3]  # entries 30..: fourth data row
+    lines[i + 3] = f"{2:8d}" + row4[8:]
+    with pytest.raises(InputError, match="extra points"):
+        read_prmtop("\n".join(lines) + "\n")
+    # zero-mass atom
+    text2 = _water_prmtop(1).replace("1.00800000E+00", "0.00000000E+00")
+    with pytest.raises(InputError, match="zero-mass"):
+        read_prmtop(text2)
+
+
+def _exclusion_sections(m, extra_pair=None):
+    """Standard water EXCLUDED_ATOMS_LIST: per molecule O->(H1,H2), H1->H2,
+    H2->none (a single 0 entry, per the AMBER format)."""
+    counts, ex = [], []
+    for i in range(m):
+        o = 3 * i
+        counts += [2, 1, 1]
+        ex += [o + 2, o + 3, o + 3, 0]  # 1-based, 0 = no exclusions
+    if extra_pair is not None:
+        a, b = extra_pair
+        counts[a] += 1
+        # insert b+1 into atom a's segment (keep it simple: append at start)
+        pos = sum(counts[:a])
+        ex.insert(pos, b + 1)
+    return (
+        "\n".join(_sec("NUMBER_EXCLUDED_ATOMS", counts, "i")) + "\n"
+        + "\n".join(_sec("EXCLUDED_ATOMS_LIST", ex, "i")) + "\n"
+    )
+
+
+def test_excluded_atoms_list_validated():
+    # matching list: accepted
+    top = read_prmtop(_water_prmtop(2) + _exclusion_sections(2))
+    assert top.natom == 6
+    # a custom exclusion not derivable from the bond graph: rejected
+    with pytest.raises(InputError, match="EXCLUDED_ATOMS_LIST disagrees"):
+        read_prmtop(_water_prmtop(2) + _exclusion_sections(2, extra_pair=(0, 3)))

@@ -208,6 +208,55 @@ def test_coulomb_energy_column():
     assert "Coulomb Energy (kJ/mole)" in header
 
 
+def test_coulomb_energy_excludes_custom_nonbonded():
+    """VERDICT r2 weak #4: on a SolvationSystem the solute-solute LJ restore
+    force is a CustomNonbondedForce — the coulombEnergy column must not
+    silently include its (pure-LJ) energy. At lambda_coul=1 the solvated
+    system's Coulomb energy equals the vanilla system's."""
+    import io
+
+    from atomsmm_tpu import (
+        ExtendedStateDataReporter,
+        Simulation,
+        SolvationSystem,
+        VelocityVerletIntegrator,
+        make_state,
+    )
+    from atomsmm_tpu.computers import coulomb_energy
+    from atomsmm_tpu.models import phenol_in_water
+
+    system, x, box, solute = phenol_in_water(n_water=40, r_cut=0.5,
+                                             r_switch=0.45)
+    solv = SolvationSystem(system, solute_atoms=solute)
+    g = {"lambda_vdw": 1.0, "lambda_coul": 1.0}
+    ec_solv = float(coulomb_energy(solv, x, box, g))
+    ec_ref = float(coulomb_energy(system, x, box, g))
+    np.testing.assert_allclose(ec_solv, ec_ref, rtol=1e-6, atol=1e-6)
+
+    sim = Simulation(solv, VelocityVerletIntegrator(0.001),
+                     make_state(x, box=box))
+    for k, v in g.items():
+        sim.context.set_parameter(k, v)
+    buf = io.StringIO()
+    sim.reporters.append(
+        ExtendedStateDataReporter(buf, interval=2, pressure=False,
+                                  coulomb_energy=True)
+    )
+    sim.step(2)
+    lines = buf.getvalue().splitlines()
+    header = [h.strip('"') for h in lines[0].split('","')]
+    col = header.index("Coulomb Energy (kJ/mole)")
+    val = float(lines[1].split(",")[col])
+    x_now = sim.context.state.x
+    ec_now = float(coulomb_energy(solv, x_now, box, g))
+    # the solute-solute LJ restore force (a CustomNonbondedForce) is nonzero
+    # here; the column must match the Coulomb-only evaluation, not include it
+    restore = next(f for f in solv.forces if f.name == "CustomNonbondedForce")
+    e_restore = float(restore.energy(x_now, box, g))
+    assert abs(e_restore) > 1.0
+    np.testing.assert_allclose(val, ec_now, rtol=1e-4, atol=1e-3)
+
+
 def test_system_serialization_roundtrip(tmp_path):
     """SURVEY §2b N8 (XmlSerializer analog): save/load(System) must reproduce
     energies bitwise WITHOUT re-running builder code — forces, parameters,

@@ -221,3 +221,44 @@ def test_reciprocal_level_triple_split():
     ctx.set_velocities_to_temperature(300.0, seed=3)
     ctx.step(8)
     assert np.isfinite(float(ctx.temperature()))
+
+
+def test_global_thermostat_guard():
+    """Swapped-argument guard (round-2 advisor finding): a positive
+    is_thermostat marker raises; a legitimate composite NVE core that merely
+    tracks a conserved quantity is accepted (with at most a warning)."""
+    import warnings
+
+    import pytest
+
+    from atomsmm_tpu import GlobalThermostatIntegrator
+    from atomsmm_tpu.integrate.propagators import (
+        NoseHooverChainPropagator,
+        Propagator,
+        VelocityVerletPropagator,
+    )
+
+    nhc = NoseHooverChainPropagator(300.0, degrees_of_freedom=10,
+                                    time_scale=0.1)
+    with pytest.raises(ValueError, match="argument order"):
+        GlobalThermostatIntegrator(0.001, nhc, VelocityVerletPropagator())
+
+    class CoreWithConserved(VelocityVerletPropagator):
+        def conserved_extra(self, state):
+            return 0.0
+
+    class CustomBath(Propagator):
+        def apply(self, ctx, state, fraction):
+            return state
+
+    # composite core tracking a conserved quantity + markerless custom bath:
+    # must NOT raise (warns instead)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        GlobalThermostatIntegrator(0.001, CoreWithConserved(), CustomBath())
+    assert any("argument order" in str(w.message) for w in rec)
+    # and with a marked bath, no warning at all
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        GlobalThermostatIntegrator(0.001, CoreWithConserved(), nhc)
+    assert not rec
