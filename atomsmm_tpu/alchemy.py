@@ -128,3 +128,137 @@ def ti_gradient(system, x, box, lambda_name: str, lambda_value,
         return potential_energy(system, x, box, g, aux=aux)
 
     return jax.grad(e_of)(jnp.asarray(lambda_value, x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end solvation free energy (SURVEY.md §3.4; BASELINE config 3).
+# The reference stops at the reduced-energy matrix and defers to pymbar;
+# here the full loop — sampling per lambda state, K-state reweighting, MBAR
+# AND TI with cross-validation — runs natively.
+# ---------------------------------------------------------------------------
+
+
+def sample_lambda_states(system, x0, box, lambda_names, schedule,
+                         temperature, dt=0.001, friction=5.0,
+                         n_equil=200, n_samples=20, sample_interval=25,
+                         seed=0):
+    """Sequential NVT sampling at each lambda state of `schedule`.
+
+    One Context is built and reused for every state (lambda values are traced
+    globals — no recompilation, SURVEY.md §2b N9); each state starts from the
+    previous state's last configuration (a serial annealing chain, the
+    standard multi-state protocol). Sampling uses velocity Verlet with an
+    exact Ornstein-Uhlenbeck bath (BAOAB-like splitting).
+
+    Returns (xs, n_k): xs (K * n_samples, N, 3) concatenated configurations,
+    n_k (K,) samples per state.
+    """
+    import numpy as np
+
+    from .context import Context
+    from .integrate.integrators import GlobalThermostatIntegrator
+    from .integrate.propagators import (
+        OrnsteinUhlenbeckPropagator,
+        VelocityVerletPropagator,
+    )
+    from .state import make_state
+
+    integ = GlobalThermostatIntegrator(
+        dt,
+        VelocityVerletPropagator(),
+        OrnsteinUhlenbeckPropagator(temperature, friction),
+    )
+    ctx = Context(system, integ, make_state(x0, box=box, seed=seed))
+    ctx.set_velocities_to_temperature(temperature, seed=seed + 1)
+    xs = []
+    for lam in np.asarray(schedule):
+        for name in lambda_names:
+            ctx.set_parameter(name, float(lam))
+        ctx.step(n_equil)
+        for _ in range(n_samples):
+            ctx.step(sample_interval)
+            xs.append(np.asarray(ctx.state.x))
+    import jax.numpy as jnp
+
+    return (jnp.asarray(np.stack(xs)),
+            jnp.full((len(schedule),), n_samples, jnp.int32))
+
+
+def solvation_free_energy(system, x0, box, schedule, temperature,
+                          lambda_names=("lambda_vdw", "lambda_coul"),
+                          n_blocks=4, aux=None, **sample_kwargs):
+    """Coupling free energy ΔG(lambda: schedule[0] -> schedule[-1]) by MBAR
+    and TI on the same trajectories, with block-wise error estimates.
+
+    Returns a dict:
+      dg_mbar, dg_ti          [kJ/mol] (MBAR is the headline estimator)
+      err_mbar, err_ti        block standard errors (n_blocks blocks)
+      f_k                     (K,) dimensionless MBAR free energies
+      ti_profile              (K,) mean dU/dlambda per state
+
+    The MBAR/TI cross-check is the validity test: both estimators on the same
+    samples must agree within their joint error bars (tests/test_alchemy.py).
+    """
+    import numpy as np
+
+    schedule = jnp.asarray(schedule)
+    k_states = schedule.shape[0]
+    xs, n_k = sample_lambda_states(
+        system, x0, box, lambda_names, schedule, temperature, **sample_kwargs
+    )
+    lambdas = {name: schedule for name in lambda_names}
+    kT = BOLTZMANN * temperature
+
+    u_kn = reduced_energy_matrix(system, xs, box, lambdas, temperature,
+                                 aux=aux)
+    n_samples = int(n_k[0])
+
+    def dudl_at(k, x):
+        g = {name: schedule[k] for name in lambda_names}
+        return sum(
+            ti_gradient(system, x, box, name, schedule[k], globals=g, aux=aux)
+            for name in lambda_names
+        )
+
+    # mean dU/dlambda over each state's own samples (vmapped per state)
+    dudl = []
+    for k in range(k_states):
+        own = xs[k * n_samples:(k + 1) * n_samples]
+        dudl.append(jax.vmap(lambda x: dudl_at(k, x))(own))
+    dudl = jnp.stack(dudl)  # (K, n_samples)
+
+    def mbar_dg(u):
+        f = mbar_free_energies(u, n_k)
+        return float((f[-1] - f[0]) * kT)
+
+    def ti_dg(profile):
+        return float(jnp.trapezoid(profile, schedule))
+
+    dg_mbar = mbar_dg(u_kn)
+    dg_ti = ti_dg(jnp.mean(dudl, axis=1))
+
+    # block error estimates: split each state's samples into n_blocks
+    # contiguous blocks, re-estimate per block
+    blocks_mbar, blocks_ti = [], []
+    bs = n_samples // n_blocks
+    if bs >= 1:
+        for b in range(n_blocks):
+            sel = np.concatenate([
+                np.arange(k * n_samples + b * bs,
+                          k * n_samples + (b + 1) * bs)
+                for k in range(k_states)
+            ])
+            u_b = u_kn[:, sel]
+            blocks_mbar.append(mbar_dg(u_b))
+            blocks_ti.append(ti_dg(jnp.mean(dudl[:, b * bs:(b + 1) * bs],
+                                            axis=1)))
+    err = lambda v: float(np.std(v, ddof=1) / np.sqrt(len(v))) if len(v) > 1 else float("nan")  # noqa: E731
+    return {
+        "dg_mbar": dg_mbar,
+        "dg_ti": dg_ti,
+        "err_mbar": err(blocks_mbar),
+        "err_ti": err(blocks_ti),
+        "f_k": mbar_free_energies(u_kn, n_k),
+        "ti_profile": jnp.mean(dudl, axis=1),
+        "n_samples_total": int(xs.shape[0]),
+    }

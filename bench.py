@@ -6,8 +6,16 @@ Headline metric (BASELINE.md): ns/day, 30k-atom q-SPC/Fw water, 2-level
 RESPA (near/far split) + Nosé-Hoover NVT, on the real TPU chip. The
 `extras` dict carries the full BASELINE.md config matrix (argon NVE, water
 RESPA cutoff + PME, alchemical λ-sweep throughput, SIN(R) ionic liquid,
-100k NPT), one entry per config. Details go to stderr; stdout carries
-exactly the one JSON line.
+100k NPT), one entry per config, **plus correctness telemetry per MD
+config** (mean T, PE per atom, conserved-quantity drift) so a perf gain
+bought with a physics regression is self-incriminating (VERDICT r2 #8).
+Details go to stderr; stdout carries exactly the one JSON line.
+
+Equilibration: each MD config starts from a frozen pre-equilibrated state in
+bench_data/*.npz (generated once on TPU by tools/gen_eq_states.py following
+the TIMESTEP.md protocol — provenance in each file's `protocol` field), with
+a short re-equilibration before measuring. Falls back to the lattice-melt
+protocol when the file is absent.
 
 vs_baseline: the OpenMM-CPU comparator cannot be measured here (no OpenMM,
 no network — BASELINE.md "Comparator caveat"); a provisional literature-
@@ -16,20 +24,25 @@ treat the ratio as conditional until a real comparator run exists.
 
 Headline integration parameters: outer step 4 fs with RESPA loops [4, 2, 1]
 (bonded 0.5 fs, near 2 fs, far 4 fs) and near cutoff 0.5 nm — see
-TIMESTEP.md for the stability study (temperature control, conserved-
-quantity drift, and PE agreement vs the 2 fs reference from the same
-equilibrated state). The near/far SPLIT point changes only integration
-error, never the potential (near + far == full exactly).
+TIMESTEP.md for the stability studies (cutoff AND pme far forces):
+temperature control, conserved-quantity drift, and PE agreement vs the 2 fs
+reference from the same equilibrated state. The near/far SPLIT point changes
+only integration error, never the potential (near + far == full exactly).
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+import numpy as np
 
 HEADLINE_DT = 0.004
 HEADLINE_LOOPS = [4, 2, 1]
 HEADLINE_RCUT_IN = 0.5
+BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_data")
 
 
 def log(*a):
@@ -52,8 +65,48 @@ def _best_rate(ctx, steps, tries=3):
     return best
 
 
+def load_eq(name):
+    """Frozen equilibrated (x, v, box) from bench_data, or None."""
+    path = os.path.join(BENCH_DATA, f"{name}.npz")
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    return d["x"], d["v"], d["box"]
+
+
+def telemetry(ctx, steps, chunk, dt_ps, tag, extras):
+    """Correctness telemetry over a post-measurement segment: mean
+    instantaneous T, PE per atom, and conserved-quantity drift
+    [kJ/mol/atom/ps] (TIMESTEP.md metrics)."""
+    n = ctx.system.num_particles
+    e0 = float(ctx.conserved_energy())
+    t_s, pe_s = [], []
+    for _ in range(max(steps // chunk, 1)):
+        ctx.step(chunk)
+        t_s.append(float(ctx.temperature()))
+        pe_s.append(float(ctx.get_state().potential_energy))
+    e1 = float(ctx.conserved_energy())
+    span_ps = max(steps // chunk, 1) * chunk * dt_ps
+    extras[f"{tag}_T_K"] = round(float(np.mean(t_s)), 2)
+    extras[f"{tag}_PE_per_atom"] = round(float(np.mean(pe_s)) / n, 4)
+    extras[f"{tag}_drift_kJ_mol_atom_ps"] = round((e1 - e0) / (n * span_ps), 6)
+    log(f"  telemetry[{tag}]: T={extras[f'{tag}_T_K']}K "
+        f"PE/N={extras[f'{tag}_PE_per_atom']} "
+        f"drift={extras[f'{tag}_drift_kJ_mol_atom_ps']:.2e} kJ/mol/atom/ps")
+
+
+def _melt_equilibrate(ctx, temperature, steps):
+    """Fallback when no frozen state exists: chunked velocity-rescale off the
+    lattice (lattice melt releases ~100 K of potential energy faster than the
+    tau=0.1 ps NHC removes it)."""
+    for _ in range(8):
+        ctx.step(steps // 8)
+        t_now = float(ctx.temperature())
+        ctx.set_velocities((temperature / t_now) ** 0.5 * ctx.state.v)
+
+
 def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
-                      loops=None, method="cutoff", equil=600):
+                      loops=None, method="cutoff", extras=None, tag=None):
     from atomsmm_tpu import (
         Context,
         MultipleTimeScaleIntegrator,
@@ -73,22 +126,26 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         dt, loops, temperature=300.0, time_scale=0.1,
         degrees_of_freedom=dof,
     )
-    ctx = Context(respa, integ, make_state(x, box=box))
-    ctx.set_velocities_to_temperature(300.0, seed=7)
+    eq = load_eq("eq_water30k") if n_molecules == 10000 else None
+    if eq is not None:
+        ex, ev, ebox = eq
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
+    else:
+        ctx = Context(respa, integ, make_state(x, box=box))
+        ctx.set_velocities_to_temperature(300.0, seed=7)
 
     t0 = time.perf_counter()
     ctx.step(1)
     sync(ctx)
     log(f"water {3*n_molecules} ({method}): compile+first "
-        f"{time.perf_counter()-t0:.0f}s")
-    # steady state: equilibrate off the lattice (lattice melt releases ~100 K
-    # of potential energy faster than the tau=0.1 ps NHC removes it, so
-    # rescale velocities between chunks), then size cell capacities to
-    # measured occupancy (pair work ~ cap^2; Context.retune_neighbors)
-    for _ in range(8):
-        ctx.step(equil // 8)
-        t_now = float(ctx.temperature())
-        ctx.set_velocities((300.0 / t_now) ** 0.5 * ctx.state.v)
+        f"{time.perf_counter()-t0:.0f}s "
+        f"({'frozen eq state' if eq is not None else 'lattice melt'})")
+    if eq is None:
+        _melt_equilibrate(ctx, 300.0, 600)
+    else:
+        # short re-equilibration (thermostat variables + method change)
+        ctx.step(250)
+    # size cell capacities to measured occupancy (pair work ~ cap^2)
     ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)
@@ -97,12 +154,13 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
     ms_per_step = best / steps * 1e3
     ns_day = dt * 1e-3 * steps / best * 86400.0
     log(f"water {3*n_molecules} RESPA{loops}@{dt*1e3:.0f}fs {method}: "
-        f"{ms_per_step:.2f} ms/step, {ns_day:.2f} ns/day, "
-        f"T={float(ctx.temperature()):.1f}K")
+        f"{ms_per_step:.2f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None and tag is not None:
+        telemetry(ctx, 2000, 250, dt, tag, extras)
     return ns_day, ms_per_step
 
 
-def bench_argon_nve(n=4096, steps=400):
+def bench_argon_nve(n=4096, steps=400, extras=None):
     """Config 1: LJ argon fluid, NVE, cutoff+switching."""
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
     from atomsmm_tpu.models import argon_system
@@ -119,6 +177,8 @@ def bench_argon_nve(n=4096, steps=400):
     ms = best / steps * 1e3
     ns_day = 0.002e-3 * steps / best * 86400.0
     log(f"argon {n} NVE@2fs: {ms:.2f} ms/step, {ns_day:.1f} ns/day")
+    if extras is not None:
+        telemetry(ctx, 2000, 500, 0.002, "argon4k_nve", extras)
     return ns_day, ms
 
 
@@ -161,36 +221,47 @@ def bench_alchemy(n_water=1000, k_states=16, evals=50):
     return rows_per_s
 
 
-def bench_sinr_ionic(n_pairs=400, steps=100):
+def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.004, loops=None,
+                     extras=None, tag="emim_bf4_sinr_pme"):
     """Config 4: emim/BF4 ionic liquid, PME far force, SIN(R) isokinetic
-    multiple-timescale integrator."""
+    multiple-timescale integrator. Default 4 fs; bench_sinr_large_dt runs
+    the step sizes SIN(R) exists for (SINR_TIMESTEP.md)."""
     from atomsmm_tpu import Context, RESPASystem, SIN_R_Integrator, make_state
     from atomsmm_tpu.minimize import minimize_energy
     from atomsmm_tpu.models import ionic_liquid_system
 
+    loops = list(loops or [8, 2, 1])
     system, x, box = ionic_liquid_system(
         n_pairs=n_pairs, method="pme", neighbors=True
     )
     respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
     integ = SIN_R_Integrator(
-        0.004, [8, 2, 1], temperature=353.0, time_scale=0.05, friction=10.0
+        dt, loops, temperature=353.0, time_scale=0.05, friction=10.0
     )
-    ctx = Context(respa, integ, make_state(x, box=box, seed=11))
-    minimize_energy(ctx, steps=200)
-    ctx.step(50)
+    eq = load_eq("eq_emim")
+    if eq is not None:
+        ex, ev, ebox = eq
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=11))
+        ctx.step(50)
+    else:
+        ctx = Context(respa, integ, make_state(x, box=box, seed=11))
+        minimize_energy(ctx, steps=200)
+        ctx.step(50)
     ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)
     best = _best_rate(ctx, steps, tries=2)
     ms = best / steps * 1e3
-    ns_day = 0.004e-3 * steps / best * 86400.0
+    ns_day = dt * 1e-3 * steps / best * 86400.0
     n_atoms = system.num_particles
-    log(f"emim/BF4 {n_atoms} atoms SIN(R)@4fs PME: {ms:.2f} ms/step, "
-        f"{ns_day:.2f} ns/day")
+    log(f"emim/BF4 {n_atoms} atoms SIN(R)@{dt*1e3:.0f}fs{loops} PME: "
+        f"{ms:.2f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None:
+        telemetry(ctx, 1000, 250, dt, tag, extras)
     return ns_day, ms
 
 
-def bench_npt_100k(steps=100):
+def bench_npt_100k(steps=100, extras=None):
     """Config 5: 100k-atom water NPT (MC barostat)."""
     from atomsmm_tpu import (
         Context,
@@ -213,9 +284,15 @@ def bench_npt_100k(steps=100):
         HEADLINE_DT, HEADLINE_LOOPS, temperature=300.0, time_scale=0.1,
         degrees_of_freedom=3 * 3 * nmol - 3,
     )
-    ctx = Context(respa, integ, make_state(x, box=box))
-    ctx.set_velocities_to_temperature(300.0, seed=3)
-    ctx.step(100)
+    eq = load_eq("eq_water100k")
+    if eq is not None:
+        ex, ev, ebox = eq
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
+        ctx.step(100)
+    else:
+        ctx = Context(respa, integ, make_state(x, box=box))
+        ctx.set_velocities_to_temperature(300.0, seed=3)
+        ctx.step(100)
     ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)
@@ -224,26 +301,41 @@ def bench_npt_100k(steps=100):
     ns_day = HEADLINE_DT * 1e-3 * steps / best * 86400.0
     log(f"water 100k NPT RESPA{HEADLINE_LOOPS}@{HEADLINE_DT*1e3:.0f}fs: "
         f"{ms:.1f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None:
+        # NPT: conserved quantity is not defined across MC volume moves —
+        # report T and PE only
+        t_s, pe_s = [], []
+        for _ in range(4):
+            ctx.step(125)
+            t_s.append(float(ctx.temperature()))
+            pe_s.append(float(ctx.get_state().potential_energy))
+        n = ctx.system.num_particles
+        extras["water100k_npt_T_K"] = round(float(np.mean(t_s)), 2)
+        extras["water100k_npt_PE_per_atom"] = round(
+            float(np.mean(pe_s)) / n, 4)
+        log(f"  telemetry[water100k_npt]: T={extras['water100k_npt_T_K']}K "
+            f"PE/N={extras['water100k_npt_PE_per_atom']}")
     return ns_day, ms
 
 
 def main():
-    import os
-
     extras = {}
-    ns_day, ms_step = bench_water_respa()
+    ns_day, ms_step = bench_water_respa(
+        extras=extras, tag="water30k_respa_cutoff")
     extras["water30k_respa_cutoff_ns_day"] = round(ns_day, 2)
     extras["water30k_respa_cutoff_ms_step"] = round(ms_step, 3)
 
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         try:
-            a_ns, a_ms = bench_argon_nve()
+            a_ns, a_ms = bench_argon_nve(extras=extras)
             extras["argon4k_nve_ns_day"] = round(a_ns, 1)
             extras["argon4k_nve_ms_step"] = round(a_ms, 3)
         except Exception as e:  # pragma: no cover - bench resilience
             log(f"argon bench failed: {e}")
         try:
-            p_ns, p_ms = bench_water_respa(method="pme", steps=150)
+            p_ns, p_ms = bench_water_respa(
+                method="pme", steps=150, extras=extras,
+                tag="water30k_respa_pme")
             extras["water30k_respa_pme_ns_day"] = round(p_ns, 2)
             extras["water30k_respa_pme_ms_step"] = round(p_ms, 3)
         except Exception as e:
@@ -254,13 +346,13 @@ def main():
         except Exception as e:
             log(f"alchemy bench failed: {e}")
         try:
-            s_ns, s_ms = bench_sinr_ionic()
+            s_ns, s_ms = bench_sinr_ionic(extras=extras)
             extras["emim_bf4_sinr_pme_ns_day"] = round(s_ns, 2)
             extras["emim_bf4_sinr_pme_ms_step"] = round(s_ms, 3)
         except Exception as e:
             log(f"sinr bench failed: {e}")
         try:
-            n_ns, n_ms = bench_npt_100k()
+            n_ns, n_ms = bench_npt_100k(extras=extras)
             extras["water100k_npt_ns_day"] = round(n_ns, 2)
             extras["water100k_npt_ms_step"] = round(n_ms, 3)
         except Exception as e:
