@@ -56,6 +56,29 @@ def _resolve_neighbors(aux, key: str):
     return aux.get(key) or aux.get("default")
 
 
+def _spatial_mesh():
+    """Active spatial-decomposition (mesh, axis) or None (parallel/mesh.py);
+    consulted at trace time by the pair and PME paths."""
+    from .parallel.mesh import active_spatial_mesh
+
+    return active_spatial_mesh()
+
+
+def _pme_reciprocal(x, box, q, alpha, grid_shape, order):
+    """Reciprocal PME sum, atom-sharded over the active spatial mesh when
+    one is set (parallel/spatial.py), else single-device (ops/pme.py)."""
+    mesh = _spatial_mesh()
+    if mesh is not None:
+        from .parallel.spatial import sharded_pme_reciprocal_energy
+
+        return sharded_pme_reciprocal_energy(
+            x, box, q, alpha, grid_shape, mesh[0], mesh[1], order=order
+        )
+    from .ops.pme import pme_reciprocal_energy
+
+    return pme_reciprocal_energy(x, box, q, alpha, grid_shape, order)
+
+
 @pytree_dataclass
 class Force:
     """Base force: subclasses define energy(x, box, globals, aux) -> scalar.
@@ -92,6 +115,14 @@ class _PairForceMixin:
         pp = self._per_particle(globals)
         nbr = _resolve_neighbors(aux, self.neighbor_key)
         if nbr is not None:
+            mesh = _spatial_mesh()
+            if mesh is not None:  # spatial DD (parallel/mesh.py)
+                from .parallel.spatial import sharded_cell_pair_energy
+
+                return sharded_cell_pair_energy(
+                    pair_fn, x, box, pp, nbr["spec"], nbr["bucket"], r_cut,
+                    mesh[0], mesh[1],
+                )
             if "cand" in nbr:  # atom-block tile path (ops/blocks.py)
                 from .ops.blocks import block_pair_energy
 
@@ -111,6 +142,16 @@ class _PairForceMixin:
         pp = self._per_particle(globals)
         nbr = _resolve_neighbors(aux, self.neighbor_key)
         if nbr is not None:
+            mesh = _spatial_mesh()
+            if mesh is not None:  # spatial DD (parallel/mesh.py)
+                from .parallel.spatial import (
+                    sharded_cell_pair_energy_forces,
+                )
+
+                return sharded_cell_pair_energy_forces(
+                    pair_fn, x, box, pp, nbr["spec"], nbr["bucket"], r_cut,
+                    mesh[0], mesh[1],
+                )
             if "cand" in nbr:
                 from .ops.blocks import block_pair_energy_forces
 
@@ -213,12 +254,12 @@ class NonbondedForce(_PairForceMixin, Force):
         return pair
 
     def _recip_energy(self, x, box, globals=None, include_reciprocal=True):
-        from .ops.pme import pme_corrections, pme_reciprocal_energy
+        from .ops.pme import pme_corrections
 
         q = self._effective_charge(globals)
         e = pme_corrections(x, box, q, self.exclusions, self.ewald_alpha)
         if include_reciprocal:
-            e = e + pme_reciprocal_energy(
+            e = e + _pme_reciprocal(
                 x, box, q, self.ewald_alpha, self.grid_shape,
                 self.spline_order,
             )
@@ -447,11 +488,9 @@ class FarNonbondedForce(_PairForceMixin, Force):
             if self.full.method == "pme" and not self.include_reciprocal:
                 # full.energy_and_forces included the reciprocal sum; remove
                 # it again (the PMEReciprocalForce carries it)
-                from .ops.pme import pme_reciprocal_energy
-
                 q = self.full._effective_charge(globals)
                 er, gr = jax.value_and_grad(
-                    lambda xx: pme_reciprocal_energy(
+                    lambda xx: _pme_reciprocal(
                         xx, box, q, self.full.ewald_alpha,
                         self.full.grid_shape, self.full.spline_order,
                     )
@@ -498,9 +537,7 @@ class PMEReciprocalForce(Force):
         return q
 
     def energy(self, x, box, globals, aux=None):
-        from .ops.pme import pme_reciprocal_energy
-
-        return pme_reciprocal_energy(
+        return _pme_reciprocal(
             x, box, self._effective_charge(globals), self.ewald_alpha,
             self.grid_shape, self.spline_order,
         )

@@ -86,6 +86,34 @@ def sharded_cell_pair_energy_forces(
     )(ids)
 
 
+def sharded_cell_pair_energy(
+    pair_fn, x, box, per_particle, spec, bucket, r_cut, mesh: Mesh,
+    axis: str = "dp",
+):
+    """Energy-only variant of sharded_cell_pair_energy_forces (observe/report
+    path)."""
+    ncells = bucket.shape[0]
+    ndev = mesh.shape[axis]
+    nper = -(-ncells // ndev)
+    ids = jnp.concatenate(
+        [jnp.arange(ncells, dtype=jnp.int32),
+         jnp.full((ndev * nper - ncells,), ncells, jnp.int32)]
+    )
+    spec_full = dataclasses.replace(spec, half_stencil=False)
+
+    def local(cell_ids):
+        e, _ = _cell_pair_sums(
+            spec_full, pair_fn, x, box, per_particle, bucket, r_cut,
+            with_forces=False, cell_ids=cell_ids,
+        )
+        return jax.lax.psum(e, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis),), out_specs=P(),
+        check_vma=False,
+    )(ids)
+
+
 def sharded_pme_reciprocal_energy(
     x, box, q, alpha, grid_shape, mesh: Mesh, axis: str = "dp",
     order: int = 4, chunk: int = 2048,

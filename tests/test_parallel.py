@@ -185,3 +185,76 @@ def test_sharded_pme_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(g_sh), np.asarray(g_ref), rtol=1e-9, atol=1e-11
     )
+
+
+def test_spatial_context_trajectory_parity():
+    """VERDICT r2 #6: spatial DD as a *feature* — a SpatialContext runs the
+    sharded pair sweep (+ neighbor rebuild) end-to-end through the normal
+    Context surface, and its trajectory matches a single-device Context
+    running the same full-stencil path (f64 CPU mesh)."""
+    import dataclasses
+
+    from atomsmm_tpu.parallel.mesh import SpatialContext
+    from atomsmm_tpu.utils import replace as dreplace
+
+    system, x, box = argon_system(n=512, jitter=0.2, seed=5, neighbors=True)
+    # single-device reference on the full stencil (the sharded sweep's tiles)
+    full_spec = dataclasses.replace(system.neighbors, half_stencil=False,
+                                    backend="xla")
+    system_full = dreplace(system, neighbors=full_spec)
+    integ = VelocityVerletIntegrator(0.002)
+
+    ref = Context(system_full, integ, make_state(x, box=box, seed=0))
+    ref.step(10)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ctx = SpatialContext(system, integ, make_state(x, box=box, seed=0),
+                         mesh=mesh)
+    ctx.step(10)
+
+    np.testing.assert_allclose(
+        np.asarray(ctx.state.x), np.asarray(ref.state.x), rtol=0, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx.state.v), np.asarray(ref.state.v), rtol=0, atol=1e-13
+    )
+    # observe path (energies) is also sharded and must agree
+    snap_s, snap_r = ctx.get_state(), ref.get_state()
+    np.testing.assert_allclose(
+        float(snap_s.potential_energy), float(snap_r.potential_energy),
+        rtol=1e-12,
+    )
+
+
+def test_spatial_context_pme_water():
+    """Spatial DD with a PME far force: sharded direct sweep + atom-sharded
+    reciprocal spreading through the Context surface."""
+    import dataclasses
+
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.parallel.mesh import SpatialContext
+    from atomsmm_tpu.utils import replace as dreplace
+
+    system, x, box = water_system(n_molecules=40, method="pme", r_cut=0.5,
+                                  r_switch=0.45, neighbors=True)
+    full_spec = dataclasses.replace(system.neighbors, half_stencil=False,
+                                    backend="xla")
+    system_full = dreplace(system, neighbors=full_spec)
+    integ = VelocityVerletIntegrator(0.001)
+
+    ref = Context(system_full, integ, make_state(x, box=box, seed=0))
+    ref.step(5)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ctx = SpatialContext(system, integ, make_state(x, box=box, seed=0),
+                         mesh=mesh)
+    ctx.step(5)
+
+    np.testing.assert_allclose(
+        np.asarray(ctx.state.x), np.asarray(ref.state.x), rtol=0, atol=1e-12
+    )
+    snap_s, snap_r = ctx.get_state(), ref.get_state()
+    np.testing.assert_allclose(
+        float(snap_s.potential_energy), float(snap_r.potential_energy),
+        rtol=1e-11,
+    )
