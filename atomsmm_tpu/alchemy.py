@@ -138,20 +138,34 @@ def ti_gradient(system, x, box, lambda_name: str, lambda_value,
 # ---------------------------------------------------------------------------
 
 
-def sample_lambda_states(system, x0, box, lambda_names, schedule,
-                         temperature, dt=0.001, friction=5.0,
-                         n_equil=200, n_samples=20, sample_interval=25,
-                         seed=0):
-    """Sequential NVT sampling at each lambda state of `schedule`.
+def coupling_path(s):
+    """The standard two-stage coupling path: vdW grows over s in [0, 1/2]
+    (softcore handles the overlap), charges only after the repulsive core is
+    in place (s in [1/2, 1]) — switching Coulomb on while vdW is still soft
+    is the classic charge-collapse failure. Returns per-name (K,) schedules
+    for a master grid s."""
+    s = jnp.asarray(s)
+    return {
+        "lambda_vdw": jnp.clip(2.0 * s, 0.0, 1.0),
+        "lambda_coul": jnp.clip(2.0 * s - 1.0, 0.0, 1.0),
+    }
 
-    One Context is built and reused for every state (lambda values are traced
-    globals — no recompilation, SURVEY.md §2b N9); each state starts from the
-    previous state's last configuration (a serial annealing chain, the
-    standard multi-state protocol). Sampling uses velocity Verlet with an
-    exact Ornstein-Uhlenbeck bath (BAOAB-like splitting).
 
-    Returns (xs, n_k): xs (K * n_samples, N, 3) concatenated configurations,
-    n_k (K,) samples per state.
+def sample_lambda_states(system, x0, box, lambdas, temperature, dt=0.001,
+                         friction=5.0, n_equil=200, n_samples=20,
+                         sample_interval=25, seed=0):
+    """Sequential NVT sampling at each lambda state.
+
+    `lambdas` maps parameter name -> (K,) per-state values. One Context is
+    built and reused for every state (lambda values are traced globals — no
+    recompilation, SURVEY.md §2b N9). States are visited from the COUPLED end
+    (last state first): each starts from the previous state's configuration,
+    so the decoupled states inherit an equilibrated condensed-phase structure
+    instead of growing overlaps. Sampling uses velocity Verlet with an exact
+    Ornstein-Uhlenbeck bath (BAOAB-like splitting).
+
+    Returns (xs, n_k): xs (K * n_samples, N, 3) configurations ordered by
+    state index (matching the lambdas arrays), n_k (K,) samples per state.
     """
     import numpy as np
 
@@ -170,31 +184,42 @@ def sample_lambda_states(system, x0, box, lambda_names, schedule,
     )
     ctx = Context(system, integ, make_state(x0, box=box, seed=seed))
     ctx.set_velocities_to_temperature(temperature, seed=seed + 1)
-    xs = []
-    for lam in np.asarray(schedule):
-        for name in lambda_names:
-            ctx.set_parameter(name, float(lam))
+    k_states = len(next(iter(lambdas.values())))
+    xs = [None] * k_states
+    for name, values in lambdas.items():
+        ctx.set_parameter(name, float(values[k_states - 1]))
+    ctx.step(3 * n_equil)  # melt the builder lattice at the coupled state
+    for k in reversed(range(k_states)):
+        for name, values in lambdas.items():
+            ctx.set_parameter(name, float(values[k]))
         ctx.step(n_equil)
+        samples = []
         for _ in range(n_samples):
             ctx.step(sample_interval)
-            xs.append(np.asarray(ctx.state.x))
-    import jax.numpy as jnp
-
-    return (jnp.asarray(np.stack(xs)),
-            jnp.full((len(schedule),), n_samples, jnp.int32))
+            samples.append(np.asarray(ctx.state.x))
+        xs[k] = np.stack(samples)
+    return (jnp.asarray(np.concatenate(xs)),
+            jnp.full((k_states,), n_samples, jnp.int32))
 
 
 def solvation_free_energy(system, x0, box, schedule, temperature,
-                          lambda_names=("lambda_vdw", "lambda_coul"),
-                          n_blocks=4, aux=None, **sample_kwargs):
-    """Coupling free energy ΔG(lambda: schedule[0] -> schedule[-1]) by MBAR
-    and TI on the same trajectories, with block-wise error estimates.
+                          lambdas=None, n_blocks=4, aux=None,
+                          mbar_iter=1000, **sample_kwargs):
+    """Coupling free energy ΔG(s: schedule[0] -> schedule[-1]) by MBAR and
+    TI on the same trajectories, with block-wise error estimates.
+
+    `schedule` is the master path parameter s (K,); `lambdas` maps parameter
+    name -> (K,) values along the path (default: the two-stage
+    `coupling_path` — vdW first, then charges). TI integrates each
+    mean dU/dlambda_name profile against its OWN lambda grid and sums —
+    exact quadrature over a piecewise-linear path (segments where a lambda
+    is constant contribute nothing).
 
     Returns a dict:
       dg_mbar, dg_ti          [kJ/mol] (MBAR is the headline estimator)
       err_mbar, err_ti        block standard errors (n_blocks blocks)
       f_k                     (K,) dimensionless MBAR free energies
-      ti_profile              (K,) mean dU/dlambda per state
+      ti_profile              {name: (K,) mean dU/dlambda_name per state}
 
     The MBAR/TI cross-check is the validity test: both estimators on the same
     samples must agree within their joint error bars (tests/test_alchemy.py).
@@ -203,39 +228,43 @@ def solvation_free_energy(system, x0, box, schedule, temperature,
 
     schedule = jnp.asarray(schedule)
     k_states = schedule.shape[0]
+    lambdas = dict(lambdas) if lambdas is not None else coupling_path(schedule)
     xs, n_k = sample_lambda_states(
-        system, x0, box, lambda_names, schedule, temperature, **sample_kwargs
+        system, x0, box, lambdas, temperature, **sample_kwargs
     )
-    lambdas = {name: schedule for name in lambda_names}
     kT = BOLTZMANN * temperature
 
     u_kn = reduced_energy_matrix(system, xs, box, lambdas, temperature,
                                  aux=aux)
     n_samples = int(n_k[0])
 
-    def dudl_at(k, x):
-        g = {name: schedule[k] for name in lambda_names}
-        return sum(
-            ti_gradient(system, x, box, name, schedule[k], globals=g, aux=aux)
-            for name in lambda_names
-        )
+    def dudl_at(name, k, x):
+        g = {nm: values[k] for nm, values in lambdas.items()}
+        return ti_gradient(system, x, box, name, lambdas[name][k], globals=g,
+                           aux=aux)
 
-    # mean dU/dlambda over each state's own samples (vmapped per state)
-    dudl = []
-    for k in range(k_states):
-        own = xs[k * n_samples:(k + 1) * n_samples]
-        dudl.append(jax.vmap(lambda x: dudl_at(k, x))(own))
-    dudl = jnp.stack(dudl)  # (K, n_samples)
+    # per-name mean dU/dlambda over each state's own samples
+    dudl = {}
+    for name in lambdas:
+        rows = []
+        for k in range(k_states):
+            own = xs[k * n_samples:(k + 1) * n_samples]
+            rows.append(jax.vmap(lambda x: dudl_at(name, k, x))(own))
+        dudl[name] = jnp.stack(rows)  # (K, n_samples)
 
     def mbar_dg(u):
-        f = mbar_free_energies(u, n_k)
+        f = mbar_free_energies(u, n_k, n_iter=mbar_iter)
         return float((f[-1] - f[0]) * kT)
 
-    def ti_dg(profile):
-        return float(jnp.trapezoid(profile, schedule))
+    def ti_dg(sample_slice):
+        return float(sum(
+            jnp.trapezoid(jnp.mean(dudl[name][:, sample_slice], axis=1),
+                          lambdas[name])
+            for name in lambdas
+        ))
 
     dg_mbar = mbar_dg(u_kn)
-    dg_ti = ti_dg(jnp.mean(dudl, axis=1))
+    dg_ti = ti_dg(slice(None))
 
     # block error estimates: split each state's samples into n_blocks
     # contiguous blocks, re-estimate per block
@@ -248,17 +277,15 @@ def solvation_free_energy(system, x0, box, schedule, temperature,
                           k * n_samples + (b + 1) * bs)
                 for k in range(k_states)
             ])
-            u_b = u_kn[:, sel]
-            blocks_mbar.append(mbar_dg(u_b))
-            blocks_ti.append(ti_dg(jnp.mean(dudl[:, b * bs:(b + 1) * bs],
-                                            axis=1)))
+            blocks_mbar.append(mbar_dg(u_kn[:, sel]))
+            blocks_ti.append(ti_dg(slice(b * bs, (b + 1) * bs)))
     err = lambda v: float(np.std(v, ddof=1) / np.sqrt(len(v))) if len(v) > 1 else float("nan")  # noqa: E731
     return {
         "dg_mbar": dg_mbar,
         "dg_ti": dg_ti,
         "err_mbar": err(blocks_mbar),
         "err_ti": err(blocks_ti),
-        "f_k": mbar_free_energies(u_kn, n_k),
-        "ti_profile": jnp.mean(dudl, axis=1),
+        "f_k": mbar_free_energies(u_kn, n_k, n_iter=mbar_iter),
+        "ti_profile": {k: jnp.mean(v, axis=1) for k, v in dudl.items()},
         "n_samples_total": int(xs.shape[0]),
     }

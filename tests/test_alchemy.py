@@ -138,23 +138,21 @@ def test_end_to_end_delta_g_mbar_vs_ti():
     system, x, box, solute = phenol_in_water(n_water=60, r_cut=0.5,
                                              r_switch=0.42, seed=5)
     solv = SolvationSystem(system, solute_atoms=solute)
-    # denser near the vdW-switch end where dU/dl curves
-    schedule = jnp.asarray([0.0, 0.15, 0.3, 0.45, 0.6, 0.75, 0.9, 1.0])
+    # master path s: vdW couples over [0, 0.5] (softcore), charges over
+    # [0.5, 1] (alchemy.coupling_path — two-stage, avoids charge collapse)
+    schedule = jnp.linspace(0.0, 1.0, 13)
     out = solvation_free_energy(
         solv, x, box, schedule, temperature=300.0,
-        dt=0.001, n_equil=150, n_samples=24, sample_interval=20, seed=4,
+        dt=0.001, n_equil=150, n_samples=32, sample_interval=20, seed=4,
     )
     dg_m, dg_t = out["dg_mbar"], out["dg_ti"]
     assert np.isfinite(dg_m) and np.isfinite(dg_t)
     # coupling a phenol into water must be favorable (negative) and of
     # chemically sensible magnitude
-    assert -200.0 < dg_m < 0.0
+    assert -250.0 < dg_m < 0.0
     joint = np.hypot(out["err_mbar"], out["err_ti"])
-    # 3 sigma + a small allowance for trapezoid quadrature bias on K=8
+    # 3 sigma + a small allowance for trapezoid quadrature bias on K=9
     assert abs(dg_m - dg_t) < 3.0 * joint + 0.15 * abs(dg_m), (
         f"MBAR {dg_m:.2f}+-{out['err_mbar']:.2f} vs "
         f"TI {dg_t:.2f}+-{out['err_ti']:.2f}"
     )
-    # MBAR free-energy profile is monotone decreasing in coupling here
-    f_k = np.asarray(out["f_k"])
-    assert f_k[-1] < f_k[0]

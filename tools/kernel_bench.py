@@ -1,0 +1,129 @@
+"""Far-force sweep micro-benchmark (VERDICT r3 #2).
+
+Measures ms/eval of the dominant far-force kernel (the fused
+full+negated-near tile pass on the default r=0.9 grid) for the 30k-atom
+water system across backend/capacity variants, on the real TPU, from the
+frozen equilibrated state. Run: python tools/kernel_bench.py [cutoff|pme]
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from bench import HEADLINE_RCUT_IN, load_eq  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, x, reps=20, tries=3):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        def body(i, acc):
+            return acc + fn(x + 1e-30 * acc)
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
+
+    out = loop(x)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        out = loop(x)
+        float(out[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps * 1e3
+
+
+def main():
+    method = sys.argv[1] if len(sys.argv) > 1 else "cutoff"
+    import jax.numpy as jnp
+
+    from atomsmm_tpu import (
+        Context,
+        MultipleTimeScaleIntegrator,
+        RESPASystem,
+        make_state,
+    )
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import (
+        build_cell_buckets,
+        cell_pair_energy_forces,
+        retune_spec,
+    )
+
+    system, x, box = water_system(n_molecules=10000, method=method,
+                                  neighbors=True)
+    respa = RESPASystem(system, rcut_in=HEADLINE_RCUT_IN,
+                        rswitch_in=HEADLINE_RCUT_IN - 0.1)
+    eq = load_eq("eq_water30k")
+    ex, ev, ebox = eq
+    x = jnp.asarray(ex)
+    box = jnp.asarray(ebox)
+
+    # the fused far force is the FarNonbondedForce on the default grid
+    far = next(f for f in respa.forces if f.name == "FarNonbondedForce")
+    spec0 = retune_spec(respa.neighbors, x, box, safety=1.15)
+    log(f"default grid {spec0.grid}, retuned cap {spec0.cell_capacity}, "
+        f"chunk {spec0.cell_chunk}")
+
+    pair_fn = far._pair_fn({})
+    pp = far._per_particle({})
+    r_cut = far.full.r_cut
+    results = {}
+
+    def run_variant(tag, spec):
+        bucket, ov = build_cell_buckets(spec, x, box)
+        assert not bool(ov), f"{tag}: overflow"
+
+        def f(xx):
+            _, ff = cell_pair_energy_forces(
+                pair_fn, xx, box, pp, spec, bucket, r_cut
+            )
+            return ff
+
+        ms = timeit(f, x)
+        results[tag] = round(ms, 3)
+        log(f"{tag}: {ms:.3f} ms")
+
+    variants = [
+        ("xla_half_auto", dataclasses.replace(spec0, backend="xla")),
+        ("xla_full", dataclasses.replace(spec0, backend="xla",
+                                         half_stencil=False)),
+        ("pallas_half", dataclasses.replace(spec0, backend="pallas")),
+    ]
+    # capacity alignment: pad cap up to the next multiples of 8 and 16
+    for pad in (8, 16, 32):
+        cap = -(-spec0.cell_capacity // pad) * pad
+        if cap != spec0.cell_capacity:
+            variants.append(
+                (f"xla_half_cap{cap}",
+                 dataclasses.replace(spec0, backend="xla",
+                                     cell_capacity=cap)))
+    # chunk sweep (home cells per scan step)
+    for ch in (2, 4, 8, 16):
+        if ch != spec0.cell_chunk:
+            variants.append(
+                (f"xla_half_chunk{ch}",
+                 dataclasses.replace(spec0, backend="xla", cell_chunk=ch)))
+
+    for tag, spec in variants:
+        try:
+            run_variant(tag, spec)
+        except Exception as e:
+            log(f"{tag} failed: {type(e).__name__}: {e}")
+
+    print(json.dumps({"method": method, "far_ms": results}))
+
+
+if __name__ == "__main__":
+    main()
