@@ -28,6 +28,82 @@ Implemented classes and their reference counterparts:
 
 All per-particle parameter arrays are dynamic pytree leaves, so jitted step
 functions never recompile when parameters (or globals such as lambda) change.
+
+Worked energy examples (the reference's forces docstrings carry the same
+kind of hard-coded doctest energies — SURVEY.md §2a Docs row). Two LJ
+particles at the potential minimum r = 2^(1/6) sigma see exactly -epsilon
+(the quintic switch is 1 below r_switch):
+
+>>> import jax.numpy as jnp
+>>> box = jnp.array([5.0, 5.0, 5.0])
+>>> no_excl = -jnp.ones((2, 1), jnp.int32)
+>>> x = jnp.array([[0.0, 0.0, 0.0], [2.0**(1 / 6) * 0.3, 0.0, 0.0]])
+>>> nb = NonbondedForce(charge=jnp.zeros(2), sigma=jnp.full(2, 0.3),
+...                     epsilon=jnp.full(2, 1.0), exclusions=no_excl,
+...                     r_cut=1.0, r_switch=0.9, method='cutoff')
+>>> round(float(nb.energy(x, box, {})), 6)
+-1.0
+
+A +1/-1 charge pair without cutoff gives Coulomb's law,
+E = -k_e / r = -138.935456 / 0.33674 kJ/mol:
+
+>>> nb2 = NonbondedForce(charge=jnp.array([1.0, -1.0]),
+...                      sigma=jnp.full(2, 0.3), epsilon=jnp.zeros(2),
+...                      exclusions=no_excl, method='nocutoff')
+>>> round(float(nb2.energy(x, box, {})), 3)
+-412.591
+
+Bonded terms follow the OpenMM conventions, E = k/2 (r - r0)^2 = 0.2 for
+k = 1000, r - r0 = 0.02:
+
+>>> hb = HarmonicBondForce(idx=jnp.array([[0, 1]]), r0=jnp.array([0.1]),
+...                        k=jnp.array([1000.0]))
+>>> xb = jnp.array([[0.0, 0.0, 0.0], [0.12, 0.0, 0.0]])
+>>> round(float(hb.energy(xb, box, {})), 6)
+0.2
+>>> ha = HarmonicAngleForce(idx=jnp.array([[0, 1, 2]]),
+...                         theta0=jnp.array([1.2]), k=jnp.array([100.0]))
+>>> xa = jnp.array([[0.1, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.1, 0.0]])
+>>> round(float(ha.energy(xa, box, {})), 4)    # 50 (pi/2 - 1.2)^2
+6.8745
+
+A 1-4 exception pair (no cutoff): 4 eps [(s/r)^12 - (s/r)^6] + k qq / r
+at the LJ-minimum distance = -0.5 - 138.935456 * 0.5 / 0.33674:
+
+>>> ex = NonbondedExceptionsForce(pairs=jnp.array([[0, 1]]),
+...                               chargeprod=jnp.array([-0.5]),
+...                               sigma=jnp.array([0.3]),
+...                               epsilon=jnp.array([0.5]),
+...                               valid=jnp.array([True]))
+>>> round(float(ex.energy(x, box, {})), 4)
+-206.7957
+
+The RESPA split identity: the subtract=True near force is the exact
+negation (FarNonbondedForce adds it to the full force, so near + far ==
+full by construction):
+
+>>> from atomsmm_tpu.utils import replace
+>>> near = NearNonbondedForce(charge=jnp.array([0.5, -0.5]),
+...                           sigma=jnp.full(2, 0.3),
+...                           epsilon=jnp.full(2, 0.6),
+...                           exclusions=no_excl, r_cut=0.5, r_switch=0.4)
+>>> xr = jnp.array([[0.0, 0.0, 0.0], [0.33, 0.0, 0.0]])
+>>> e_near = float(near.energy(xr, box, {}))
+>>> round(e_near, 4)
+-12.4435
+>>> e_minus = float(replace(near, subtract=True).energy(xr, box, {}))
+>>> round(e_near + e_minus, 12)
+0.0
+
+DampedSmoothedForce (Fennell-Gezelter DSF, alpha = 2/nm) at the same
+geometry:
+
+>>> ds = DampedSmoothedForce(charge=jnp.array([1.0, -1.0]),
+...                          sigma=jnp.full(2, 0.3),
+...                          epsilon=jnp.full(2, 1.0), exclusions=no_excl,
+...                          r_cut=1.0, r_switch=0.9, alpha=2.0)
+>>> round(float(ds.energy(x, box, {})), 4)
+-141.6415
 """
 from __future__ import annotations
 

@@ -8,6 +8,7 @@ import pytest
 
 import atomsmm_tpu.alchemy
 import atomsmm_tpu.computers
+import atomsmm_tpu.forces
 import atomsmm_tpu.integrate.integrators
 import atomsmm_tpu.integrate.propagators
 import atomsmm_tpu.io.pdb
@@ -19,6 +20,7 @@ import atomsmm_tpu.systems
 import atomsmm_tpu.utils
 
 MODULES = {
+    "forces": (atomsmm_tpu.forces, 8),
     "pairfuncs": (atomsmm_tpu.ops.pairfuncs, 5),
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
