@@ -24,6 +24,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import load_eq  # noqa: E402
 
 
+def _cc():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_cc()
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -112,6 +125,12 @@ STUDIES = {
     "cutoff": [
         ("cutoff", 0.002, [4, 2, 1], 6000, 0.5, False),
         ("cutoff", 0.004, [4, 2, 1], 4000, 0.5, False),
+        # bonded at 1 fs (9.2 fs O-H period / 9 samples): halves the bonded
+        # evals per outer step; near stays 2 fs
+        ("cutoff", 0.004, [2, 2, 1], 4000, 0.5, False),
+    ],
+    "pme_bonded1": [
+        ("pme", 0.004, [2, 2, 1], 3000, 0.5, False),
     ],
 }
 
