@@ -142,6 +142,12 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
     eq = load_eq("eq_water30k") if n_molecules == 10000 else None
     if eq is not None:
         ex, ev, ebox = eq
+        # pre-retune cell capacities to the equilibrated configuration: the
+        # candidate then compiles ONCE (a post-Context retune would trigger a
+        # second multi-minute tunnel compile)
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        respa = retune_neighbor_specs(respa, ex, ebox)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
     else:
         ctx = Context(respa, integ, make_state(x, box=box))
@@ -155,12 +161,12 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         f"({'frozen eq state' if eq is not None else 'lattice melt'})")
     if eq is None:
         _melt_equilibrate(ctx, 300.0, 600)
+        # size cell capacities to measured occupancy (pair work ~ cap^2)
+        ctx.retune_neighbors()
+        ctx.step(1)
     else:
-        # short re-equilibration (thermostat variables + method change)
+        # short re-equilibration (thermostat variables)
         ctx.step(250)
-    # size cell capacities to measured occupancy (pair work ~ cap^2)
-    ctx.retune_neighbors()
-    ctx.step(1)
     sync(ctx)
 
     best = _best_rate(ctx, steps)
@@ -254,13 +260,16 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.004, loops=None,
     eq = load_eq("eq_emim")
     if eq is not None:
         ex, ev, ebox = eq
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        respa = retune_neighbor_specs(respa, ex, ebox)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=11))
         ctx.step(50)
     else:
         ctx = Context(respa, integ, make_state(x, box=box, seed=11))
         minimize_energy(ctx, steps=200)
         ctx.step(50)
-    ctx.retune_neighbors()
+        ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)
     best = _best_rate(ctx, steps, tries=2)
@@ -300,13 +309,16 @@ def bench_npt_100k(steps=100, extras=None):
     eq = load_eq("eq_water100k")
     if eq is not None:
         ex, ev, ebox = eq
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        respa = retune_neighbor_specs(respa, ex, ebox)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
         ctx.step(100)
     else:
         ctx = Context(respa, integ, make_state(x, box=box))
         ctx.set_velocities_to_temperature(300.0, seed=3)
         ctx.step(100)
-    ctx.retune_neighbors()
+        ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)
     best = _best_rate(ctx, steps, tries=2)

@@ -75,14 +75,15 @@ def run_candidate(dt, loops, steps, sample_every=100):
     if eq is None:
         raise SystemExit("run tools/gen_eq_states.py emim first")
     ex, ev, ebox = eq
+    from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+    respa = retune_neighbor_specs(respa, ex, ebox)
     ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=11))
     t0 = time.perf_counter()
     ctx.step(1)
     float(ctx.state.x[0, 0])
     compile_s = time.perf_counter() - t0
     ctx.step(100)
-    ctx.retune_neighbors()
-    ctx.step(1)
 
     n = system.num_particles
     t_hist, pe_hist = [], []

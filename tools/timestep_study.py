@@ -67,14 +67,18 @@ def run_candidate(method, dt, loops, steps, rcut_in=0.5, sample_every=100,
     if eq is None:
         raise SystemExit("run tools/gen_eq_states.py water30k first")
     ex, ev, ebox = eq
+    # pre-retune the cell capacities to the equilibrated configuration so the
+    # candidate compiles ONCE (retuning after Context costs a second
+    # multi-minute tunnel compile)
+    from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+    respa = retune_neighbor_specs(respa, ex, ebox)
     ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
     t0 = time.perf_counter()
     ctx.step(1)
     float(ctx.state.x[0, 0])
     compile_s = time.perf_counter() - t0
     ctx.step(200)  # re-equilibrate thermostat variables / method change
-    ctx.retune_neighbors()
-    ctx.step(1)
 
     n = system.num_particles
     e0 = float(ctx.conserved_energy())
