@@ -39,6 +39,7 @@ def test_dof_accounts_for_constraints(tip3p):
     assert count_degrees_of_freedom(system) == 3 * 375 - 3 * 125 - 3
 
 
+@pytest.mark.slow
 def test_rigid_water_nve_stability(tip3p):
     """2 fs velocity Verlet on RIGID water must conserve energy from an
     equilibrated state (constraints remove the stiff modes).

@@ -48,6 +48,7 @@ def test_respa_split_consistency(il):
     assert near.alpha == pytest.approx(system.forces[0].ewald_alpha)
 
 
+@pytest.mark.slow
 def test_sinr_pme_dynamics(il):
     """The headline capability: SIN(R) sustains large outer steps on the
     charged system with PME far electrostatics."""

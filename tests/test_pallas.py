@@ -74,6 +74,7 @@ def test_lj_argon(argon, half):
     _check(system.forces[0], system, x, box, half)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("half", [True, False], ids=["half", "full"])
 def test_water_cutoff_rf(water, half):
     """Full nonbonded: switched LJ + reaction-field Coulomb."""
@@ -84,6 +85,7 @@ def test_water_cutoff_rf(water, half):
     _check(nb, system, x, box, half)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("half", [True, False], ids=["half", "full"])
 def test_near_and_fused_far(water, half):
     """RESPA near (shifted-force, switched) and the fused far pair function
@@ -135,6 +137,7 @@ def test_softcore_lambda_capture(half):
     _check(sc, target, x, box, half, globals=glb)
 
 
+@pytest.mark.slow
 def test_boundary_crossing_between_rebuilds():
     """Review r2: an atom crossing the periodic face between rebuilds (well
     within the skin/2 reuse window) must keep its pair interactions on the

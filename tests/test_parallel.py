@@ -150,6 +150,7 @@ def test_sharded_cell_forces_match_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_pme_matches_single_device():
     from atomsmm_tpu.models import water_system
     from atomsmm_tpu.ops.pme import pme_reciprocal_energy
@@ -187,6 +188,7 @@ def test_sharded_pme_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_spatial_context_trajectory_parity():
     """VERDICT r2 #6: spatial DD as a *feature* — a SpatialContext runs the
     sharded pair sweep (+ neighbor rebuild) end-to-end through the normal
@@ -226,6 +228,7 @@ def test_spatial_context_trajectory_parity():
     )
 
 
+@pytest.mark.slow
 def test_spatial_context_pme_water():
     """Spatial DD with a PME far force: sharded direct sweep + atom-sharded
     reciprocal spreading through the Context surface."""

@@ -208,6 +208,7 @@ def test_coulomb_energy_column():
     assert "Coulomb Energy (kJ/mole)" in header
 
 
+@pytest.mark.slow
 def test_coulomb_energy_excludes_custom_nonbonded():
     """VERDICT r2 weak #4: on a SolvationSystem the solute-solute LJ restore
     force is a CustomNonbondedForce — the coulombEnergy column must not

@@ -106,6 +106,7 @@ def test_group_assignment(water):
     assert set(ge) == {0, 1, 2}
 
 
+@pytest.mark.slow
 def test_respa_matches_small_step_verlet(equilibrated, water):
     """RESPA with loops [n0, n1, 1] must track a velocity-Verlet run at the
     innermost step size over a short trajectory."""
@@ -127,6 +128,7 @@ def test_respa_matches_small_step_verlet(equilibrated, water):
     assert dxmax < 2e-4, dxmax
 
 
+@pytest.mark.slow
 def test_respa_nve_energy_conservation(equilibrated, water):
     system, _, _ = water
     x, v, box = equilibrated
@@ -142,6 +144,7 @@ def test_respa_nve_energy_conservation(equilibrated, water):
     assert drift < 2e-2, (e0, e1, drift)
 
 
+@pytest.mark.slow
 def test_respa_beats_same_rate_verlet(equilibrated, water):
     """Subdividing the stiff bonded level must reduce drift vs. integrating
     everything at the outer rate."""
@@ -160,6 +163,7 @@ def test_respa_beats_same_rate_verlet(equilibrated, water):
     assert d_respa < d_vv, (d_respa, d_vv)
 
 
+@pytest.mark.slow
 def test_respa_nvt_temperature(equilibrated, water):
     system, _, _ = water
     x, v, box = equilibrated
@@ -175,6 +179,7 @@ def test_respa_nvt_temperature(equilibrated, water):
     assert 240.0 < t < 360.0, t
 
 
+@pytest.mark.slow
 def test_reciprocal_level_triple_split():
     """RESPASystem(reciprocal_level=True): groups 0-3 with the PME FFT sum
     at its own level; the total still equals the unsplit potential, and a

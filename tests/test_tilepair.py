@@ -110,6 +110,7 @@ def test_retune_measures_entries():
     assert bool(ov2)
 
 
+@pytest.mark.slow
 def test_boundary_crossing_with_xref():
     """Review r2: positions staged continuously relative to the build
     reference (xref) keep face-crossing atoms' pairs; wrapping current

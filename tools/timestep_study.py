@@ -127,7 +127,9 @@ STUDIES = {
         ("pme", 0.004, [4, 2, 2, 1], 3000, 0.5, True),
     ],
     "cutoff": [
-        ("cutoff", 0.002, [4, 2, 1], 6000, 0.5, False),
+        # acceptance bands come from TIMESTEP.md's 2 fs reference row; the
+        # [4,2,1]@4fs row re-validates the frozen-state protocol against the
+        # studied 24.3 ns/day
         ("cutoff", 0.004, [4, 2, 1], 4000, 0.5, False),
         # bonded at 1 fs (9.2 fs O-H period / 9 samples): halves the bonded
         # evals per outer step; near stays 2 fs
