@@ -48,19 +48,10 @@ BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache (harmless no-op if the backend cannot
-    serialize executables): repeat configs skip the multi-minute tunnel
-    compiles."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
+# NOTE: do NOT enable jax_compilation_cache_dir on the axon backend — cache
+# WRITES work, but a process that HITS a cached executable hangs in
+# deserialization (observed 2026-08-17: identical-HLO bench froze >15 min
+# where a cold compile takes ~16 s).
 
 def sync(ctx):
     # axon: fetching a host value is the reliable barrier
@@ -344,7 +335,6 @@ def bench_npt_100k(steps=100, extras=None):
 
 
 def main():
-    _enable_compile_cache()
     extras = {}
     ns_day, ms_step = bench_water_respa(
         extras=extras, tag="water30k_respa_cutoff")

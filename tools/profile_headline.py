@@ -18,19 +18,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import HEADLINE_DT, HEADLINE_LOOPS, HEADLINE_RCUT_IN, load_eq  # noqa: E402
 
 
-def _cc():
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
-_cc()
-
-
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 

@@ -28,19 +28,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench import load_eq  # noqa: E402
 
 
-def _cc():
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
-
-_cc()
-
-
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
