@@ -116,6 +116,24 @@ def main():
                 (f"xla_half_chunk{ch}",
                  dataclasses.replace(spec0, backend="xla", cell_chunk=ch)))
 
+    # finer grids with larger stencil reach: candidate volume shrinks toward
+    # the Minkowski bound at the cost of more (smaller) tiles
+    from atomsmm_tpu.ops.neighbors import make_neighbor_spec
+
+    n = x.shape[0]
+    for reach in (2, 3):
+        try:
+            sp = make_neighbor_spec(
+                box, n, float(r_cut), skin=0.1,
+                exclusions=respa.neighbors.exclusions,
+                cells_per_cutoff=reach, occupancy_from=x, backend="xla",
+            )
+            variants.append((
+                f"xla_half_reach{reach}_grid{sp.grid[0]}_cap{sp.cell_capacity}",
+                sp))
+        except Exception as e:
+            log(f"reach{reach} spec failed: {e}")
+
     for tag, spec in variants:
         try:
             run_variant(tag, spec)

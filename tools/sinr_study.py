@@ -48,13 +48,13 @@ def constraint_residual(ctx):
     return float(jnp.max(res))
 
 
-def run_candidate(dt, loops, steps, sample_every=100):
+def run_candidate(dt, loops, steps, sample_every=250, rin=0.7):
     from atomsmm_tpu import Context, RESPASystem, SIN_R_Integrator, make_state
     from atomsmm_tpu.models import ionic_liquid_system
 
     system, x, box = ionic_liquid_system(n_pairs=400, method="pme",
                                          neighbors=True)
-    respa = RESPASystem(system, rcut_in=0.7, rswitch_in=0.6)
+    respa = RESPASystem(system, rcut_in=rin, rswitch_in=rin - 0.1)
     integ = SIN_R_Integrator(
         dt, list(loops), temperature=353.0, time_scale=0.05, friction=10.0
     )
@@ -89,6 +89,7 @@ def run_candidate(dt, loops, steps, sample_every=100):
     row = {
         "dt_fs": dt * 1e3,
         "loops": list(loops),
+        "rin": rin,
         "steps": done,
         "ms_step": round(wall / max(done, 1) * 1e3, 2),
         "ns_day": round(dt * 1e-3 * done / wall * 86400.0, 2),
@@ -105,29 +106,42 @@ def run_candidate(dt, loops, steps, sample_every=100):
 # loops [n0, n1, 1]: bonded dt/(n0*n1), near dt/n1, far (PME) dt.
 # near is held at ~2 fs and bonded at ~0.5 fs while the outer step grows.
 CANDIDATES = [
-    (0.004, [8, 2, 1], 3000),   # the r2 bench row (reference)
-    (0.008, [4, 4, 1], 2500),   # bonded 0.5, near 2, far 8
-    (0.012, [4, 6, 1], 2000),   # bonded 0.5, near 2, far 12
-    (0.016, [4, 8, 1], 1500),   # bonded 0.5, near 2, far 16
-    (0.020, [4, 10, 1], 1200),  # bonded 0.5, near 2, far 20
-    (0.030, [4, 15, 1], 800),   # bonded 0.5, near 2, far 30
+    (0.004, [8, 2, 1], 3000, 0.7),   # the r2 bench row (reference)
+    (0.008, [4, 4, 1], 2500, 0.7),   # bonded 0.5, near 2, far 8
+    (0.012, [4, 6, 1], 2000, 0.7),   # bonded 0.5, near 2, far 12
+    (0.016, [4, 8, 1], 1500, 0.7),   # bonded 0.5, near 2, far 16
+    (0.020, [4, 10, 1], 1200, 0.7),  # bonded 0.5, near 2, far 20
+    (0.030, [4, 15, 1], 800, 0.7),   # bonded 0.5, near 2, far 30
+]
+
+# pass 2: at large outer steps the near evals dominate; push the near step
+# (SIN(R) thermostats every RESPA level, so near-level resonance is also
+# suppressed) and shrink the near region
+PASS2 = [
+    (0.020, [4, 8, 1], 1200, 0.7),   # near 2.5 fs
+    (0.024, [4, 8, 1], 1000, 0.7),   # near 3 fs, far 24
+    (0.030, [4, 10, 1], 800, 0.7),   # near 3 fs, far 30
+    (0.020, [4, 10, 1], 1200, 0.5),  # near 2 fs, small near region
+    (0.030, [4, 15, 1], 800, 0.5),   # near 2 fs, small near region
 ]
 
 
 def main():
-    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    arg = sys.argv[1] if len(sys.argv) > 1 else ""
+    quick = arg == "quick"
+    cands = PASS2 if arg == "pass2" else CANDIDATES
     rows = []
-    for dt, loops, steps in CANDIDATES:
+    for dt, loops, steps, rin in cands:
         if quick:
             steps = min(steps, 600)
         try:
-            rows.append(run_candidate(dt, loops, steps))
+            rows.append(run_candidate(dt, loops, steps, rin=rin))
         except Exception as e:
             log(f"candidate {dt} {loops} failed: {e}")
     log("| dt | loops | ms/step | ns/day | T_kin [K] | PE/N | constraint |")
     log("|" + "---|" * 7)
     for r in rows:
-        log(f"| {r['dt_fs']:.0f} fs | {r['loops']} | {r['ms_step']} | "
+        log(f"| {r['dt_fs']:.0f} fs | {r['loops']} rin={r['rin']} | {r['ms_step']} | "
             f"{r['ns_day']} | {r['T_kin_K']} | {r['PE_per_atom']} | "
             f"{r['constraint_residual']:.1e} |")
     print(json.dumps(rows))
