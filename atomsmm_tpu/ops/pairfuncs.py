@@ -58,7 +58,22 @@ def _erfc_approx_jvp(primals, tangents):
 
 
 def erfc(x):
+    """erfc with a precision-matched fast path.
+
+    f32 inputs (the TPU production path) use the A&S 7.1.26 approximation:
+    its 1.5e-7 absolute error sits at f32 roundoff while costing a fraction
+    of the exact rational erfc (measured: the erfc term is the dominant
+    marginal cost of the PME near/far sweeps — profile_headline r3). f64
+    (the CPU reference platform, goldens) keeps the exact lax erfc. Set
+    ATOMSMM_EXACT_ERFC=1 to force the exact form everywhere.
+    """
     if _KERNEL_SAFE_MATH[-1]:
+        return erfc_approx(x)
+    import os
+
+    if jnp.asarray(x).dtype == jnp.float32 and not os.environ.get(
+        "ATOMSMM_EXACT_ERFC"
+    ):
         return erfc_approx(x)
     return jax.scipy.special.erfc(x)
 

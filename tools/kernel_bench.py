@@ -140,6 +140,70 @@ def main():
         except Exception as e:
             log(f"{tag} failed: {type(e).__name__}: {e}")
 
+    # near-force sweep on its own grid (2 evals per outer step)
+    near = next(f for f in respa.forces if f.name == "NearNonbondedForce")
+    near_spec = (respa.extra_neighbor_specs or {}).get("near")
+    if near_spec is not None:
+        from atomsmm_tpu.ops.neighbors import retune_spec as _rt
+
+        near_spec = _rt(near_spec, x, box)
+        nb_bucket, nov = build_cell_buckets(near_spec, x, box)
+        assert not bool(nov)
+        npair = near._pair_fn({})
+        npp = near._per_particle({})
+
+        def fnear(xx):
+            _, ff = cell_pair_energy_forces(
+                npair, xx, box, npp, near_spec, nb_bucket, near.r_cut
+            )
+            return ff
+
+        ms = timeit(fnear, x)
+        results["near_sweep"] = round(ms, 3)
+        log(f"near_sweep (grid {near_spec.grid} cap "
+            f"{near_spec.cell_capacity}): {ms:.3f} ms")
+
+    if method == "pme":
+        # exact-vs-approx erfc on the fused far sweep (pairfuncs.erfc gate)
+        os.environ["ATOMSMM_EXACT_ERFC"] = "1"
+        try:
+            run_variant("far_exact_erfc",
+                        dataclasses.replace(spec0, backend="xla"))
+            if near_spec is not None:
+                ms = timeit(fnear, x)
+                results["near_exact_erfc"] = round(ms, 3)
+                log(f"near_exact_erfc: {ms:.3f} ms")
+        finally:
+            del os.environ["ATOMSMM_EXACT_ERFC"]
+        # reciprocal part alone
+        import jax
+
+        full = far.full
+
+        def frec(xx):
+            e = full._recip_energy(xx, box, {}, True)
+            return jax.grad(lambda y: full._recip_energy(y, box, {}, True))(xx)
+
+        ms = timeit(frec, x)
+        results["reciprocal_ms"] = round(ms, 3)
+        log(f"reciprocal (energy+grad): {ms:.3f} ms")
+
+    # neighbor maybe-update cost (runs once per outer step in Context.run)
+    from atomsmm_tpu.ops.neighbors import all_neighbor_extras, update_all_neighbors
+
+    import jax as _jax
+
+    extras0 = _jax.jit(all_neighbor_extras)(respa, x, box)
+
+    def fupd(xx):
+        out = update_all_neighbors(respa, extras0, xx, box)
+        key = next(k for k in out if k.endswith("xref"))
+        return out[key]
+
+    ms = timeit(fupd, x)
+    results["nbr_update_ms"] = round(ms, 3)
+    log(f"nbr maybe-update: {ms:.3f} ms")
+
     print(json.dumps({"method": method, "far_ms": results}))
 
 
