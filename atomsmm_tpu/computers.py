@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .integrate.barostat import molecular_scale
+from .ops.pbc import box_volume
 from .potential import potential_energy
 from .state import kinetic_energy
 from .units import BOLTZMANN, PRESSURE_IN_BAR
@@ -130,14 +131,14 @@ def atomic_pressure(system, state, globals=None, aux=None):
     """P = (2K + W)/(3V) [kJ/mol/nm^3]; multiply by PRESSURE_IN_BAR for bar."""
     w = atomic_virial(system, state.x, state.box, globals, aux)
     k = kinetic_energy(system.masses, state.v)
-    v = jnp.prod(state.box)
+    v = box_volume(state.box)
     return (2.0 * k + w) / (3.0 * v)
 
 
 def molecular_pressure(system, state, globals=None, aux=None):
     w = molecular_virial(system, state.x, state.box, globals, aux)
     k = molecular_kinetic_energy(system, state.v)
-    v = jnp.prod(state.box)
+    v = box_volume(state.box)
     return (2.0 * k + w) / (3.0 * v)
 
 

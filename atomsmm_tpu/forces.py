@@ -119,6 +119,7 @@ from .ops.bonded import (
     periodic_torsion_energy,
 )
 from .ops.neighbors import cell_pair_energy, cell_pair_energy_forces
+from .ops.pbc import box_volume
 from .ops.pairs import dense_pair_energy, pairlist_energy
 from .units import ONE_4PI_EPS0
 from .utils import pytree_dataclass, static_field
@@ -349,7 +350,7 @@ class NonbondedForce(_PairForceMixin, Force):
         if self.dispersion_coeff is not None:
             # long-range LJ tail: E = coeff / V; its box dependence feeds the
             # virial/pressure automatically (computers.py scaling trick)
-            e = e + self.dispersion_coeff / jnp.prod(box)
+            e = e + self.dispersion_coeff / box_volume(box)
         return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -361,7 +362,7 @@ class NonbondedForce(_PairForceMixin, Force):
             )(x)
             e, f = e + e2, f - g2
         if self.dispersion_coeff is not None:
-            e = e + self.dispersion_coeff / jnp.prod(box)  # no position force
+            e = e + self.dispersion_coeff / box_volume(box)  # no position force
         return e, f
 
     def uses_neighbors(self) -> bool:
@@ -546,7 +547,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
                     x, box, globals, self.include_reciprocal
                 )
             if self.full.dispersion_coeff is not None:
-                e = e + self.full.dispersion_coeff / jnp.prod(box)
+                e = e + self.full.dispersion_coeff / box_volume(box)
             return e
         e = self._nb_energy(x, box, globals, aux, self.full.r_cut)
         if self.full.method == "pme":
@@ -554,7 +555,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
                 x, box, globals, self.include_reciprocal
             )
         if self.full.dispersion_coeff is not None:
-            e = e + self.full.dispersion_coeff / jnp.prod(box)
+            e = e + self.full.dispersion_coeff / box_volume(box)
         return e
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -582,7 +583,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
             )(x)
             e, f = e + e2, f - g2
         if self.full.dispersion_coeff is not None:
-            e = e + self.full.dispersion_coeff / jnp.prod(box)
+            e = e + self.full.dispersion_coeff / box_volume(box)
         return e, f
 
     def uses_neighbors(self) -> bool:

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.pbc import box_volume
 from ..potential import potential_energy
 from ..units import BOLTZMANN, PRESSURE_IN_BAR
 from ..utils import replace
@@ -43,7 +44,7 @@ class MonteCarloBarostatPropagator(Propagator):
         self.dv0 = float(initial_dv_fraction)
 
     def extra_variables(self, system, state):
-        v0 = jnp.prod(state.box)
+        v0 = box_volume(state.box)
         return {
             BARO_DV: (self.dv0 * v0).astype(state.x.dtype),
             BARO_NACC: jnp.zeros((), jnp.int32),
@@ -76,7 +77,7 @@ class MonteCarloBarostatPropagator(Propagator):
                 system, state.x, state.box, ctx.globals, aux=aux
             )
 
-        v_old = jnp.prod(state.box)
+        v_old = box_volume(state.box)
         dv = jax.random.uniform(
             k_dv, (), state.x.dtype, minval=-1.0, maxval=1.0
         ) * dv_max

@@ -287,11 +287,15 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     if ifbox and "BOX_DIMENSIONS" in s:
         beta, bx, by, bz = s["BOX_DIMENSIONS"][:4]
         if abs(beta - 90.0) > 1e-6:
-            raise InputError(
-                f"triclinic prmtop box (beta={beta} deg) — only orthorhombic "
-                "boxes are supported (documented restriction, VERDICT.md r1 #6)"
+            # BOX_DIMENSIONS carries one angle (truncated-octahedron style
+            # beta applied to all three) — build the reduced cell matrix
+            from ..ops.pbc import triclinic_from_lengths_angles
+
+            box = triclinic_from_lengths_angles(
+                bx * 0.1, by * 0.1, bz * 0.1, beta, beta, beta
             )
-        box = np.asarray([bx, by, bz]) * 0.1
+        else:
+            box = np.asarray([bx, by, bz]) * 0.1
 
     # molecules = connected components of the bond graph
     parent = np.arange(natom)
@@ -366,7 +370,9 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
 
 def read_inpcrd(path_or_text):
     """Parse an AMBER restart (.inpcrd/.rst7): returns (x, v, box) in
-    nm / nm/ps / nm; v and box are None when absent. Orthorhombic only."""
+    nm / nm/ps / nm; v and box are None when absent. An angled box record
+    returns the reduced (3, 3) cell matrix (ops/pbc.py); cell lists remain
+    orthorhombic-only."""
     text = str(path_or_text)
     if "\n" not in text:
         with open(path_or_text) as fh:
@@ -391,12 +397,15 @@ def read_inpcrd(path_or_text):
         v = rest[: 3 * natom].reshape(natom, 3) * _AMBER_VEL
         rest = rest[3 * natom :]
     if rest.size >= 3:
-        box = rest[:3] * 0.1
         if rest.size >= 6 and np.any(np.abs(rest[3:6] - 90.0) > 1e-6):
-            raise InputError(
-                f"triclinic inpcrd box angles {rest[3:6]} — only orthorhombic "
-                "boxes are supported"
+            # triclinic: reduced (3, 3) cell matrix [nm] (ops/pbc.py)
+            from ..ops.pbc import triclinic_from_lengths_angles
+
+            box = triclinic_from_lengths_angles(
+                *(rest[:3] * 0.1), *rest[3:6]
             )
+        else:
+            box = rest[:3] * 0.1
     return x, v, box
 
 

@@ -6,8 +6,9 @@ always comes from the prmtop. Same scope here: parse ATOM/HETATM records and
 the CRYST1 box; write configurations back out for visualization tools.
 
 Units: PDB is in Å; everything returned/accepted here is nm (units.py).
-Orthorhombic boxes only (CRYST1 angles must be 90°) — consistent with the
-rest of the package.
+Orthorhombic CRYST1 records return (3,) box lengths; triclinic records
+return the reduced (3, 3) cell matrix (rows = lattice vectors, ops/pbc.py)
+— supported on the dense pair path (cell lists stay orthorhombic).
 
 >>> import io, numpy as np
 >>> buf = io.StringIO()
@@ -35,7 +36,7 @@ class PDBFile:
     """Parsed PDB: coordinates in nm plus per-atom labels."""
 
     positions: np.ndarray      # (N, 3) [nm], first MODEL only
-    box: np.ndarray | None     # (3,) [nm] from CRYST1, or None
+    box: np.ndarray | None     # (3,) or triclinic (3,3) [nm] from CRYST1
     atom_name: list
     residue_name: list
     residue_id: np.ndarray     # (N,) int
@@ -57,11 +58,14 @@ def read_pdb(path_or_text) -> PDBFile:
             a, b, c = float(line[6:15]), float(line[15:24]), float(line[24:33])
             angles = [float(line[33:40]), float(line[40:47]), float(line[47:54])]
             if any(abs(t - 90.0) > 1e-6 for t in angles):
-                raise InputError(
-                    f"triclinic CRYST1 angles {angles} — only orthorhombic "
-                    "boxes are supported"
+                # triclinic: return the reduced (3, 3) cell matrix [nm]
+                from ..ops.pbc import triclinic_from_lengths_angles
+
+                box = triclinic_from_lengths_angles(
+                    a * 0.1, b * 0.1, c * 0.1, *angles
                 )
-            box = np.array([a, b, c]) * 0.1
+            else:
+                box = np.array([a, b, c]) * 0.1
         elif rec in ("ATOM  ", "HETATM"):
             xyz.append(
                 [float(line[30:38]), float(line[38:46]), float(line[46:54])]
@@ -88,9 +92,18 @@ def read_pdb(path_or_text) -> PDBFile:
 
 
 def format_cryst1(box) -> str:
-    a, b, c = np.asarray(box) * 10.0
+    h = np.asarray(box) * 10.0
+    if h.ndim == 1:
+        a, b, c = h
+        al = be = ga = 90.0
+    else:  # (3, 3) cell matrix, rows = lattice vectors
+        la, lb, lc = (np.linalg.norm(h[i]) for i in range(3))
+        ga = np.degrees(np.arccos(np.dot(h[0], h[1]) / (la * lb)))
+        be = np.degrees(np.arccos(np.dot(h[0], h[2]) / (la * lc)))
+        al = np.degrees(np.arccos(np.dot(h[1], h[2]) / (lb * lc)))
+        a, b, c = la, lb, lc
     return (
-        f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}{90.0:7.2f}{90.0:7.2f}{90.0:7.2f}"
+        f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}{al:7.2f}{be:7.2f}{ga:7.2f}"
         " P 1           1"
     )
 

@@ -261,6 +261,14 @@ def make_neighbor_spec(
     kernel otherwise; plain 'xla' elsewhere.
     """
     box = np.asarray(box, np.float64)
+    if box.ndim == 2:
+        from ..utils import InputError
+
+        raise InputError(
+            "cell lists support orthorhombic boxes only — triclinic cells "
+            "run on the dense pair path (build the System with "
+            "neighbors=False; ops/pbc.py documents the box forms)"
+        )
     target_w = (float(r_cut_max) + float(min_skin)) / cells_per_cutoff
     grid = tuple(max(1, int(np.floor(b / target_w))) for b in box)
     w = box / np.array(grid)

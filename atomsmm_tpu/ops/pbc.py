@@ -1,11 +1,20 @@
-"""Periodic boundary helpers (orthorhombic boxes).
+"""Periodic boundary helpers (orthorhombic and reduced triclinic boxes).
 
-All benchmark systems of the reference (q-SPC/FW water, emim/BF4, phenol in
-water, LJ argon — BASELINE.md configs) use rectangular boxes, so the minimum
-image convention is the cheap, branch-free `dx - box*round(dx/box)` form that
-XLA fuses into the pair kernels. Triclinic boxes are NOT supported — the
-reference inherits them from OpenMM but ships only orthorhombic test systems
-(SURVEY.md §4); attach a triclinic reduction upstream if ever needed.
+Box representation is shape-polymorphic, resolved at trace time:
+
+* ``(3,)``  — orthorhombic edge lengths; minimum image is the branch-free
+  ``dx - box*round(dx/box)`` form that XLA fuses into the pair kernels.
+* ``(3, 3)`` — triclinic cell matrix H, rows = lattice vectors (a, b, c) in
+  OpenMM reduced form (a along x, b in the xy plane, off-diagonal elements
+  at most half the corresponding diagonal). Minimum image maps through
+  fractional coordinates: s = dx @ inv(H); s -= round(s); dx = s @ H —
+  exact for reduced cells whenever the cutoff is at most half the smallest
+  perpendicular width (``max_cutoff``).
+
+All benchmark systems of the reference use rectangular boxes (SURVEY.md §4),
+so the production cell-list path stays orthorhombic-only
+(ops/neighbors.make_neighbor_spec raises on a matrix box); the dense pair
+path, bonded terms, PME, virials, and the MC barostat accept both forms.
 
 Examples:
 
@@ -15,26 +24,94 @@ Examples:
 [-0.1, 0.1, 0.4]
 >>> float(minimum_image(jnp.asarray([1.0, 0.0, 0.0]), box)[0])  # half-box edge
 1.0
+
+A sheared cell that generates the SAME lattice as the cube above (b -> a+b)
+produces identical minimum images:
+
+>>> h = jnp.asarray([[2.0, 0.0, 0.0], [2.0, 2.0, 0.0], [0.0, 0.0, 2.0]])
+>>> [round(v, 6) for v in minimum_image(jnp.asarray([1.9, -1.9, 0.4]), h).tolist()]
+[-0.1, 0.1, 0.4]
+>>> float(box_volume(box)), float(box_volume(h))
+(8.0, 8.0)
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 
-def minimum_image(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
-    """Minimum-image displacement for orthorhombic box; dx (..., 3), box (3,).
+def cell_matrix(box: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3) cell matrix H (rows = lattice vectors) for either box form."""
+    box = jnp.asarray(box)
+    return jnp.diag(box) if box.ndim == 1 else box
 
-    Multiplies by the (3,)-vector reciprocal instead of dividing elementwise:
-    the reciprocal is hoisted out of the pair tile, the per-slot op is a mul.
+
+def box_volume(box: jnp.ndarray) -> jnp.ndarray:
+    """Cell volume [nm^3] for either box form."""
+    box = jnp.asarray(box)
+    if box.ndim == 1:
+        return jnp.prod(box)
+    return jnp.abs(jnp.linalg.det(box))
+
+
+def is_triclinic(box) -> bool:
+    """Trace-time box-form test (shape is static under jit)."""
+    return jnp.asarray(box).ndim == 2
+
+
+def minimum_image(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """Minimum-image displacement; dx (..., 3), box (3,) or (3, 3).
+
+    Orthorhombic: multiplies by the (3,)-vector reciprocal instead of
+    dividing elementwise — the reciprocal is hoisted out of the pair tile,
+    the per-slot op is a mul. Triclinic: round in fractional coordinates
+    (inv(H) is loop-invariant; XLA hoists it).
     """
-    return dx - box * jnp.round(dx * (1.0 / box))
+    box = jnp.asarray(box)
+    if box.ndim == 1:
+        return dx - box * jnp.round(dx * (1.0 / box))
+    inv_h = jnp.linalg.inv(box)
+    s = dx @ inv_h
+    return dx - jnp.round(s) @ box
 
 
 def wrap_positions(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
-    """Wrap positions into [0, box)."""
-    return x - box * jnp.floor(x / box)
+    """Wrap positions into the primary cell."""
+    box = jnp.asarray(box)
+    if box.ndim == 1:
+        return x - box * jnp.floor(x / box)
+    inv_h = jnp.linalg.inv(box)
+    return x - jnp.floor(x @ inv_h) @ box
 
 
 def pair_displacement(xi: jnp.ndarray, xj: jnp.ndarray, box: jnp.ndarray):
     """Minimum-image displacement xi - xj, any broadcastable shapes (...,3)."""
     return minimum_image(xi - xj, box)
+
+
+def max_cutoff(box) -> float:
+    """Largest cutoff the minimum-image convention supports: half the
+    smallest perpendicular width of the cell (host-side helper)."""
+    import numpy as np
+
+    h = np.asarray(cell_matrix(jnp.asarray(box)))
+    vol = abs(np.linalg.det(h))
+    widths = [
+        vol / np.linalg.norm(np.cross(h[(i + 1) % 3], h[(i + 2) % 3]))
+        for i in range(3)
+    ]
+    return 0.5 * float(min(widths))
+
+
+def triclinic_from_lengths_angles(a, b, c, alpha, beta, gamma):
+    """Reduced (3, 3) cell matrix from lengths [nm] and angles [degrees]
+    (the CRYST1 / AMBER box convention; a along x, b in the xy plane)."""
+    import numpy as np
+
+    al, be, ga = (np.radians(v) for v in (alpha, beta, gamma))
+    bx, by = b * np.cos(ga), b * np.sin(ga)
+    cx = c * np.cos(be)
+    cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
+    cz = np.sqrt(max(c * c - cx * cx - cy * cy, 0.0))
+    h = np.array([[a, 0.0, 0.0], [bx, by, 0.0], [cx, cy, cz]])
+    h[np.abs(h) < 1e-12] = 0.0
+    return h

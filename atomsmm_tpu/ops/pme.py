@@ -107,7 +107,10 @@ def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
 
     def body(Q, inp):
         xc, qc = inp
-        u = xc / box * kvec  # fractional grid coordinates
+        if box.ndim == 1:
+            u = xc / box * kvec  # fractional grid coordinates
+        else:  # triclinic: fractional via inv(H) (rows = lattice vectors)
+            u = (xc @ jnp.linalg.inv(box)) * kvec
         wx = dense_w(u[:, 0], k1, iotas[0])
         wy = dense_w(u[:, 1], k2, iotas[1])
         wz = dense_w(u[:, 2], k3, iotas[2])
@@ -147,10 +150,25 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
         m = jnp.arange(k)
         return jnp.where(m <= k // 2, m, m - k).astype(dtype)
 
-    m1 = freqs(k1)[:, None, None] / box[0]
-    m2 = freqs(k2)[None, :, None] / box[1]
-    m3 = jnp.arange(k3r).astype(dtype)[None, None, :] / box[2]
-    m2_tilde = m1 * m1 + m2 * m2 + m3 * m3
+    if box.ndim == 1:
+        m1 = freqs(k1)[:, None, None] / box[0]
+        m2 = freqs(k2)[None, :, None] / box[1]
+        m3 = jnp.arange(k3r).astype(dtype)[None, None, :] / box[2]
+        m2_tilde = m1 * m1 + m2 * m2 + m3 * m3
+    else:
+        # triclinic: |m|^2 = k^T G k with the reciprocal metric
+        # G = inv(H)^T inv(H): x = s @ H so k.s = x . (inv(H) @ k), i.e.
+        # m = inv(H) @ k and G[d,e] = sum_a invH[a,d] invH[a,e]
+        inv_h = jnp.linalg.inv(box).astype(dtype)
+        g = inv_h.T @ inv_h
+        f1 = freqs(k1)[:, None, None]
+        f2 = freqs(k2)[None, :, None]
+        f3 = jnp.arange(k3r).astype(dtype)[None, None, :]
+        m2_tilde = (
+            g[0, 0] * f1 * f1 + g[1, 1] * f2 * f2 + g[2, 2] * f3 * f3
+            + 2.0 * (g[0, 1] * f1 * f2 + g[0, 2] * f1 * f3
+                     + g[1, 2] * f2 * f3)
+        )
 
     b2 = (
         _bspline_moduli(k1, order, dtype)[:, None, None]
@@ -162,7 +180,9 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
     if k3 % 2 == 0:
         w3 = w3.at[-1].set(1.0)
     b2 = b2 * w3[None, None, :]
-    volume = box[0] * box[1] * box[2]
+    from .pbc import box_volume
+
+    volume = box_volume(box)
     pi2 = jnp.asarray(math.pi**2, dtype)
     safe_m2 = jnp.where(m2_tilde > 0, m2_tilde, 1.0)
     filt = jnp.where(
@@ -228,12 +248,14 @@ def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None, grid=None):
     openmm.NonbondedForce's heuristic: alpha = sqrt(-log(2 tol))/r_cut,
     K_d = ceil(2 alpha L_d / (3 tol^(1/5))), rounded to FFT-friendly sizes."""
     box = np.asarray(box, np.float64)
+    # triclinic (3, 3): size each grid dimension by its lattice-vector length
+    lengths = box if box.ndim == 1 else np.linalg.norm(box, axis=1)
     if alpha is None:
         alpha = math.sqrt(-math.log(2.0 * tol)) / float(r_cut)
     if grid is None:
         grid = [
             _good_fft_size(int(math.ceil(2.0 * alpha * L / (3.0 * tol ** 0.2))))
-            for L in box
+            for L in lengths
         ]
     return float(alpha), tuple(int(g) for g in grid)
 
@@ -248,13 +270,19 @@ def ewald_reference_energy(x, box, q, alpha, kmax: int = 12):
             for mz in range(-kmax, kmax + 1):
                 if (mx, my, mz) != (0, 0, 0):
                     ms.append((mx, my, mz))
-    ms = jnp.asarray(np.array(ms, np.float64), x.dtype)  # (M, 3)
-    m_tilde = ms / box[None, :]
+    ms = jnp.asarray(np.array(ms, np.float64), x.dtype)  # (M, 3) integer k
+    if box.ndim == 1:
+        m_tilde = ms / box[None, :]
+    else:
+        # m = inv(H) @ k per wavevector (x = s @ H convention)
+        m_tilde = ms @ jnp.linalg.inv(box).T
     m2 = jnp.sum(m_tilde * m_tilde, axis=1)
     phase = 2.0 * math.pi * (x @ m_tilde.T)  # (N, M)
     s_re = jnp.sum(q[:, None] * jnp.cos(phase), axis=0)
     s_im = jnp.sum(q[:, None] * jnp.sin(phase), axis=0)
     s2 = s_re**2 + s_im**2
     filt = jnp.exp(-math.pi**2 * m2 / alpha**2) / m2
-    volume = box[0] * box[1] * box[2]
+    from .pbc import box_volume
+
+    volume = box_volume(box)
     return ONE_4PI_EPS0 / (2.0 * math.pi * volume) * jnp.sum(filt * s2)

@@ -39,7 +39,8 @@ class State:
     Attributes:
       x:    (N, 3) positions [nm]
       v:    (N, 3) velocities [nm/ps]
-      box:  (3,) orthorhombic periodic box lengths [nm]
+      box:  (3,) orthorhombic box lengths, or (3, 3) reduced triclinic cell
+            matrix (rows = lattice vectors) [nm] — see ops/pbc.py
       rng:  jax.random key for stochastic propagators
       step: scalar int32 step counter
       extra: dict of named extended variables (per-DOF or global arrays);
@@ -70,7 +71,10 @@ def make_state(x, v=None, box=None, seed: int = 0, extra=None) -> State:
     else:
         v = jnp.asarray(v, dtype=x.dtype)
     if box is None:
-        raise ValueError("box is required (orthorhombic lengths, shape (3,))")
+        raise ValueError(
+            "box is required: (3,) orthorhombic lengths or a (3, 3) "
+            "triclinic cell matrix"
+        )
     box = jnp.asarray(box, dtype=x.dtype)
     return State(
         x=x,

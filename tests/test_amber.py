@@ -262,12 +262,18 @@ def test_inpcrd_roundtrip():
     assert v2 is None and box2 is None
 
 
-def test_triclinic_box_rejected():
+def test_triclinic_inpcrd_box():
+    """An angled inpcrd box parses into the reduced (3, 3) cell matrix."""
     x_a = np.zeros((2, 3))
     lines = _inpcrd_text(x_a).splitlines()
     lines.append("".join(f"{v:12.7f}" for v in [20.0, 20.0, 20.0, 90.0, 109.47, 90.0]))
-    with pytest.raises(InputError):
-        read_inpcrd("\n".join(lines) + "\n")
+    _, _, box = read_inpcrd("\n".join(lines) + "\n")
+    assert box.shape == (3, 3)
+    # volume = a b c sin(beta) for a monoclinic cell
+    np.testing.assert_allclose(
+        abs(np.linalg.det(box)), 2.0**3 * np.sin(np.radians(109.47)),
+        rtol=1e-6,
+    )
 
 
 @pytest.mark.smoke
@@ -330,7 +336,7 @@ def test_pdb_serial_wraps_past_99999():
     assert lines[0][6:11].strip() == "1"
 
 
-def test_pdb_triclinic_rejected():
+def test_pdb_triclinic_box():
     from atomsmm_tpu.io import read_pdb
 
     text = (
@@ -338,8 +344,9 @@ def test_pdb_triclinic_rejected():
         "ATOM      1  O   WAT     1       0.000   0.000   0.000  1.00  0.00           O\n"
         "END\n"
     )
-    with pytest.raises(InputError):
-        read_pdb(text)
+    pdb = read_pdb(text)
+    assert pdb.box.shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(pdb.box, axis=1), 2.0, rtol=1e-6)
 
 
 def test_water_prmtop_pme_matches_native_builder():
