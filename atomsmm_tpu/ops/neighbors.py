@@ -330,7 +330,14 @@ def make_neighbor_spec(
 
 
 def build_cell_buckets(spec: NeighborSpec, x, box):
-    """Bin atoms into (ncells, cap) id buckets (sentinel N). One argsort."""
+    """Bin atoms into (ncells, cap) id buckets (sentinel N). One sort.
+
+    When cell id and atom index pack into 31 bits, a VALUE sort of
+    ``cid << idx_bits | i`` replaces the argsort (the key-carries-payload
+    trick): XLA's variadic sort-with-index is measurably slower than a plain
+    int32 sort, and this runs once per outer step on the axon backend (the
+    rebuild conditional executes eagerly — see update_neighbors).
+    """
     n = x.shape[0]
     grid = jnp.asarray(spec.grid, jnp.int32)
     ncells = spec.ncells
@@ -341,8 +348,15 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
     c3 = jnp.clip((xw / w).astype(jnp.int32), 0, grid - 1)
     cid = (c3[:, 0] * spec.grid[1] + c3[:, 1]) * spec.grid[2] + c3[:, 2]
 
-    order = jnp.argsort(cid).astype(jnp.int32)
-    sorted_cid = cid[order]
+    idx_bits = max(n - 1, 1).bit_length()
+    if (ncells << idx_bits) < 2**31:
+        packed = jnp.sort((cid << idx_bits)
+                          | jnp.arange(n, dtype=jnp.int32))
+        order = packed & ((1 << idx_bits) - 1)
+        sorted_cid = packed >> idx_bits
+    else:  # > ~2B combined keys: fall back to argsort
+        order = jnp.argsort(cid).astype(jnp.int32)
+        sorted_cid = cid[order]
     iarr = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]]

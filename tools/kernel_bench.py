@@ -202,7 +202,24 @@ def main():
 
     ms = timeit(fupd, x)
     results["nbr_update_ms"] = round(ms, 3)
-    log(f"nbr maybe-update: {ms:.3f} ms")
+    log(f"nbr maybe-update (keep path): {ms:.3f} ms")
+
+    # forced-rebuild path: xref displaced beyond skin/2 -> predicate True.
+    # keep == rebuild timing means the backend executes the lax.cond
+    # branches eagerly (no win from the conditional).
+    extras_moved = dict(extras0)
+    for k in extras_moved:
+        if k.endswith("xref"):
+            extras_moved[k] = extras_moved[k] + 0.2
+
+    def fupd2(xx):
+        out = update_all_neighbors(respa, extras_moved, xx, box)
+        key = next(k for k in out if k.endswith("xref"))
+        return out[key]
+
+    ms = timeit(fupd2, x)
+    results["nbr_rebuild_ms"] = round(ms, 3)
+    log(f"nbr forced rebuild: {ms:.3f} ms")
 
     print(json.dumps({"method": method, "far_ms": results}))
 
