@@ -67,9 +67,20 @@ class StateSnapshot:
 
 class Context:
     def __init__(self, system, integrator, state: Optional[State] = None,
-                 seed: int = 0):
+                 seed: int = 0, neighbor_update_every: int = 1):
+        """neighbor_update_every: run the neighbor maybe-update every K-th
+        outer step instead of every step. On the axon TPU backend the
+        rebuild lax.cond executes BOTH branches eagerly (measured: keep path
+        1.7 ms == forced rebuild at 30k — KERNELS.md), so the per-step
+        update costs a full re-bin regardless; K=2 halves that. Safety: a
+        pair can only be missed if it approaches by more than the full skin
+        (r_build - r_cut, where the potential is switched to zero) between
+        updates — a sticky staleness flag checks the full-skin bound and
+        step() raises on violation. Forced to 1 when a barostat is present
+        (volume moves invalidate buckets at accept time)."""
         self.system = system
         self.integrator = integrator
+        self.neighbor_update_every = max(int(neighbor_update_every), 1)
         self.parameters: Dict[str, jnp.ndarray] = {}
         if state is None:
             x = jnp.zeros((system.num_particles, 3))
@@ -99,6 +110,17 @@ class Context:
                     system, state.x, state.box
                 )
             state = state.with_extra(**extras)
+            if self.neighbor_update_every > 1:
+                # seed the sticky staleness flags so the run() input pytree
+                # structure is stable from the first call
+                from .ops.neighbors import iter_specs
+
+                seeds = {}
+                for name, _ in iter_specs(system):
+                    key = ("nbr_stale" if name == "default"
+                           else f"nbr_{name}_stale")
+                    seeds[key] = jnp.zeros((), bool)
+                state = state.with_extra(**seeds)
         self.state = integrator.initialize(system, state)
         # openmm semantics: a MonteCarloBarostat force in the system drives
         # MC volume moves after each step (integrate/barostat.py)
@@ -130,6 +152,7 @@ class Context:
     def _make_run(self):
         step_fn = self._step_fn
         barostat = self._barostat
+        k_update = 1 if barostat is not None else self.neighbor_update_every
 
         def maybe_update_neighbors(system, s):
             if system.neighbors is None:
@@ -140,22 +163,49 @@ class Context:
                 **update_all_neighbors(system, s.extra, s.x, s.box)
             )
 
+        def one_step(system, s, globals):
+            s = step_fn(system, s, globals)
+            if barostat is not None:
+                from .integrate.propagators import StepContext
+
+                ctx = StepContext(system, globals, 0.0)
+                s = barostat.apply(ctx, s, 1.0)
+            return s
+
         def run(system, state, globals, n):
             # `system` is an argument (not a closed-over constant) so its
             # parameter arrays live as runtime buffers, not baked constants.
             state = maybe_update_neighbors(system, state)
             state = refresh_force_caches(system, state, globals)
 
-            def body(i, s):
-                s = step_fn(system, s, globals)
-                if barostat is not None:
-                    from .integrate.propagators import StepContext
+            if k_update == 1 or system.neighbors is None:
+                def body(i, s):
+                    return maybe_update_neighbors(
+                        system, one_step(system, s, globals)
+                    )
 
-                    ctx = StepContext(system, globals, 0.0)
-                    s = barostat.apply(ctx, s, 1.0)
+                return jax.lax.fori_loop(0, n, body, state)
+
+            # K-grouped updates (see __init__): K steps, then one update;
+            # remainder steps run singly with a final update + staleness
+            # check on exit
+            from .ops.neighbors import staleness_flags
+
+            def body_k(i, s):
+                for _ in range(k_update):
+                    s = one_step(system, s, globals)
+                s = s.with_extra(**staleness_flags(system, s.extra, s.x, s.box))
                 return maybe_update_neighbors(system, s)
 
-            return jax.lax.fori_loop(0, n, body, state)
+            state = jax.lax.fori_loop(0, n // k_update, body_k, state)
+
+            def body_1(i, s):
+                return maybe_update_neighbors(
+                    system, one_step(system, s, globals)
+                )
+
+            return jax.lax.fori_loop(0, n - (n // k_update) * k_update,
+                                     body_1, state)
 
         return run
 
@@ -237,6 +287,12 @@ class Context:
                         "would be silently dropped. Rebuild the NeighborSpec at "
                         "the current box, or pass a larger min_skin to "
                         "make_neighbor_spec for NPT runs"
+                    )
+                if key.startswith("nbr") and key.endswith("stale") and bool(flag):
+                    raise RuntimeError(
+                        f"neighbor staleness ({key}): an atom moved beyond the "
+                        "full skin between grouped neighbor updates — reduce "
+                        "Context(neighbor_update_every=...) or enlarge the skin"
                     )
         return self
 

@@ -418,15 +418,34 @@ def make_aux(system, extra):
     return aux or None
 
 
-def moved_beyond_half_skin(skin, xref, boxref, x, box):
+def moved_beyond_half_skin(skin, xref, boxref, x, box, fraction=0.5):
     """The single rebuild predicate shared by every neighbor backend: some
-    atom moved more than skin/2 since the reference build, or the box
-    changed."""
+    atom moved more than `fraction`*skin since the reference build, or the
+    box changed. fraction=1.0 is the staleness GUARD threshold (beyond a
+    full skin even a stationary partner can be missed)."""
     disp = minimum_image(x - xref, box)
     moved = jnp.max(jnp.sum(disp * disp, axis=-1)) > (
-        0.5 * skin.astype(x.dtype)
+        fraction * skin.astype(x.dtype)
     ) ** 2
     return moved | jnp.any(box != boxref)
+
+
+def staleness_flags(system, extra, x, box):
+    """Sticky per-spec flags: some atom moved beyond a FULL skin since the
+    reference build — force evaluations in between may have silently missed
+    pairs. Checked by Context.step when neighbor updates run every K > 1
+    outer steps."""
+    out = {}
+    for name, spec in iter_specs(system):
+        _, kx, kbox, _ = _keys(name)
+        if kx not in extra:
+            continue
+        key = ("nbr_stale" if name == "default" else f"nbr_{name}_stale")
+        prev = extra.get(key, jnp.zeros((), bool))
+        out[key] = prev | moved_beyond_half_skin(
+            spec.skin, extra[kx], extra[kbox], x, box, fraction=1.0
+        )
+    return out
 
 
 def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):

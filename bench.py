@@ -142,7 +142,11 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
         respa = retune_neighbor_specs(respa, ex, ebox)
-        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
+        # grouped neighbor updates: the axon backend executes the rebuild
+        # cond eagerly, so K=2 halves a ~1.7 ms/step cost (KERNELS.md);
+        # safe at a 4 fs outer step (full-skin staleness guard active)
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox),
+                      neighbor_update_every=2)
     else:
         ctx = Context(respa, integ, make_state(x, box=box))
         ctx.set_velocities_to_temperature(300.0, seed=7)

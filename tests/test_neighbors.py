@@ -170,3 +170,40 @@ def test_coverage_loss_detection():
     assert bool(coverage_deficient(spec, small))
     out = update_neighbors(spec, extra, x * factor, small)
     assert bool(out["nbr_undercover"])
+
+
+def test_grouped_neighbor_updates_match_per_step():
+    """Context(neighbor_update_every=2): same physics as per-step updates —
+    trajectories agree to integration precision over a short run, and the
+    staleness guard stays quiet at normal temperatures."""
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.models import argon_system
+
+    system, x, box = argon_system(n=216, jitter=0.1, seed=3, neighbors=True)
+    integ = VelocityVerletIntegrator(0.002)
+    c1 = Context(system, integ, make_state(x, box=box))
+    c1.set_velocities_to_temperature(120.0, seed=5)
+    v0 = c1.state.v
+    c2 = Context(system, integ, make_state(x, v=v0, box=box),
+                 neighbor_update_every=2)
+    c1.step(31)
+    c2.step(31)
+    np.testing.assert_allclose(np.asarray(c2.state.x), np.asarray(c1.state.x),
+                               atol=1e-10)
+
+
+def test_staleness_guard_raises():
+    """An atom crossing the full skin between grouped updates must raise,
+    not silently drop pairs."""
+    import pytest
+
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.models import argon_system
+
+    system, x, box = argon_system(n=216, jitter=0.05, seed=3, neighbors=True)
+    ctx = Context(system, VelocityVerletIntegrator(0.002),
+                  make_state(x, box=box), neighbor_update_every=8)
+    # absurd velocities: ~0.2 nm per step >> skin
+    ctx.set_velocities(jnp.full_like(ctx.state.v, 100.0))
+    with pytest.raises(RuntimeError, match="staleness"):
+        ctx.step(8)
