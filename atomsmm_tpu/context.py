@@ -269,17 +269,49 @@ class Context:
         return self.parameters[name]
 
     def step(self, n: int):
-        """Advance n outer steps entirely on device."""
-        self.state = self._run(
-            self.system, self.state, self.parameters, jnp.int32(n)
-        )
+        """Advance n outer steps entirely on device.
+
+        Capacity overflow auto-recovers: the pre-chunk state is restored,
+        capacities retune to the current configuration (static shapes grow,
+        one recompile), and the chunk re-runs — so caps can be sized tightly
+        (retune_spec) without risking silently-dropped pairs or a hard stop.
+        Coverage loss (NPT shrink) and staleness violations still raise.
+        """
+        for _attempt in range(3):
+            backup = None
+            if self.check_overflow:
+                backup = jax.tree.map(
+                    lambda a: jnp.array(a, copy=True), self.state
+                )
+            self.state = self._run(
+                self.system, self.state, self.parameters, jnp.int32(n)
+            )
+            if not self.check_overflow:
+                return self
+            overflowed = [
+                key for key, flag in self.state.extra.items()
+                if key.startswith("nbr") and key.endswith("overflow")
+                and bool(flag)
+            ]
+            if not overflowed:
+                break
+            if _attempt == 2:
+                raise RuntimeError(
+                    f"cell-list capacity overflow persists after retuning "
+                    f"({overflowed}): increase cell_capacity or "
+                    "density_safety in the NeighborSpec"
+                )
+            import warnings
+
+            warnings.warn(
+                f"cell-list overflow ({overflowed}): restoring pre-chunk "
+                "state, retuning capacities and re-running (one recompile)",
+                stacklevel=2,
+            )
+            self.state = backup
+            self.retune_neighbors(safety=1.12)
         if self.check_overflow:
             for key, flag in self.state.extra.items():
-                if key.startswith("nbr") and key.endswith("overflow") and bool(flag):
-                    raise RuntimeError(
-                        f"cell-list capacity overflow ({key}): increase "
-                        "cell_capacity (or density_safety) in the NeighborSpec"
-                    )
                 if key.startswith("nbr") and key.endswith("undercover") and bool(flag):
                     raise RuntimeError(
                         f"cell-list coverage loss ({key}): the box shrank until "

@@ -191,7 +191,11 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "Neighbor
     import dataclasses
 
     occ = _max_cell_occupancy(x, box, spec.grid)
-    cap = ((int(math.ceil(occ * safety)) + 2 + 7) // 8) * 8
+    # round to 4, +1 absolute margin: pair work scales with cap^2, so coarse
+    # rounding is expensive — a 12^3 near grid quantized 32 -> 40 costs 56%
+    # more slots. Tight safety is safe because Context.step auto-recovers
+    # from capacity overflow (restore + retune + re-run).
+    cap = ((int(math.ceil(occ * safety)) + 1 + 3) // 4) * 4
     s = spec.nbr_cells.shape[1]
     per_cell = cap * s * cap * 4
     chunk = max(1, min(spec.ncells, (48 << 20) // max(per_cell, 1)))

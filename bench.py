@@ -141,7 +141,9 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         # second multi-minute tunnel compile)
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
-        respa = retune_neighbor_specs(respa, ex, ebox)
+        # tight caps (safety 1.03, round-4): pair work ~ cap^2 and
+        # Context.step auto-recovers from overflow (restore+retune+rerun)
+        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
         # grouped neighbor updates: the axon backend executes the rebuild
         # cond eagerly, so K=2 halves a ~1.7 ms/step cost (KERNELS.md);
         # safe at a 4 fs outer step (full-skin staleness guard active)
