@@ -435,10 +435,17 @@ def moved_beyond_half_skin(skin, xref, boxref, x, box, fraction=0.5):
 
 
 def staleness_flags(system, extra, x, box):
-    """Sticky per-spec flags: some atom moved beyond a FULL skin since the
-    reference build — force evaluations in between may have silently missed
-    pairs. Checked by Context.step when neighbor updates run every K > 1
-    outer steps."""
+    """Sticky per-spec flags: pairs may have been silently missed since the
+    reference build. Checked by Context.step when neighbor updates run every
+    K > 1 outer steps.
+
+    Bound: a pair (i, j) absent from the list at build time can have closed
+    by at most d_i + d_j, so no pair can have entered the cutoff while
+    max1 + max2 <= skin, where max1 >= max2 are the two largest per-atom
+    displacements (distinct atoms). This is rigorous and strictly tighter
+    than the single-atom 2*max1 > skin criterion — one fast atom (a
+    librating water hydrogen in the Maxwell tail) no longer trips the guard
+    by itself unless it covers the whole skin alone."""
     out = {}
     for name, spec in iter_specs(system):
         _, kx, kbox, _ = _keys(name)
@@ -446,9 +453,14 @@ def staleness_flags(system, extra, x, box):
             continue
         key = ("nbr_stale" if name == "default" else f"nbr_{name}_stale")
         prev = extra.get(key, jnp.zeros((), bool))
-        out[key] = prev | moved_beyond_half_skin(
-            spec.skin, extra[kx], extra[kbox], x, box, fraction=1.0
+        disp = minimum_image(x - extra[kx], box)
+        d2 = jnp.sum(disp * disp, axis=-1)
+        top2 = jax.lax.top_k(d2, 2)[0]
+        pair_close = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1])
+        stale = (pair_close > spec.skin.astype(x.dtype)) | jnp.any(
+            box != extra[kbox]
         )
+        out[key] = prev | stale
     return out
 
 

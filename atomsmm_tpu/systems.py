@@ -149,10 +149,19 @@ def RESPASystem(
                 block_size=system.neighbors.block_size,
             )
         else:
+            # min_skin 0.09: the finest grid whose cells still leave ~0.1 nm
+            # of skin. A hairline skin (e.g. 0.058 at a 12^3 grid for
+            # rcut_in 0.5 in a 6.7 nm box) triggers rebuilds every couple of
+            # steps and makes grouped neighbor updates (Context
+            # neighbor_update_every > 1) unsafe, while one grid step coarser
+            # has the SAME slot count at measured caps (12^3 cap 32 vs 11^3
+            # cap 36; slots ∝ ncells·cap²) — so the roomier skin is free
+            # (KERNELS.md r3).
             near_spec = make_neighbor_spec(
                 np.asarray(system.default_box),
                 system.num_particles,
                 float(rcut_in),
+                min_skin=0.09,
                 exclusions=np.asarray(nb.exclusions),
                 backend=system.neighbors.backend,
             )

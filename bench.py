@@ -144,11 +144,16 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         # tight caps (safety 1.03, round-4): pair work ~ cap^2 and
         # Context.step auto-recovers from overflow (restore+retune+rerun)
         respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
-        # grouped neighbor updates: the axon backend executes the rebuild
-        # cond eagerly, so K=2 halves a ~1.7 ms/step cost (KERNELS.md);
-        # safe at a 4 fs outer step (full-skin staleness guard active)
+        # per-step neighbor updates (K=1): the maybe-update cond's keep path
+        # measures ~0.05 ms/step when the extras flow through the loop carry
+        # as runtime buffers (tools/nbr_update_bench.py) — the earlier
+        # "eager cond costs 1.7 ms/step" reading came from a probe that
+        # closed over the extras as baked constants. Grouped updates (K>1)
+        # buy nothing and risk the staleness guard at the far grid's
+        # geometry-limited 0.056 nm skin.
+        k_upd = int(os.environ.get("BENCH_K", "1"))
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox),
-                      neighbor_update_every=2)
+                      neighbor_update_every=k_upd)
     else:
         ctx = Context(respa, integ, make_state(x, box=box))
         ctx.set_velocities_to_temperature(300.0, seed=7)
@@ -188,7 +193,12 @@ def bench_argon_nve(n=4096, steps=400, extras=None):
     ctx = Context(system, VelocityVerletIntegrator(dt=0.002),
                   make_state(x, box=box))
     ctx.set_velocities_to_temperature(120.0, seed=3)
-    ctx.step(100)
+    # lattice melt releases PE; rescale between chunks so the NVE fluid
+    # lands near the 120 K setpoint instead of ~210 K
+    for _ in range(4):
+        ctx.step(50)
+        t_now = float(ctx.temperature())
+        ctx.set_velocities((120.0 / t_now) ** 0.5 * ctx.state.v)
     ctx.retune_neighbors()
     ctx.step(1)
     sync(ctx)

@@ -205,8 +205,12 @@ def main():
     log(f"nbr maybe-update (keep path): {ms:.3f} ms")
 
     # forced-rebuild path: xref displaced beyond skin/2 -> predicate True.
-    # keep == rebuild timing means the backend executes the lax.cond
-    # branches eagerly (no win from the conditional).
+    # CAVEAT (see KERNELS.md): these two probes close over `extras0` as a
+    # baked constant, so each loop iteration re-materializes the constant
+    # buckets and keep ≈ rebuild here measures that copy, NOT an eager
+    # cond. tools/nbr_update_bench.py carries the extras as loop state
+    # (the Context.run structure) and measures the true keep path at
+    # ~0.05 ms.
     extras_moved = dict(extras0)
     for k in extras_moved:
         if k.endswith("xref"):
