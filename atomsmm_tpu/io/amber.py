@@ -481,10 +481,11 @@ def amber_system(
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
-        alpha, grid = choose_pme_parameters(
+        alpha, grid, order = choose_pme_parameters(
             r_cut, box, alpha=pme_alpha, grid=pme_grid
         )
-        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid))
+        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid),
+                         spline_order=order)
     if dispersion_correction:
         from ..forces import compute_dispersion_coefficient
 

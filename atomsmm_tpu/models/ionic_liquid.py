@@ -193,8 +193,10 @@ def ionic_liquid_system(
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
-        alpha, grid_shape = choose_pme_parameters(r_cut, np.full(3, box_l))
-        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid_shape))
+        alpha, grid_shape, order = choose_pme_parameters(
+            r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha),
+                         grid_shape=tuple(grid_shape), spline_order=order)
 
     forces = [NonbondedForce(**nb_kwargs)]
     b = np.array([(i, j) for i, j, *_ in bonds], np.int32)

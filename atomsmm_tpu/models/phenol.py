@@ -214,8 +214,9 @@ def phenol_in_water(
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
-        alpha, grid = choose_pme_parameters(r_cut, np.full(3, box_l))
-        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid))
+        alpha, grid, order = choose_pme_parameters(r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid),
+                         spline_order=order)
 
     b = np.array([(i, j) for i, j, *_ in bonds], np.int32)
     bond_idx = np.concatenate([b, n_s + np.concatenate([

@@ -134,11 +134,12 @@ def water_system(
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
-        alpha, grid = choose_pme_parameters(
+        alpha, grid, order = choose_pme_parameters(
             r_cut, np.array([box_l] * 3), alpha=pme_alpha, grid=pme_grid
         )
         nb_kwargs.update(
-            ewald_alpha=float(alpha), grid_shape=tuple(grid)
+            ewald_alpha=float(alpha), grid_shape=tuple(grid),
+            spline_order=order,
         )
     if dispersion_correction:
         from ..forces import compute_dispersion_coefficient
@@ -282,8 +283,10 @@ def rigid_water_system(
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
-        alpha, grid_shape = choose_pme_parameters(r_cut, np.full(3, box_l))
-        nb_kwargs.update(ewald_alpha=float(alpha), grid_shape=tuple(grid_shape))
+        alpha, grid_shape, order = choose_pme_parameters(
+            r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha),
+                         grid_shape=tuple(grid_shape), spline_order=order)
 
     d_hh = 2.0 * r * np.sin(t / 2.0)
     pairs = np.concatenate(

@@ -31,11 +31,21 @@ from ..units import ONE_4PI_EPS0
 from .pbc import minimum_image
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
 def bspline_weights(t, order: int):
     """Cardinal B-spline values M_order(t + j) for j = 0..order-1, t in [0,1).
 
     Uses the stable recurrence M_n(u) = [u M_{n-1}(u) + (n-u) M_{n-1}(u-1)]
     / (n-1). Returns shape t.shape + (order,). Weights sum to 1.
+
+    The derivative is supplied analytically (custom_jvp below): autodiff
+    through the max/abs kinks of the M_2 seed picks wrong subgradients when
+    t == 0 EXACTLY (an atom sitting precisely on a grid plane), producing
+    weight derivatives that sum to -1 instead of 0 and O(100 kJ/mol/nm)
+    force errors on that atom. Positions quantized by io round-trips or f32
+    storage DO land exactly on grid planes in practice — a frozen-state
+    hydrogen at x = 0.8 L broke every grid with 5 | K this way while
+    leaving {2,3}-smooth grids untouched (tools/pme_order_study.py).
     """
     # M_2(u) on u = t + j: nonzero for u in (0, 2)
     u = t[..., None] + jnp.arange(order, dtype=t.dtype)
@@ -46,6 +56,22 @@ def bspline_weights(t, order: int):
         )  # M_{n-1}(u - 1)
         m = (u * m + (n - u) * m_shift) / (n - 1)
     return m
+
+
+@bspline_weights.defjvp
+def _bspline_weights_jvp(order, primals, tangents):
+    """Exact derivative via d/du M_n(u) = M_{n-1}(u) - M_{n-1}(u - 1):
+    with u = t + j, dw_j/dt = M_{order-1}(t + j) - M_{order-1}(t + j - 1).
+    Branch-free and correct at t = 0 exactly (where the recurrence's
+    autodiff is not); rows sum to 0 as a telescoping sum."""
+    (t,), (dt,) = primals, tangents
+    w = bspline_weights(t, order)
+    wl = bspline_weights(t, order - 1)  # M_{order-1}(t + j), j = 0..order-2
+    zero = jnp.zeros_like(wl[..., :1])
+    upper = jnp.concatenate([wl, zero], axis=-1)  # M_{o-1}(t + j)
+    lower = jnp.concatenate([zero, wl], axis=-1)  # M_{o-1}(t + j - 1)
+    dw = upper - lower
+    return w, dw * dt[..., None]
 
 
 def _bspline_moduli(k: int, order: int, dtype):
@@ -65,9 +91,14 @@ def _bspline_moduli(k: int, order: int, dtype):
     for j in range(order - 1):
         denom += mvals[j] * np.exp(2j * np.pi * m * j / k)
     b2 = 1.0 / np.maximum(np.abs(denom) ** 2, 1e-14)
-    # even-order splines are singular at m = K/2; those modes are zeroed in
-    # the energy filter (their Gaussian weight is negligible anyway)
-    if order % 2 == 0 and k % 2 == 0:
+    # At the Nyquist mode m = K/2 the denominator is the alternating sum
+    # sum_j M_order(j+1) (-1)^j, which cancels EXACTLY for odd orders (the
+    # symmetric pairs (j, order-2-j) carry opposite signs) — order 5 on an
+    # even grid returned inf before this was zeroed. Even orders are finite
+    # there but the mode's Gaussian weight is ~e^-30; zeroing it
+    # unconditionally on even grids is uniformly safe and parity-proof
+    # (tools/pme_order_study.py).
+    if k % 2 == 0:
         b2[k // 2] = 0.0
     return jnp.asarray(b2, dtype)
 
@@ -243,21 +274,40 @@ def _good_fft_size(n: int) -> int:
         n += 1
 
 
-def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None, grid=None):
-    """(alpha, (K1, K2, K3)) from cutoff + error tolerance, matching
-    openmm.NonbondedForce's heuristic: alpha = sqrt(-log(2 tol))/r_cut,
-    K_d = ceil(2 alpha L_d / (3 tol^(1/5))), rounded to FFT-friendly sizes."""
+def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None,
+                          grid=None, order: int = 6):
+    """(alpha, (K1, K2, K3), order) from cutoff + error tolerance.
+
+    alpha matches openmm.NonbondedForce's heuristic
+    (sqrt(-log(2 tol))/r_cut). The grid uses the order-4 openmm rule
+    K_d = ceil(2 alpha L_d / (3 tol^(1/5))) scaled by a per-order factor:
+    in the MXU one-hot spreading formulation the per-atom cost is
+    INDEPENDENT of the spline order (the dense (C, K_d) weight matrices
+    have the same shape whatever the support width), so a higher order on
+    a coarser grid is pure savings — wyz HBM traffic scales with K² and
+    the FFT with K³. Measured on the 30k water state vs an f64
+    order-8/96³ oracle (tools/pme_order_study.py): order 6 at 0.75×K is
+    strictly MORE accurate than order 4 at K (force RMS 8.1e-4 vs 2.9e-3,
+    energy 4.7e-4 vs 1.2e-3) at ~2× less reciprocal work. Pass order=4
+    for openmm-identical parameters."""
     box = np.asarray(box, np.float64)
     # triclinic (3, 3): size each grid dimension by its lattice-vector length
     lengths = box if box.ndim == 1 else np.linalg.norm(box, axis=1)
     if alpha is None:
         alpha = math.sqrt(-math.log(2.0 * tol)) / float(r_cut)
     if grid is None:
+        # measured accuracy-preserving spacing factors relative to the
+        # order-4 rule (pme_order_study.py; conservative interpolation)
+        factor = {4: 1.0, 5: 0.85, 6: 0.75, 7: 0.70, 8: 0.65}.get(
+            order, 1.0 if order < 4 else 0.65
+        )
         grid = [
-            _good_fft_size(int(math.ceil(2.0 * alpha * L / (3.0 * tol ** 0.2))))
+            _good_fft_size(
+                int(math.ceil(factor * 2.0 * alpha * L / (3.0 * tol ** 0.2)))
+            )
             for L in lengths
         ]
-    return float(alpha), tuple(int(g) for g in grid)
+    return float(alpha), tuple(int(g) for g in grid), int(order)
 
 
 def ewald_reference_energy(x, box, q, alpha, kmax: int = 12):

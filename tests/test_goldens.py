@@ -41,11 +41,13 @@ GOLDENS = {
         "TemplateBondedForce": 0.0,
         "Total": -1315.3108467264292,
     },
-    # same box with PME + dispersion tail
+    # same box with PME + dispersion tail (regenerated at r3 when the PME
+    # default moved to order-6 splines on a 0.75x grid — a validated
+    # discretization change, tools/pme_order_study.py)
     "water_216_pme": {
-        "NonbondedForce": -894.252259554163,
+        "NonbondedForce": -893.6658585272933,
         "TemplateBondedForce": 0.0,
-        "Total": -894.252259554163,
+        "Total": -893.6658585272933,
     },
     # phenol_in_water(n_water=200, seed=5)
     "phenol_200w": {
@@ -58,13 +60,14 @@ GOLDENS = {
     },
     # ionic_liquid_system(n_pairs=24, r_cut=0.65, r_switch=0.55, method='pme',
     # seed=0), positions from tests/data/emim_bf4_24_minimized.npz
+    # (PME terms regenerated at r3 with the order-6 discretization)
     "emim_bf4_24": {
-        "NonbondedForce": -10869.665073022054,
+        "NonbondedForce": -10868.66516559261,
         "HarmonicBondForce": 3.5096198630818076,
         "HarmonicAngleForce": 27.410576944825213,
         "PeriodicTorsionForce": 24.586278106899822,
         "NonbondedExceptionsForce": 495.4742154740364,
-        "Total": -10318.684382633211,
+        "Total": -10317.684475203769,
     },
 }
 

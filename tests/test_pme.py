@@ -39,6 +39,64 @@ def test_bspline_weights_sum_to_one():
         assert float(w.min()) >= 0.0
 
 
+def test_bspline_derivative_exact_on_grid_plane():
+    """Regression: an atom sitting EXACTLY on a grid plane (t = 0) used to
+    get a catastrophically wrong PME force — autodiff through the M_2
+    recurrence's max/abs kinks picked subgradients whose row sum was -1
+    instead of 0.  The custom_jvp analytic derivative
+    d/du M_n(u) = M_{n-1}(u) - M_{n-1}(u-1) is branch-free and exact there.
+    Found via a frozen-state hydrogen at x = 0.8 L that broke every grid
+    with 5 | K (tools/pme_order_study.py)."""
+    for order in (4, 5, 6, 8):
+        for t0 in (0.0, 0.25, 0.5):
+            d = jax.grad(lambda t: bspline_weights(t, order).sum())(
+                jnp.float64(t0))
+            np.testing.assert_allclose(float(d), 0.0, atol=1e-12)
+            # FD cross-check of each weight's derivative
+            g = jax.jacfwd(lambda t: bspline_weights(t, order))(
+                jnp.float64(t0))
+            h = 1e-6
+            fd = (bspline_weights(jnp.float64(t0 + h), order)
+                  - bspline_weights(jnp.float64(t0 - h), order)) / (2 * h)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(fd),
+                                       atol=5e-6)
+
+
+def test_pme_force_exact_for_atom_on_grid_node():
+    """The end-to-end version of the regression above: place one charge at a
+    coordinate that is an exact multiple of the grid spacing (K divisible by
+    5, x = 0.8 L) and check grad(E) against central finite differences."""
+    x, q, box = random_neutral_system(n=16, seed=3)
+    x = x.at[0].set(jnp.asarray([0.8 * box[0], 0.5 * box[1], 0.0]))
+    alpha = 3.0
+
+    def e(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, (20, 20, 20), order=6)
+
+    f = -jax.grad(e)(x)
+    h = 1e-5
+    for dim in range(3):
+        xp = x.at[0, dim].add(h)
+        xm = x.at[0, dim].add(-h)
+        fd = -(e(xp) - e(xm)) / (2 * h)
+        np.testing.assert_allclose(float(f[0, dim]), float(fd),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_choose_pme_parameters_orders():
+    """Order-aware grid rule: higher order → coarser grid, openmm-identical
+    at order 4; odd-order Nyquist moduli are finite after zeroing."""
+    a4, g4, o4 = choose_pme_parameters(0.9, np.array([3.0, 3.0, 3.0]),
+                                       order=4)
+    a6, g6, o6 = choose_pme_parameters(0.9, np.array([3.0, 3.0, 3.0]))
+    assert o4 == 4 and o6 == 6 and a4 == a6
+    assert all(k6 <= k4 for k6, k4 in zip(g6, g4))
+    # order 5 on an even grid exercises the odd-order Nyquist singularity
+    x, q, box = random_neutral_system(n=8, seed=1)
+    e = pme_reciprocal_energy(x, box, q, 2.5, (12, 12, 12), order=5)
+    assert np.isfinite(float(e))
+
+
 def test_reciprocal_matches_plane_wave_ewald():
     x, q, box = random_neutral_system(n=32)
     alpha = 3.0
