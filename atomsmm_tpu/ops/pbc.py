@@ -36,6 +36,7 @@ produces identical minimum images:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -64,23 +65,31 @@ def minimum_image(dx: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     Orthorhombic: multiplies by the (3,)-vector reciprocal instead of
     dividing elementwise — the reciprocal is hoisted out of the pair tile,
     the per-slot op is a mul. Triclinic: round in fractional coordinates
-    (inv(H) is loop-invariant; XLA hoists it).
+    (inv(H) is loop-invariant; XLA hoists it). The (..., 3) x (3, 3)
+    matmuls pin Precision.HIGHEST: TPU default precision rounds matmul
+    INPUTS to bf16 (8-bit mantissa, rel ~4e-3) — displacements through a
+    bf16 matmul would corrupt every triclinic pair force; these contractions
+    are tiny, so full precision costs nothing.
     """
     box = jnp.asarray(box)
     if box.ndim == 1:
         return dx - box * jnp.round(dx * (1.0 / box))
     inv_h = jnp.linalg.inv(box)
-    s = dx @ inv_h
-    return dx - jnp.round(s) @ box
+    s = jnp.matmul(dx, inv_h, precision=jax.lax.Precision.HIGHEST)
+    return dx - jnp.matmul(jnp.round(s), box,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 def wrap_positions(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
-    """Wrap positions into the primary cell."""
+    """Wrap positions into the primary cell (full-precision matmuls on the
+    triclinic path — see minimum_image)."""
     box = jnp.asarray(box)
     if box.ndim == 1:
         return x - box * jnp.floor(x / box)
     inv_h = jnp.linalg.inv(box)
-    return x - jnp.floor(x @ inv_h) @ box
+    s = jnp.matmul(x, inv_h, precision=jax.lax.Precision.HIGHEST)
+    return x - jnp.matmul(jnp.floor(s), box,
+                          precision=jax.lax.Precision.HIGHEST)
 
 
 def pair_displacement(xi: jnp.ndarray, xj: jnp.ndarray, box: jnp.ndarray):

@@ -140,14 +140,25 @@ def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
         xc, qc = inp
         if box.ndim == 1:
             u = xc / box * kvec  # fractional grid coordinates
-        else:  # triclinic: fractional via inv(H) (rows = lattice vectors)
-            u = (xc @ jnp.linalg.inv(box)) * kvec
+        else:  # triclinic: fractional via inv(H) (rows = lattice vectors);
+            # full precision — TPU default rounds matmul inputs to bf16,
+            # which would quantize POSITIONS to 8-bit mantissa
+            u = jnp.matmul(xc, jnp.linalg.inv(box),
+                           precision=jax.lax.Precision.HIGHEST) * kvec
         wx = dense_w(u[:, 0], k1, iotas[0])
         wy = dense_w(u[:, 1], k2, iotas[1])
         wz = dense_w(u[:, 2], k3, iotas[2])
         wyz = (wy[:, :, None] * wz[:, None, :]).reshape(chunk, k2 * k3)
+        # Precision.HIGH (bf16x3): preferred_element_type alone only sets
+        # the ACCUMULATOR dtype — at TPU default precision the INPUTS are
+        # still rounded to bf16 (rel ~4e-3), which put a broad ~1e-3
+        # relative error on every reciprocal force (tpu_gate.py caught it:
+        # max|dF| 7.2 kJ/mol/nm vs the 0.13 f32 floor). HIGH recovers the
+        # floor exactly (measured 0.123 vs HIGHEST's 0.131) at +0.35
+        # ms/step on the 30k PME headline, where HIGHEST costs +2.8.
         contrib = jnp.dot(
-            wx.T, qc[:, None] * wyz, preferred_element_type=dtype
+            wx.T, qc[:, None] * wyz, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGH,
         )  # (K1, K2*K3)
         return Q + contrib, None
 
@@ -191,7 +202,8 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
         # G = inv(H)^T inv(H): x = s @ H so k.s = x . (inv(H) @ k), i.e.
         # m = inv(H) @ k and G[d,e] = sum_a invH[a,d] invH[a,e]
         inv_h = jnp.linalg.inv(box).astype(dtype)
-        g = inv_h.T @ inv_h
+        g = jnp.matmul(inv_h.T, inv_h,
+                       precision=jax.lax.Precision.HIGHEST)
         f1 = freqs(k1)[:, None, None]
         f2 = freqs(k2)[None, :, None]
         f3 = jnp.arange(k3r).astype(dtype)[None, None, :]
@@ -325,9 +337,11 @@ def ewald_reference_energy(x, box, q, alpha, kmax: int = 12):
         m_tilde = ms / box[None, :]
     else:
         # m = inv(H) @ k per wavevector (x = s @ H convention)
-        m_tilde = ms @ jnp.linalg.inv(box).T
+        m_tilde = jnp.matmul(ms, jnp.linalg.inv(box).T,
+                             precision=jax.lax.Precision.HIGHEST)
     m2 = jnp.sum(m_tilde * m_tilde, axis=1)
-    phase = 2.0 * math.pi * (x @ m_tilde.T)  # (N, M)
+    phase = 2.0 * math.pi * jnp.matmul(
+        x, m_tilde.T, precision=jax.lax.Precision.HIGHEST)  # (N, M)
     s_re = jnp.sum(q[:, None] * jnp.cos(phase), axis=0)
     s_im = jnp.sum(q[:, None] * jnp.sin(phase), axis=0)
     s2 = s_re**2 + s_im**2

@@ -293,6 +293,11 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
         # SIN(R) is stochastic-isokinetic: no conserved quantity; T_kin
         # reads the isokinetic kT/2 per DOF (SINR_TIMESTEP.md), ~176.5 K
         telemetry(ctx, 1000, 250, dt, tag, extras, drift=False)
+        # record the expectation next to the measurement so the JSON is
+        # self-explanatory: the ISOKINETIC kinetic temperature is kT/2 per
+        # DOF (L = 1), NOT the 353 K thermodynamic setpoint — config
+        # averages are canonical at 353 K (SINR_TIMESTEP.md protocol note)
+        extras[f"{tag}_T_K_isokinetic_expected"] = 176.5
     return ns_day, ms
 
 

@@ -66,12 +66,12 @@ def test_pme_force_exact_for_atom_on_grid_node():
     """The end-to-end version of the regression above: place one charge at a
     coordinate that is an exact multiple of the grid spacing (K divisible by
     5, x = 0.8 L) and check grad(E) against central finite differences."""
-    x, q, box = random_neutral_system(n=16, seed=3)
+    x, q, box = random_neutral_system(n=12, seed=3)
     x = x.at[0].set(jnp.asarray([0.8 * box[0], 0.5 * box[1], 0.0]))
     alpha = 3.0
 
     def e(xx):
-        return pme_reciprocal_energy(xx, box, q, alpha, (20, 20, 20), order=6)
+        return pme_reciprocal_energy(xx, box, q, alpha, (15, 15, 15), order=6)
 
     f = -jax.grad(e)(x)
     h = 1e-5

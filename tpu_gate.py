@@ -124,11 +124,18 @@ def main():
         r = RESPASystem(s, rcut_in=0.7, rswitch_in=0.6)
         return r, x, b
 
+    def water_pme(dtype):
+        # exercises the order-6 reciprocal path (spreading matmuls + rfftn
+        # + moduli + corrections) f32-TPU vs f64-CPU
+        return water_system(n_molecules=1000, method="pme", neighbors=True,
+                            dtype=dtype, dispersion_correction=True)
+
     check("argon 4096, LJ cutoff+switch (config 1)", argon)
     # thermal jitter: at the pristine lattice the bonded reference forces
     # are ~0 and stiff-spring position roundoff swamps any relative measure
     check("water 3000, RESPA near/far split (config 2)", water_respa,
           jitter=0.004)
+    check("water 3000, PME (order-6 reciprocal)", water_pme, jitter=0.004)
 
     # NVE drift on the TPU production path (config 1, 1000 steps x 2 fs)
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
