@@ -88,6 +88,9 @@ class Context:
         # Defensive copy: step() donates the state buffers to the device loop,
         # so the Context must own them (user arrays may be shared elsewhere).
         state = jax.tree.map(lambda a: jnp.array(a, copy=True), state)
+        from .ops.pbc import validate_cutoffs
+
+        validate_cutoffs(system, state.box)
         if system.neighbors is not None:
             from .ops.neighbors import all_neighbor_extras
 
@@ -192,9 +195,17 @@ class Context:
             from .ops.neighbors import staleness_flags
 
             def body_k(i, s):
+                # staleness sampled after EVERY outer step (sticky flags), not
+                # just at the group boundary: a transient excursion past the
+                # skin mid-group (out and back before the boundary) would
+                # otherwise escape detection while forces at those steps may
+                # have missed pairs (ADVICE r3). The flag check is a max +
+                # top_k over displacements — negligible next to a force eval.
                 for _ in range(k_update):
                     s = one_step(system, s, globals)
-                s = s.with_extra(**staleness_flags(system, s.extra, s.x, s.box))
+                    s = s.with_extra(
+                        **staleness_flags(system, s.extra, s.x, s.box)
+                    )
                 return maybe_update_neighbors(system, s)
 
             state = jax.lax.fori_loop(0, n // k_update, body_k, state)

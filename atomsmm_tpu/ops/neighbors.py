@@ -455,8 +455,13 @@ def staleness_flags(system, extra, x, box):
         prev = extra.get(key, jnp.zeros((), bool))
         disp = minimum_image(x - extra[kx], box)
         d2 = jnp.sum(disp * disp, axis=-1)
-        top2 = jax.lax.top_k(d2, 2)[0]
-        pair_close = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1])
+        if d2.shape[0] >= 2:
+            top2 = jax.lax.top_k(d2, 2)[0]
+            pair_close = jnp.sqrt(top2[0]) + jnp.sqrt(top2[1])
+        else:
+            # N == 1: no pair bound exists (top_k(k=2) would fail, ADVICE
+            # r3); fall back to the conservative single-atom 2*max bound
+            pair_close = 2.0 * jnp.sqrt(jnp.max(d2))
         stale = (pair_close > spec.skin.astype(x.dtype)) | jnp.any(
             box != extra[kbox]
         )

@@ -111,6 +111,46 @@ def max_cutoff(box) -> float:
     return 0.5 * float(min(widths))
 
 
+def validate_cutoffs(system, box) -> None:
+    """Enforce the minimum-image validity bound r_cut <= max_cutoff(box).
+
+    Skewed cells have perpendicular widths much smaller than their edge
+    lengths, so a cutoff that looks safe by edge length can silently return
+    non-minimum images (wrong/missed pair interactions — ADVICE r3). Checked
+    at Context construction, where the concrete box first meets the forces.
+    """
+    import numpy as np
+
+    from ..utils import InputError
+
+    bound = max_cutoff(box)
+    seen = []
+
+    def visit(f):
+        if getattr(f, "method", None) == "nocutoff":
+            return
+        rc = getattr(f, "r_cut", None)
+        if rc is not None:
+            try:
+                seen.append((type(f).__name__, float(rc)))
+            except (TypeError, ValueError):
+                pass  # traced/symbolic cutoff: caller's responsibility
+        inner = getattr(f, "full", None)
+        if inner is not None:
+            visit(inner)
+
+    for f in getattr(system, "forces", ()):
+        visit(f)
+    for name, rc in seen:
+        if np.isfinite(rc) and rc > bound + 1e-9:
+            raise InputError(
+                f"{name}.r_cut = {rc:.4f} nm exceeds the minimum-image bound "
+                f"max_cutoff(box) = {bound:.4f} nm (half the smallest "
+                f"perpendicular width of the cell); shrink the cutoff or "
+                f"use a larger box"
+            )
+
+
 def triclinic_from_lengths_angles(a, b, c, alpha, beta, gamma):
     """Reduced (3, 3) cell matrix from lengths [nm] and angles [degrees]
     (the CRYST1 / AMBER box convention; a along x, b in the xy plane)."""

@@ -47,6 +47,12 @@ def bspline_weights(t, order: int):
     hydrogen at x = 0.8 L broke every grid with 5 | K this way while
     leaving {2,3}-smooth grids untouched (tools/pme_order_study.py).
     """
+    # The recurrence seed is M_2, so order < 2 would return M_2 values
+    # mislabeled as a lower order (ADVICE r3). order == 2 values are exact
+    # (the seed itself); differentiation additionally needs order >= 3 — see
+    # the jvp below and the spline_order validation at PME construction.
+    if order < 2:
+        raise ValueError(f"B-spline order must be >= 2, got {order}")
     # M_2(u) on u = t + j: nonzero for u in (0, 2)
     u = t[..., None] + jnp.arange(order, dtype=t.dtype)
     m = jnp.maximum(1.0 - jnp.abs(u - 1.0), 0.0)  # M_2
@@ -65,6 +71,11 @@ def _bspline_weights_jvp(order, primals, tangents):
     Branch-free and correct at t = 0 exactly (where the recurrence's
     autodiff is not); rows sum to 0 as a telescoping sum."""
     (t,), (dt,) = primals, tangents
+    if order < 3:
+        # the order-1 inner call below would return M_2 values mislabeled as
+        # M_1, silently producing wrong PME forces (ADVICE r3)
+        raise ValueError(
+            f"B-spline derivative requires order >= 3, got {order}")
     w = bspline_weights(t, order)
     wl = bspline_weights(t, order - 1)  # M_{order-1}(t + j), j = 0..order-2
     zero = jnp.zeros_like(wl[..., :1])
@@ -111,6 +122,11 @@ def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
     (C, K_d) are built by comparing grid iota against the spline support
     indices (mask-don't-branch), then combined with one MXU matmul.
     """
+    if order < 3:
+        # PME forces differentiate the spreading weights; the analytic
+        # derivative (bspline_weights jvp) requires order >= 3 (ADVICE r3)
+        raise ValueError(
+            f"PME spline_order must be >= 3, got {order}")
     k1, k2, k3 = grid_shape
     n = x.shape[0]
     dtype = x.dtype

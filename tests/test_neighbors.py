@@ -192,6 +192,26 @@ def test_grouped_neighbor_updates_match_per_step():
                                atol=1e-10)
 
 
+def test_staleness_flags_single_atom():
+    """N == 1 has no two-largest-displacement pair bound: top_k(d2, 2) used
+    to fail outright (ADVICE r3); the fallback 2*max bound must evaluate."""
+    from atomsmm_tpu.models import argon_system
+    from atomsmm_tpu.ops.neighbors import (
+        neighbor_list_extras,
+        staleness_flags,
+    )
+
+    system, x, box = argon_system(n=1, jitter=0.0, seed=0, neighbors=True,
+                                  r_cut=0.15, r_switch=0.1)
+    spec = system.neighbors
+    extra = neighbor_list_extras(spec, x, box)
+    flags = staleness_flags(system, extra, x, box)
+    assert not bool(flags["nbr_stale"])  # no motion -> not stale
+    x_moved = x + 2.0 * float(spec.skin)
+    flags = staleness_flags(system, extra, x_moved, box)
+    assert bool(flags["nbr_stale"])  # 2*max bound trips
+
+
 def test_staleness_guard_raises():
     """An atom crossing the full skin between grouped updates must raise,
     not silently drop pairs."""

@@ -39,6 +39,24 @@ def test_bspline_weights_sum_to_one():
         assert float(w.min()) >= 0.0
 
 
+def test_low_spline_orders_rejected():
+    """order < 2 has no valid recurrence seed; differentiating order < 3
+    would return M_2 values mislabeled as M_1 and silently corrupt PME
+    forces (ADVICE r3) — both must raise, and PME spreading requires >= 3."""
+    t = jnp.linspace(0.0, 0.999, 8)
+    with pytest.raises(ValueError, match="order must be >= 2"):
+        bspline_weights(t, 1)
+    # order-2 VALUES are exact (the seed itself)
+    w2 = bspline_weights(t, 2)
+    np.testing.assert_allclose(np.asarray(w2.sum(-1)), 1.0, atol=1e-12)
+    with pytest.raises(ValueError, match="requires order >= 3"):
+        jax.jacfwd(lambda tt: bspline_weights(tt, 2))(t)
+    from atomsmm_tpu.ops.pme import spread_charges
+    with pytest.raises(ValueError, match="spline_order must be >= 3"):
+        spread_charges(jnp.zeros((4, 3)), jnp.ones(3), jnp.ones(4),
+                       (8, 8, 8), order=2)
+
+
 def test_bspline_derivative_exact_on_grid_plane():
     """Regression: an atom sitting EXACTLY on a grid plane (t = 0) used to
     get a catastrophically wrong PME force — autodiff through the M_2

@@ -81,6 +81,28 @@ def test_volume_and_max_cutoff():
     np.testing.assert_allclose(max_cutoff([2.0, 3.0, 4.0]), 1.0)
 
 
+def test_cutoff_beyond_minimum_image_bound_rejected():
+    """Context construction must reject r_cut > max_cutoff(box): skewed
+    cells have perpendicular widths far below their edge lengths, and a
+    too-large cutoff silently returns non-minimum images (ADVICE r3)."""
+    from atomsmm_tpu import VelocityVerletIntegrator
+
+    system, x, _ = argon_system(n=32, jitter=0.1, seed=0, r_cut=1.1,
+                                r_switch=1.0)
+    # strongly sheared: edge lengths ~2.2 nm but perpendicular width << 2.2
+    h = jnp.asarray(triclinic_from_lengths_angles(
+        2.2, 2.2, 2.2, 90.0, 120.0, 60.0))
+    assert max_cutoff(h) < 1.1
+    rs = np.random.RandomState(7)
+    xs = jnp.asarray(rs.uniform(0, 1, (32, 3))) @ h
+    with pytest.raises(InputError, match="minimum-image bound"):
+        Context(system, VelocityVerletIntegrator(dt=0.002),
+                make_state(xs, box=h))
+    # the same system in a roomy orthorhombic box is fine
+    Context(system, VelocityVerletIntegrator(dt=0.002),
+            make_state(x, box=jnp.asarray([4.0, 4.0, 4.0])))
+
+
 def _supercell_argon(system, x, h, reps=2):
     """Tile an argon System into a reps^3 supercell of the (3,3) cell h."""
     n = x.shape[0]
