@@ -264,25 +264,50 @@ class SuzukiYoshidaPropagator(Propagator):
 class TranslationPropagator(Propagator):
     """x <- x + v * t (atomsmm/propagators.py::TranslationPropagator).
 
-    When the system carries a ConstraintSet, the move is followed by SHAKE
-    position projection and the corresponding velocity correction
-    (openmm applies constraints inside its integrator steps — N5)."""
+    Constrained systems follow the move with the position projection and
+    the matching velocity correction (openmm applies constraints inside
+    its integrator steps — N5): closed-form SETTLE for 3-site rigid
+    molecules (ops/settle.py — exact, one shot), Jacobi SHAKE for any
+    remaining general constraints (ops/constraints.py)."""
 
     def apply(self, ctx, state, fraction):
         t = fraction * ctx.dt
         cons = getattr(ctx.system, "constraints", None)
+        sset = getattr(ctx.system, "settle", None)
         x_unc = state.x + state.v * t
-        if cons is None:
+        if cons is None and sset is None:
             return replace(state, x=x_unc)
-        from ..ops.constraints import shake_positions
+        x_new = x_unc
+        if sset is not None:
+            from ..ops.settle import settle_positions
 
-        inv_mass = 1.0 / ctx.masses
-        x_new = shake_positions(cons, x_unc, state.x, inv_mass)
+            x_new = settle_positions(sset, x_new, state.x, ctx.masses)
+        if cons is not None:
+            from ..ops.constraints import shake_positions
+
+            x_new = shake_positions(cons, x_new, state.x, 1.0 / ctx.masses)
         v = state.v + (x_new - x_unc) / t
         return replace(state, x=x_new, v=v)
 
     def describe(self, fraction=1.0):
-        return [f"x <- x + v * {fraction:g} dt (+SHAKE if constrained)"]
+        return [f"x <- x + v * {fraction:g} dt (+SETTLE/SHAKE if constrained)"]
+
+
+def _project_velocities(ctx, x, v):
+    """Project velocities onto the constraint tangent space: closed-form
+    SETTLE for 3-site molecules (exact one-shot 3x3 solve), iterative
+    RATTLE for any remaining general constraints."""
+    sset = getattr(ctx.system, "settle", None)
+    if sset is not None:
+        from ..ops.settle import settle_velocities
+
+        v = settle_velocities(sset, x, v, ctx.masses)
+    cons = getattr(ctx.system, "constraints", None)
+    if cons is not None:
+        from ..ops.constraints import rattle_velocities
+
+        v = rattle_velocities(cons, x, v, 1.0 / ctx.masses)
+    return v
 
 
 def force_cache_tag(groups) -> str:
@@ -327,11 +352,7 @@ class BoostPropagator(Propagator):
         else:
             f = ctx.forces(state, self.groups)
         v = state.v + f / ctx.masses[:, None] * t
-        cons = getattr(ctx.system, "constraints", None)
-        if cons is not None:
-            from ..ops.constraints import rattle_velocities
-
-            v = rattle_velocities(cons, state.x, v, 1.0 / ctx.masses)
+        v = _project_velocities(ctx, state.x, v)
         state = replace(state, v=v)
         if self.cache == "write":
             state = state.with_extra(**{force_cache_tag(self.groups): f})
@@ -615,11 +636,7 @@ class OrnsteinUhlenbeckPropagator(Propagator):
             # Additive noise breaks constraint tangency (d/dt|r_ij| = 0);
             # re-project like BoostPropagator does. Uniform rescalings
             # (NHC/CSVR) preserve tangency and need no projection (ADVICE r01).
-            cons = getattr(ctx.system, "constraints", None)
-            if cons is not None:
-                from ..ops.constraints import rattle_velocities
-
-                v = rattle_velocities(cons, state.x, v, 1.0 / ctx.masses)
+            v = _project_velocities(ctx, state.x, v)
             return replace(state, v=v, rng=rng)
         z = state.extra[self.variable]
         sigma = jnp.sqrt(kT / self.mass)

@@ -230,11 +230,14 @@ def rigid_water_system(
     dtype=None,
     neighbors: bool = False,
     skin: float = 0.1,
+    analytic: bool = True,
 ):
     """Rigid TIP3P water: no intramolecular forces; the geometry is held by
-    a ConstraintSet (two O-H distances + the H-H distance per molecule),
-    enforced by SHAKE/RATTLE inside the integrator (ops/constraints.py).
-    Returns (System, positions, box)."""
+    constraints (two O-H distances + the H-H distance per molecule).
+    With analytic=True (default, the OpenMM behavior) the 3-site triangles
+    are enforced by closed-form SETTLE (ops/settle.py); analytic=False
+    keeps the iterative SHAKE/RATTLE path (ops/constraints.py) — used by
+    the parity tests. Returns (System, positions, box)."""
     from ..ops.constraints import ConstraintSet
 
     dtype = dtype or jnp.result_type(float)
@@ -297,14 +300,21 @@ def rigid_water_system(
         [np.full(m, TIP3P_R_OH), np.full(m, TIP3P_R_OH), np.full(m, d_hh)]
     )
     cons = ConstraintSet(pairs=jnp.asarray(pairs), d0=jnp.asarray(d0, dtype))
+    masses = jnp.asarray(np.tile([MASS_O, MASS_H, MASS_H], m), dtype)
+    sset = None
+    if analytic:
+        from ..ops.settle import partition_constraints
+
+        sset, cons = partition_constraints(cons, masses)
 
     box = jnp.full((3,), box_l, dtype)
     system = System(
-        masses=jnp.asarray(np.tile([MASS_O, MASS_H, MASS_H], m), dtype),
+        masses=masses,
         forces=(NonbondedForce(**nb_kwargs),),
         molecule=jnp.asarray(np.repeat(np.arange(m), 3), jnp.int32),
         default_box=box,
         constraints=cons,
+        settle=sset,
         num_molecules=m,
         num_constraints=3 * m,
     )

@@ -27,8 +27,8 @@ class System:
       molecule: (N,) int32 molecule id per atom (for molecular virial/pressure,
         COM reporting, and MC-barostat molecular scaling).
       num_molecules: static count of molecules.
-      num_constraints: static (0 — the reference's headline systems are
-        flexible; SETTLE is deferred, SURVEY.md §2b N5).
+      num_constraints: static total count (SETTLE + iterative), used for
+        degree-of-freedom bookkeeping (SURVEY.md §2b N5).
       remove_com_motion: static; affects degree-of-freedom counting.
       default_box: (3,) box lengths used when building the initial State.
     """
@@ -40,6 +40,7 @@ class System:
     neighbors: object = None  # Optional[ops.neighbors.NeighborSpec] (default)
     extra_neighbor_specs: dict = None  # name -> NeighborSpec (e.g. 'near')
     constraints: object = None  # Optional[ops.constraints.ConstraintSet]
+    settle: object = None  # Optional[ops.settle.SettleSet] (analytic waters)
     num_molecules: int = static_field(default=0)
     num_constraints: int = static_field(default=0)
     remove_com_motion: bool = static_field(default=True)

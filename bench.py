@@ -367,6 +367,59 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
     return ns_day, ms
 
 
+def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
+                      tag="tip3p30k_settle_nvt"):
+    """Config 6 (round 4): rigid TIP3P water, closed-form SETTLE constraints
+    (ops/settle.py — one shot, no RATTLE sweeps), 2 fs velocity Verlet +
+    NHC NVT. The standard rigid-water MD benchmark geometry (VERDICT r3 #4)."""
+    from atomsmm_tpu import (
+        Context,
+        GlobalThermostatIntegrator,
+        make_state,
+    )
+    from atomsmm_tpu.integrate.propagators import NoseHooverChainPropagator
+    from atomsmm_tpu.models import rigid_water_system
+    from atomsmm_tpu.ops.settle import settle_residual
+
+    system, x, box = rigid_water_system(
+        n_molecules=n_molecules, r_cut=0.9, r_switch=0.8, neighbors=True
+    )
+    n = system.num_particles
+    dof = 3 * n - system.num_constraints - 3
+    integ = GlobalThermostatIntegrator(
+        dt, NoseHooverChainPropagator(300.0, dof, 0.1)
+    )
+    eq = load_eq("eq_tip3p30k")
+    if eq is not None:
+        ex, ev, ebox = eq
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        system = retune_neighbor_specs(system, ex, ebox, safety=1.03)
+        ctx = Context(system, integ, make_state(ex, v=ev, box=ebox))
+        ctx.step(1)
+        sync(ctx)
+        ctx.step(250)
+    else:
+        ctx = Context(system, integ, make_state(x, box=box))
+        ctx.set_velocities_to_temperature(300.0, seed=9)
+        ctx.step(1)
+        sync(ctx)
+        _melt_equilibrate(ctx, 300.0, 600)
+        ctx.retune_neighbors()
+        ctx.step(1)
+    sync(ctx)
+    best = _best_rate(ctx, steps)
+    ms = best / steps * 1e3
+    ns_day = dt * 1e-3 * steps / best * 86400.0
+    log(f"rigid TIP3P {n} SETTLE VV@{dt*1e3:.0f}fs NHC: "
+        f"{ms:.2f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None:
+        telemetry(ctx, 2000, 250, dt, tag, extras)
+        extras[f"{tag}_geometry_residual"] = float(
+            settle_residual(system.settle, ctx.state.x))
+    return ns_day, ms
+
+
 def bench_npt_100k(steps=100, extras=None):
     """Config 5: 100k-atom water NPT (MC barostat)."""
     from atomsmm_tpu import (
@@ -478,6 +531,12 @@ def main():
             extras["emim_bf4_sinr_pme_ms_step"] = round(s_ms, 3)
         except Exception as e:
             log(f"sinr bench failed: {e}")
+        try:
+            r_ns, r_ms = bench_rigid_water(extras=extras)
+            extras["tip3p30k_settle_nvt_ns_day"] = round(r_ns, 2)
+            extras["tip3p30k_settle_nvt_ms_step"] = round(r_ms, 3)
+        except Exception as e:
+            log(f"rigid water bench failed: {e}")
         try:
             n_ns, n_ms = bench_npt_100k(extras=extras)
             extras["water100k_npt_ns_day"] = round(n_ns, 2)

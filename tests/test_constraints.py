@@ -18,8 +18,10 @@ from atomsmm_tpu.ops.constraints import constraint_residual
 
 @pytest.fixture(scope="module")
 def tip3p():
+    # analytic=False: these tests exercise the iterative SHAKE/RATTLE path
+    # (the general-topology fallback); SETTLE has its own file (test_settle.py)
     return rigid_water_system(n_molecules=125, r_cut=0.75, r_switch=0.65,
-                              seed=2)
+                              seed=2, analytic=False)
 
 
 def test_rigid_geometry_preserved(tip3p):

@@ -137,13 +137,37 @@ def gen_emim():
           protocol="minimize + 20ps SIN(R)@4fs PME @353K, rin=0.7")
 
 
+def gen_tip3p30k():
+    from atomsmm_tpu import Context, GlobalThermostatIntegrator, make_state
+    from atomsmm_tpu.integrate.propagators import NoseHooverChainPropagator
+    from atomsmm_tpu.models import rigid_water_system
+
+    n_mol = 10000
+    system, x, box = rigid_water_system(n_molecules=n_mol, r_cut=0.9,
+                                        r_switch=0.8, neighbors=True)
+    dof = 3 * system.num_particles - system.num_constraints - 3
+    integ = GlobalThermostatIntegrator(
+        0.002, NoseHooverChainPropagator(300.0, dof, 0.1))
+    ctx = Context(system, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=9)
+    t0 = time.perf_counter()
+    ctx.step(1)
+    log(f"tip3p30k compile {time.perf_counter()-t0:.0f}s")
+    # 600 melt + 10000 x 2 fs = 20 ps NVT
+    _melt_then_nvt(ctx, 300.0, 600, 10000)
+    _save("eq_tip3p30k", ctx, n_molecules=n_mol, dt_fs=2.0,
+          protocol="600 melt + 20ps NHC NVT @300K, rigid TIP3P SETTLE VV@2fs")
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:]) or {"water30k"}
     if "all" in which:
-        which = {"water30k", "water100k", "emim"}
+        which = {"water30k", "water100k", "emim", "tip3p30k"}
     if "water30k" in which:
         gen_water30k()
     if "water100k" in which:
         gen_water100k()
     if "emim" in which:
         gen_emim()
+    if "tip3p30k" in which:
+        gen_tip3p30k()
