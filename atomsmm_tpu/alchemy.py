@@ -204,7 +204,8 @@ def sample_lambda_states(system, x0, box, lambdas, temperature, dt=0.001,
 
 def solvation_free_energy(system, x0, box, schedule, temperature,
                           lambdas=None, n_blocks=4, aux=None,
-                          mbar_iter=1000, **sample_kwargs):
+                          mbar_iter=1000, mesh=None, hrex=False,
+                          swap_every=1, **sample_kwargs):
     """Coupling free energy ΔG(s: schedule[0] -> schedule[-1]) by MBAR and
     TI on the same trajectories, with block-wise error estimates.
 
@@ -223,15 +224,31 @@ def solvation_free_energy(system, x0, box, schedule, temperature,
 
     The MBAR/TI cross-check is the validity test: both estimators on the same
     samples must agree within their joint error bars (tests/test_alchemy.py).
+
+    Sampling backends: the default visits the K states sequentially in one
+    Context; with hrex=True (or a `mesh`) the K states run as data-parallel
+    replicas with Hamiltonian-replica-exchange mixing (parallel/hrex.py —
+    K-fold fewer sequential MD steps, replica batch sharded over the mesh
+    when one is given). The returned dict then also carries
+    `swap_acceptance`.
     """
     import numpy as np
 
     schedule = jnp.asarray(schedule)
     k_states = schedule.shape[0]
     lambdas = dict(lambdas) if lambdas is not None else coupling_path(schedule)
-    xs, n_k = sample_lambda_states(
-        system, x0, box, lambdas, temperature, **sample_kwargs
-    )
+    swap_info = None
+    if hrex or mesh is not None:
+        from .parallel.hrex import hrex_sample_lambda_states
+
+        xs, n_k, swap_info = hrex_sample_lambda_states(
+            system, x0, box, lambdas, temperature, mesh=mesh,
+            swap_every=swap_every, **sample_kwargs
+        )
+    else:
+        xs, n_k = sample_lambda_states(
+            system, x0, box, lambdas, temperature, **sample_kwargs
+        )
     kT = BOLTZMANN * temperature
 
     u_kn = reduced_energy_matrix(system, xs, box, lambdas, temperature,
@@ -280,7 +297,7 @@ def solvation_free_energy(system, x0, box, schedule, temperature,
             blocks_mbar.append(mbar_dg(u_kn[:, sel]))
             blocks_ti.append(ti_dg(slice(b * bs, (b + 1) * bs)))
     err = lambda v: float(np.std(v, ddof=1) / np.sqrt(len(v))) if len(v) > 1 else float("nan")  # noqa: E731
-    return {
+    out = {
         "dg_mbar": dg_mbar,
         "dg_ti": dg_ti,
         "err_mbar": err(blocks_mbar),
@@ -289,3 +306,7 @@ def solvation_free_energy(system, x0, box, schedule, temperature,
         "ti_profile": {k: jnp.mean(v, axis=1) for k, v in dudl.items()},
         "n_samples_total": int(xs.shape[0]),
     }
+    if swap_info is not None:
+        out["swap_acceptance"] = swap_info["acceptance"]
+        out["swap_attempts"] = swap_info["swap_attempts"]
+    return out

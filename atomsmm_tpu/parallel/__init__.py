@@ -1,3 +1,4 @@
+from .hrex import HREXSampler, hrex_sample_lambda_states, make_hrex_swap
 from .replicas import make_replicated_step, replicate_state
 from .spatial import (
     sharded_cell_pair_energy_forces,

@@ -1,0 +1,280 @@
+"""Replica-parallel λ-state sampling + Hamiltonian replica exchange (HREX).
+
+The sequential alchemical workflow (alchemy.sample_lambda_states) visits K
+λ-states one after another in a single Context — K× the wall clock of one
+state. The K states are embarrassingly parallel (SURVEY.md §2c DP row:
+"cross-replica reductions (e.g. replica-exchange swaps) via psum/pmax over
+ICI"), so here they run as data-parallel replicas: every replica holds its
+OWN traced globals row (λ_k), all K step in one vmapped/jitted call, and
+the batch is sharded over a `jax.sharding.Mesh` when one is given (XLA
+inserts the collectives; on a single chip the same code is a pure vmap
+batch, which already wins over the sequential visit by keeping the chip
+full with K small systems at once).
+
+Between sampling chunks, neighbor-swap Hamiltonian replica exchange runs
+device-side: a jitted Metropolis criterion over alternating even/odd pairs
+(k, k+1),
+
+    P_acc = min(1, exp(-β [U_k(x_{k+1}) + U_{k+1}(x_k)
+                           - U_k(x_k) - U_{k+1}(x_{k+1})])),
+
+with configurations (x, v, neighbor extras) exchanged through one gather by
+a permutation computed from the accept mask — under a sharded batch the
+gather compiles to the ICI collective permute. λ stays pinned to its
+replica row, so row k always samples state k and the MBAR bookkeeping is
+unchanged; the swaps only decorrelate the chain (mixing across the λ
+ladder), which is exactly their statistical job.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..potential import potential_energy
+from ..state import make_state, maxwell_boltzmann_velocities
+from ..units import BOLTZMANN
+from ..utils import replace
+from .replicas import replicate_state
+
+# State.extra keys that travel WITH the configuration on an accepted swap:
+# neighbor machinery describes x; force caches are recomputed at the next
+# chunk's refresh (they depend on both x and the row's λ, so moving them is
+# merely a placeholder — nothing reads them before the refresh).
+_CONFIG_PREFIXES = ("nbr", "fcache")
+
+
+def _energy_fn(system):
+    from ..ops.neighbors import make_aux
+
+    def energy_one(x, box, extra, globals):
+        return potential_energy(system, x, box, globals,
+                                aux=make_aux(system, extra))
+
+    return energy_one
+
+
+def make_hrex_swap(system, temperature):
+    """swap(states, globalss, key, parity) -> (states, n_accept, n_eligible).
+
+    states: replica-stacked State (leading K axis); globalss: dict of (K,)
+    λ arrays; parity: 0 swaps pairs (0,1),(2,3)…, 1 swaps (1,2),(3,4)….
+    Fully jittable — three vmapped energy batches + one gather.
+    """
+    beta = 1.0 / (BOLTZMANN * float(temperature))
+    energy_one = _energy_fn(system)
+
+    def swap(states, globalss, key, parity):
+        k_states = states.x.shape[0]
+        idx = jnp.arange(k_states)
+
+        def up(a):  # row k <- row k+1 (periodic; last row masked out below)
+            return jnp.roll(a, -1, axis=0)
+
+        def dn(a):  # row k <- row k-1
+            return jnp.roll(a, 1, axis=0)
+
+        e_own = jax.vmap(energy_one)(states.x, states.box, states.extra,
+                                     globalss)
+        # U_k(x_{k+1}): my λ at the upper neighbor's configuration (and its
+        # matching neighbor-list extras)
+        e_up = jax.vmap(energy_one)(
+            up(states.x), up(states.box), jax.tree.map(up, states.extra),
+            globalss,
+        )
+        # U_k(x_{k-1})
+        e_dn = jax.vmap(energy_one)(
+            dn(states.x), dn(states.box), jax.tree.map(dn, states.extra),
+            globalss,
+        )
+        # pair (k, k+1): Δ_k = β [(U_k(x_{k+1}) - U_k(x_k))
+        #                          + (U_{k+1}(x_k) - U_{k+1}(x_{k+1}))]
+        delta = beta * ((e_up - e_own) + up(e_dn - e_own))
+        eligible = (idx % 2 == parity) & (idx < k_states - 1)
+        r = jax.random.uniform(key, (k_states,))
+        accept = eligible & (jnp.log(r) < -delta)
+        acc_prev = jnp.concatenate([jnp.zeros((1,), bool), accept[:-1]])
+        perm = idx + accept.astype(idx.dtype) - acc_prev.astype(idx.dtype)
+
+        def take(a):
+            return jnp.take(a, perm, axis=0)
+
+        new_extra = {
+            k: (take(v) if k.startswith(_CONFIG_PREFIXES) else v)
+            for k, v in states.extra.items()
+        }
+        states = replace(states, x=take(states.x), v=take(states.v),
+                         box=take(states.box), extra=new_extra)
+        return states, accept.sum(), eligible.sum()
+
+    return swap
+
+
+def make_replica_run(system_template, integrator):
+    """run(system, states, globalss, n): advance every replica n steps with
+    its OWN globals row — the replica analog of Context._make_run (chunk-
+    start neighbor update + force-cache refresh, then a device-side
+    fori_loop)."""
+    from ..context import refresh_force_caches
+
+    step_fn = integrator.make_step()
+    has_neighbors = system_template.neighbors is not None
+
+    def maybe_update(system, s):
+        if not has_neighbors:
+            return s
+        from ..ops.neighbors import update_all_neighbors
+
+        return s.with_extra(
+            **update_all_neighbors(system, s.extra, s.x, s.box)
+        )
+
+    def run(system, states, globalss, n):
+        def one(s, g):
+            s = maybe_update(system, s)
+            s = refresh_force_caches(system, s, g)
+
+            def body(i, s):
+                return maybe_update(system, step_fn(system, s, g))
+
+            return jax.lax.fori_loop(0, n, body, s)
+
+        return jax.vmap(one)(states, globalss)
+
+    return run
+
+
+class HREXSampler:
+    """K λ-states stepping as a replica batch with periodic exchange moves.
+
+    lambdas: dict name -> (K,) per-state values. mesh: optional Mesh whose
+    first axis shards the replica batch (None = single-device vmap batch).
+    """
+
+    def __init__(self, system, x0, box, lambdas: Dict[str, jnp.ndarray],
+                 temperature, mesh: Optional[Mesh] = None, axis: str = "dp",
+                 dt=0.001, friction=5.0, seed: int = 0):
+        from ..integrate.integrators import GlobalThermostatIntegrator
+        from ..integrate.propagators import (
+            OrnsteinUhlenbeckPropagator,
+            VelocityVerletPropagator,
+        )
+
+        self.system = system
+        self.temperature = float(temperature)
+        self.lambdas = {k: jnp.asarray(v) for k, v in lambdas.items()}
+        self.k_states = len(next(iter(self.lambdas.values())))
+        self.mesh, self.axis = mesh, axis
+        integ = GlobalThermostatIntegrator(
+            dt,
+            VelocityVerletPropagator(),
+            OrnsteinUhlenbeckPropagator(self.temperature, friction),
+        )
+
+        state = make_state(x0, box=box, seed=seed)
+        if system.neighbors is not None:
+            from ..ops.neighbors import all_neighbor_extras
+
+            state = state.with_extra(
+                **all_neighbor_extras(system, state.x, state.box))
+        state = integ.initialize(system, state)
+        states = replicate_state(state, self.k_states, seed)
+        v0 = maxwell_boltzmann_velocities(
+            jax.random.PRNGKey(seed + 1), system.masses, self.temperature,
+            x0.dtype,
+        )
+        states = replace(states, v=jnp.tile(v0, (self.k_states, 1, 1)))
+        self.states = self._shard(states)
+        self._run = jax.jit(make_replica_run(system, integ))
+        self._swap = jax.jit(make_hrex_swap(system, self.temperature))
+        self._key = jax.random.PRNGKey(seed + 2)
+        self._parity = 0
+        self.swap_attempts = 0
+        self.swap_accepts = 0
+
+    def _shard(self, tree):
+        if self.mesh is None:
+            return tree
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+    def _globals(self, values: Dict[str, jnp.ndarray]):
+        return self._shard(dict(values))
+
+    def run(self, n_steps: int, globalss=None):
+        g = self._globals(globalss if globalss is not None else self.lambdas)
+        self.states = self._run(self.system, self.states, g, n_steps)
+
+    def anneal(self, n_steps: int, chunks: int = 8):
+        """Gentle decoupling: every replica starts at the COUPLED λ (the
+        last ladder row — the condensed-phase structure the sequential path
+        inherits by visiting states coupled-end first) and interpolates to
+        its own target over `chunks` chunks."""
+        target = self.lambdas
+        coupled = {k: jnp.full((self.k_states,), v[-1]) for k, v in
+                   target.items()}
+        per = max(n_steps // chunks, 1)
+        for c in range(chunks):
+            t = (c + 1) / chunks
+            g = {k: (1.0 - t) * coupled[k] + t * target[k] for k in target}
+            self.run(per, g)
+
+    def attempt_swaps(self):
+        self._key, sub = jax.random.split(self._key)
+        self.states, acc, att = self._swap(
+            self.states, self._globals(self.lambdas), sub, self._parity)
+        self._parity ^= 1
+        self.swap_attempts += int(att)
+        self.swap_accepts += int(acc)
+
+    @property
+    def acceptance_rate(self):
+        return (self.swap_accepts / self.swap_attempts
+                if self.swap_attempts else float("nan"))
+
+    def positions(self):
+        return np.asarray(self.states.x)  # (K, N, 3)
+
+
+def hrex_sample_lambda_states(system, x0, box, lambdas, temperature,
+                              mesh: Optional[Mesh] = None, dt=0.001,
+                              friction=5.0, n_equil=200, n_samples=20,
+                              sample_interval=25, swap_every=1, seed=0):
+    """Drop-in replica-parallel replacement for
+    alchemy.sample_lambda_states: same (xs, n_k) contract (samples ordered
+    by state index), K-fold fewer sequential MD steps, plus HREX mixing.
+
+    swap_every: attempt neighbor swaps every `swap_every` sampling chunks
+    (0 disables exchange — pure parallel sampling). Returns (xs, n_k, info)
+    with info carrying the swap acceptance statistics.
+    """
+    sampler = HREXSampler(system, x0, box, lambdas, temperature, mesh=mesh,
+                          dt=dt, friction=friction, seed=seed)
+    # melt at the coupled state, then anneal each replica to its own λ
+    sampler.run(2 * n_equil, {
+        k: jnp.full((sampler.k_states,), v[-1])
+        for k, v in sampler.lambdas.items()
+    })
+    sampler.anneal(n_equil)
+    sampler.run(n_equil)
+    if swap_every:
+        sampler.attempt_swaps()
+    samples = []
+    for s in range(n_samples):
+        sampler.run(sample_interval)
+        if swap_every and (s + 1) % swap_every == 0:
+            sampler.attempt_swaps()
+        samples.append(sampler.positions())  # (K, N, 3)
+    stacked = np.stack(samples)  # (S, K, N, 3)
+    xs = jnp.asarray(np.concatenate(
+        [stacked[:, k] for k in range(sampler.k_states)]))
+    n_k = jnp.full((sampler.k_states,), n_samples, jnp.int32)
+    info = {
+        "swap_attempts": sampler.swap_attempts,
+        "swap_accepts": sampler.swap_accepts,
+        "acceptance": sampler.acceptance_rate,
+    }
+    return xs, n_k, info

@@ -316,6 +316,74 @@ def bench_alchemy(n_water=1000, k_states=16, evals=50):
     return rows_per_s
 
 
+def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None):
+    """Config 3b (round 4): replica-parallel λ-state sampling throughput
+    (parallel/hrex.py). Measures state-steps/s of the K-replica HREX batch
+    vs the single-Context sequential rate on the same system — the
+    wall-clock win of sampling all K λ-states at once (VERDICT r3 #3).
+    Includes one jitted neighbor-swap Metropolis move per chunk."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu import (
+        Context,
+        GlobalThermostatIntegrator,
+        SolvationSystem,
+        make_state,
+    )
+    from atomsmm_tpu.alchemy import coupling_path
+    from atomsmm_tpu.integrate.propagators import (
+        OrnsteinUhlenbeckPropagator,
+        VelocityVerletPropagator,
+    )
+    from atomsmm_tpu.models import phenol_in_water
+    from atomsmm_tpu.parallel.hrex import HREXSampler
+
+    system, x, box, solute = phenol_in_water(n_water=n_water, neighbors=True)
+    solv = SolvationSystem(system, solute_atoms=solute)
+    lams = coupling_path(jnp.linspace(0.0, 1.0, k_states))
+
+    # sequential comparator: one Context stepping one state
+    integ = GlobalThermostatIntegrator(
+        0.001, VelocityVerletPropagator(),
+        OrnsteinUhlenbeckPropagator(300.0, 5.0))
+    ctx = Context(solv, integ, make_state(x, box=box, seed=1))
+    ctx.set_velocities_to_temperature(300.0, seed=2)
+    ctx.step(1)
+    sync(ctx)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ctx.step(chunk * reps)
+        sync(ctx)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    seq_rate = chunk * reps / best  # steps/s, one state
+
+    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001, seed=3)
+    sampler.run(1)
+    sampler.attempt_swaps()  # compile both kernels
+    float(sampler.states.x[0, 0, 0])
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sampler.run(chunk)
+            sampler.attempt_swaps()
+        float(sampler.states.x[0, 0, 0])
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    par_rate = k_states * chunk * reps / best  # state-steps/s, all K
+    win = par_rate / seq_rate
+    log(f"hrex phenol+{n_water}w x {k_states} states: "
+        f"{par_rate:.0f} state-steps/s vs {seq_rate:.0f} sequential "
+        f"({win:.1f}x win, swap acc {sampler.acceptance_rate:.2f})")
+    if extras is not None:
+        extras["hrex_16state_state_steps_per_s"] = round(par_rate, 1)
+        extras["hrex_vs_sequential_win"] = round(win, 2)
+        extras["hrex_swap_acceptance"] = round(sampler.acceptance_rate, 3)
+    return par_rate
+
+
 def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
                      extras=None, tag="emim_bf4_sinr_pme"):
     """Config 4: emim/BF4 ionic liquid, PME far force, SIN(R) isokinetic
@@ -525,6 +593,10 @@ def main():
             extras["alchemy_phenol_16state_rows_per_s"] = round(rows, 2)
         except Exception as e:
             log(f"alchemy bench failed: {e}")
+        try:
+            bench_hrex(extras=extras)
+        except Exception as e:
+            log(f"hrex bench failed: {e}")
         try:
             s_ns, s_ms = bench_sinr_ionic(extras=extras)
             extras["emim_bf4_sinr_pme_ns_day"] = round(s_ns, 2)
