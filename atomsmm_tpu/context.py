@@ -146,6 +146,19 @@ class Context:
                 if missing:
                     self.state = self.state.with_extra(**missing)
         self._step_fn = integrator.make_step()
+        # Seed the sticky PME-coverage flags (zeros) before the first run so
+        # the state pytree structure is stable from the first jitted call (a
+        # mid-run key addition would force a second compile); run() re-checks
+        # against the live box at every chunk start, so a Context built with
+        # an already-oversized box still trips on its first step().
+        from .forces import _pme_carrier as _pme_c
+
+        pme_seed = {
+            f"pme_{i}_undercover": jnp.zeros((), bool)
+            for i, f in enumerate(system.forces) if _pme_c(f) is not None
+        }
+        if pme_seed:
+            self.state = self.state.with_extra(**pme_seed)
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         self._observe = jax.jit(self._make_observe())
         self.check_overflow = system.neighbors is not None
@@ -156,6 +169,12 @@ class Context:
         step_fn = self._step_fn
         barostat = self._barostat
         k_update = 1 if barostat is not None else self.neighbor_update_every
+        from .forces import _pme_carrier
+
+        has_pme_guard = any(
+            _pme_carrier(f) is not None for f in self.system.forces
+        )
+        self._has_pme_guard = has_pme_guard
 
         def maybe_update_neighbors(system, s):
             if system.neighbors is None:
@@ -166,6 +185,15 @@ class Context:
                 **update_all_neighbors(system, s.extra, s.x, s.box)
             )
 
+        def flag_pme(system, s):
+            # NPT guard: a grown box can silently exceed the static PME
+            # grid's error bound — three comparisons per step (VERDICT r3 #7)
+            if not has_pme_guard:
+                return s
+            from .forces import pme_coverage_flags
+
+            return s.with_extra(**pme_coverage_flags(system, s.extra, s.box))
+
         def one_step(system, s, globals):
             s = step_fn(system, s, globals)
             if barostat is not None:
@@ -173,11 +201,13 @@ class Context:
 
                 ctx = StepContext(system, globals, 0.0)
                 s = barostat.apply(ctx, s, 1.0)
+                s = flag_pme(system, s)
             return s
 
         def run(system, state, globals, n):
             # `system` is an argument (not a closed-over constant) so its
             # parameter arrays live as runtime buffers, not baked constants.
+            state = flag_pme(system, state)
             state = maybe_update_neighbors(system, state)
             state = refresh_force_caches(system, state, globals)
 
@@ -298,7 +328,7 @@ class Context:
                 self.system, self.state, self.parameters, jnp.int32(n)
             )
             if not self.check_overflow:
-                return self
+                break
             overflowed = [
                 key for key, flag in self.state.extra.items()
                 if key.startswith("nbr") and key.endswith("overflow")
@@ -337,6 +367,18 @@ class Context:
                         "full skin between grouped neighbor updates — reduce "
                         "Context(neighbor_update_every=...) or enlarge the skin"
                     )
+        if getattr(self, "_has_pme_guard", False):
+            for key, flag in self.state.extra.items():
+                if key.startswith("pme") and key.endswith("undercover") and bool(flag):
+                    raise RuntimeError(
+                        f"PME grid coverage loss ({key}): the box grew past "
+                        "the validity bound of the static (alpha, grid) "
+                        "parameters — reciprocal-space error now exceeds the "
+                        "design tolerance. Call retune_pme() to re-derive the "
+                        "grid for the current box (one recompile), or build "
+                        "with NPT headroom (choose_pme_parameters on a "
+                        "volume-inflated box)"
+                    )
         return self
 
     def get_state(self) -> StateSnapshot:
@@ -366,6 +408,55 @@ class Context:
         self.state = state.with_extra(
             **jax.jit(all_neighbor_extras)(self.system, state.x, state.box)
         )
+        return self
+
+    def retune_pme(self):
+        """Re-derive every PME force's grid for the CURRENT box (alpha stays
+        — it depends only on r_cut and the error tolerance, which volume
+        moves do not change). Clears the sticky pme_*_undercover flags.
+        Static grid shapes change, so the next step() recompiles once."""
+        import numpy as np
+
+        from .forces import PMEReciprocalForce, _pme_carrier
+        from .ops.pme import choose_pme_parameters
+
+        new_forces, regrids = [], {}
+        for f in self.system.forces:
+            g = _pme_carrier(f)
+            if g is None:
+                new_forces.append(f)
+                continue
+            # recover the design tolerance from the openmm alpha heuristic
+            alpha = float(g.ewald_alpha)
+            tol = 0.5 * float(np.exp(-((alpha * float(g.r_cut)) ** 2)))
+            _, grid, _ = choose_pme_parameters(
+                float(g.r_cut), np.asarray(self.state.box), tol=tol,
+                alpha=alpha, grid=None, order=int(g.spline_order),
+            )
+            # keep the LARGER grid per dimension: shrinking on a small box
+            # is allowed but never required for correctness
+            grid = tuple(max(a, b) for a, b in zip(grid, g.grid_shape))
+            regrids[float(g.ewald_alpha)] = grid
+            if g is f:
+                new_forces.append(replace(f, grid_shape=grid))
+            else:  # Far wrapper: regrid the inner full force
+                new_forces.append(replace(f, full=replace(f.full,
+                                                          grid_shape=grid)))
+        # PMEReciprocalForce (triple split) shares its companion's alpha/grid
+        new_forces = [
+            replace(f, grid_shape=regrids[float(f.ewald_alpha)])
+            if isinstance(f, PMEReciprocalForce)
+            and float(f.ewald_alpha) in regrids else f
+            for f in new_forces
+        ]
+        self.system = self.system.replace_forces(new_forces)
+        cleared = {
+            k: jnp.zeros((), bool)
+            for k in self.state.extra if k.startswith("pme")
+            and k.endswith("undercover")
+        }
+        if cleared:
+            self.state = self.state.with_extra(**cleared)
         return self
 
     # -- openmm-style camelCase aliases (the reference's users call these

@@ -626,6 +626,59 @@ class PMEReciprocalForce(Force):
         return e, -g
 
 
+def _pme_carrier(force):
+    """The force (possibly nested under .full) that owns a PME direct-space
+    cutoff + static grid, or None."""
+    g = force
+    while (getattr(g, "method", None) != "pme"
+           and getattr(g, "full", None) is not None):
+        g = g.full
+    if getattr(g, "method", None) != "pme":
+        return None
+    if not any(getattr(g, "grid_shape", (0, 0, 0))):
+        return None
+    return g
+
+
+def pme_coverage_flags(system, extra, box):
+    """Sticky per-force flags: the box has grown past the validity bound of
+    a PME force's STATIC (alpha, grid) — the reciprocal analog of the cell
+    list's coverage_deficient guard (VERDICT r3 #7).
+
+    alpha depends only on (r_cut, tol) and stays valid under volume moves;
+    the grid rule K >= factor * 2 alpha L / (3 tol^0.2) inverts to a
+    per-dimension max box length. tol is recovered from the openmm alpha
+    heuristic, traced so NPT box changes are checked every step on device
+    at the cost of three comparisons. Checked/raised by Context.step.
+    """
+    from .ops.pme import _ORDER_SPACING_FACTOR
+
+    out = {}
+    b = jnp.asarray(box)
+    lengths = b if b.ndim == 1 else jnp.linalg.norm(b, axis=1)
+    for idx, f in enumerate(system.forces):
+        g = _pme_carrier(f)
+        if g is None:
+            continue
+        alpha = float(g.ewald_alpha)
+        order = int(g.spline_order)
+        factor = _ORDER_SPACING_FACTOR.get(order, 1.0 if order < 4 else 0.65)
+        # r_cut is traced (a runtime buffer of the system argument)
+        tol = 0.5 * jnp.exp(-((alpha * g.r_cut) ** 2))
+        bounds = (jnp.asarray(g.grid_shape, lengths.dtype) * 3.0
+                  * tol ** 0.2 / (2.0 * alpha * factor))
+        # 5% grace: the grid rule inverts to tol_eff = tol (L/L_max)^5, so
+        # tripping at 1.05 L_max means tol_eff <= 1.28 tol — far inside the
+        # measured 3.6x accuracy margin of the order-6 spacing factor
+        # (tools/pme_order_study.py). Without grace, _good_fft_size
+        # rounding can leave <1% headroom and normal 1-bar fluctuations of
+        # small boxes trip a false alarm.
+        key = f"pme_{idx}_undercover"
+        prev = extra.get(key, jnp.zeros((), bool))
+        out[key] = prev | jnp.any(lengths > 1.05 * bounds)
+    return out
+
+
 @pytree_dataclass
 class DampedSmoothedForce(_PairForceMixin, Force):
     """Damped-shifted Coulomb + LJ, smoothed over [r_switch, r_cut]

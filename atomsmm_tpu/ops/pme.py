@@ -326,9 +326,7 @@ def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None,
     if grid is None:
         # measured accuracy-preserving spacing factors relative to the
         # order-4 rule (pme_order_study.py; conservative interpolation)
-        factor = {4: 1.0, 5: 0.85, 6: 0.75, 7: 0.70, 8: 0.65}.get(
-            order, 1.0 if order < 4 else 0.65
-        )
+        factor = _ORDER_SPACING_FACTOR.get(order, 1.0 if order < 4 else 0.65)
         grid = [
             _good_fft_size(
                 int(math.ceil(factor * 2.0 * alpha * L / (3.0 * tol ** 0.2)))
@@ -336,6 +334,30 @@ def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None,
             for L in lengths
         ]
     return float(alpha), tuple(int(g) for g in grid), int(order)
+
+
+_ORDER_SPACING_FACTOR = {4: 1.0, 5: 0.85, 6: 0.75, 7: 0.70, 8: 0.65}
+
+
+def pme_validity_lengths(alpha, grid_shape, order, r_cut):
+    """Per-dimension box-length bounds up to which a STATIC (alpha, grid)
+    still meets its design error tolerance.
+
+    alpha depends only on (r_cut, tol), so it stays valid under volume
+    moves; the grid rule K >= factor * 2 alpha L / (3 tol^0.2) inverts to
+    L_max = K * 3 tol^0.2 / (2 alpha factor). tol is recovered from the
+    openmm alpha heuristic (alpha = sqrt(-log(2 tol))/r_cut) — exact when
+    parameters came from choose_pme_parameters, the conservative
+    default-tol assumption otherwise. NPT guard: see
+    forces.pme_coverage_flags (VERDICT r3 #7).
+    """
+    alpha = float(alpha)
+    tol = 0.5 * math.exp(-((alpha * float(r_cut)) ** 2))
+    factor = _ORDER_SPACING_FACTOR.get(int(order),
+                                       1.0 if order < 4 else 0.65)
+    return tuple(
+        k * 3.0 * tol ** 0.2 / (2.0 * alpha * factor) for k in grid_shape
+    )
 
 
 def ewald_reference_energy(x, box, q, alpha, kmax: int = 12):

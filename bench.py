@@ -488,8 +488,11 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
     return ns_day, ms
 
 
-def bench_npt_100k(steps=100, extras=None):
-    """Config 5: 100k-atom water NPT (MC barostat)."""
+def bench_npt_100k(steps=100, extras=None, method="cutoff",
+                   tag="water100k_npt"):
+    """Config 5: 100k-atom water NPT (MC barostat). method='pme' runs the
+    same protocol with the PME far force + the static-grid validity guard
+    active under volume moves (VERDICT r3 #7)."""
     from atomsmm_tpu import (
         Context,
         MonteCarloBarostat,
@@ -500,7 +503,8 @@ def bench_npt_100k(steps=100, extras=None):
     from atomsmm_tpu.models import water_system
 
     nmol = 33334
-    system, x, box = water_system(n_molecules=nmol, neighbors=True)
+    system, x, box = water_system(n_molecules=nmol, neighbors=True,
+                                  method=method)
     system = system.add_force(
         MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=25)
     )
@@ -529,8 +533,8 @@ def bench_npt_100k(steps=100, extras=None):
     best = _best_rate(ctx, steps, tries=2)
     ms = best / steps * 1e3
     ns_day = HEADLINE_DT * 1e-3 * steps / best * 86400.0
-    log(f"water 100k NPT RESPA{HEADLINE_LOOPS}@{HEADLINE_DT*1e3:.0f}fs: "
-        f"{ms:.1f} ms/step, {ns_day:.2f} ns/day")
+    log(f"water 100k NPT RESPA{HEADLINE_LOOPS}@{HEADLINE_DT*1e3:.0f}fs "
+        f"{method}: {ms:.1f} ms/step, {ns_day:.2f} ns/day")
     if extras is not None:
         # NPT: conserved quantity is not defined across MC volume moves —
         # report T and PE only
@@ -540,11 +544,11 @@ def bench_npt_100k(steps=100, extras=None):
             t_s.append(float(ctx.temperature()))
             pe_s.append(float(ctx.get_state().potential_energy))
         n = ctx.system.num_particles
-        extras["water100k_npt_T_K"] = round(float(np.mean(t_s)), 2)
-        extras["water100k_npt_PE_per_atom"] = round(
+        extras[f"{tag}_T_K"] = round(float(np.mean(t_s)), 2)
+        extras[f"{tag}_PE_per_atom"] = round(
             float(np.mean(pe_s)) / n, 4)
-        log(f"  telemetry[water100k_npt]: T={extras['water100k_npt_T_K']}K "
-            f"PE/N={extras['water100k_npt_PE_per_atom']}")
+        log(f"  telemetry[{tag}]: T={extras[f'{tag}_T_K']}K "
+            f"PE/N={extras[f'{tag}_PE_per_atom']}")
     return ns_day, ms
 
 
@@ -615,6 +619,13 @@ def main():
             extras["water100k_npt_ms_step"] = round(n_ms, 3)
         except Exception as e:
             log(f"npt bench failed: {e}")
+        try:
+            q_ns, q_ms = bench_npt_100k(extras=extras, method="pme",
+                                        steps=60, tag="water100k_npt_pme")
+            extras["water100k_npt_pme_ns_day"] = round(q_ns, 2)
+            extras["water100k_npt_pme_ms_step"] = round(q_ms, 3)
+        except Exception as e:
+            log(f"npt pme bench failed: {e}")
 
     emit(ns_day, extras)
     watchdog.cancel()

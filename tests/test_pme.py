@@ -123,6 +123,91 @@ def test_reciprocal_matches_plane_wave_ewald():
     np.testing.assert_allclose(float(e_pme), float(e_ref), rtol=2e-6)
 
 
+def test_pme_accuracy_across_npt_volume_swing():
+    """NPT validity (VERDICT r3 #7): a STATIC (alpha, grid) chosen by
+    choose_pme_parameters must keep the reciprocal energy within its design
+    tolerance across a +-5% volume swing (+-1.6% box lengths) — exactly the
+    fluctuation range of a 1-bar water box — and the inverse bound
+    pme_validity_lengths must cover that swing."""
+    from atomsmm_tpu.ops.pme import (
+        choose_pme_parameters,
+        pme_validity_lengths,
+    )
+
+    x, q, box = random_neutral_system(n=32, box_l=2.0)
+    r_cut = 0.9
+    alpha, grid, order = choose_pme_parameters(r_cut, np.full(3, 2.0))
+    bounds = pme_validity_lengths(alpha, grid, order, r_cut)
+    for vol_scale in (0.95, 1.0, 1.05):
+        s = vol_scale ** (1.0 / 3.0)
+        xs, bs = x * s, box * s
+        e_pme = pme_reciprocal_energy(xs, bs, q, alpha, grid, order=order)
+        e_ref = ewald_reference_energy(xs, bs, q, alpha, kmax=14)
+        # 5e-4 design tolerance, relative to the reciprocal magnitude
+        err = abs(float(e_pme) - float(e_ref)) / abs(float(e_ref))
+        assert err < 5e-4, (vol_scale, err)
+        if vol_scale <= 1.05:
+            assert all(float(b) * s <= bd for b, bd in zip(box, bounds)), (
+                "validity bound should cover a +5% volume swing: "
+                f"{[float(b) * s for b in box]} vs {bounds}"
+            )
+
+
+def test_pme_npt_guard_and_retune():
+    """The sticky pme_*_undercover flag must trip when the box grows past
+    the static grid's validity bound, and Context.retune_pme() must regrid
+    for the new box and clear it."""
+    import pytest
+
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.models import water_system
+
+    system, x, box = water_system(n_molecules=64, method="pme", r_cut=0.5,
+                                  r_switch=0.42)
+    ctx = Context(system, VelocityVerletIntegrator(0.0005),
+                  make_state(x, box=box))
+    ctx.step(2)  # in-bounds: no flag
+    # inflate the box 30% (far past any headroom), scale positions with it
+    s = 1.3
+    ctx.set_positions(ctx.state.x * s)
+    ctx.setPeriodicBoxVectors(ctx.state.box * s)
+    with pytest.raises(RuntimeError, match="PME grid coverage"):
+        ctx.step(1)
+    old_grid = system.forces[0].grid_shape
+    ctx.retune_pme()
+    new_grid = ctx.system.forces[0].grid_shape
+    assert all(b >= a for a, b in zip(old_grid, new_grid))
+    assert any(b > a for a, b in zip(old_grid, new_grid))
+    ctx.step(2)  # regridded: steps cleanly
+
+
+def test_pme_npt_short_run_guard_quiet():
+    """A PME system under the MC barostat at 1 bar must step cleanly: normal
+    volume fluctuations stay inside the static grid's validity bound (the
+    round-3 bench quietly avoided PME under NPT — VERDICT r3 #7)."""
+    from atomsmm_tpu import (
+        Context,
+        GlobalThermostatIntegrator,
+        MonteCarloBarostat,
+        make_state,
+    )
+    from atomsmm_tpu.integrate.propagators import (
+        VelocityRescalingPropagator,
+    )
+    from atomsmm_tpu.models import water_system
+
+    system, x, box = water_system(n_molecules=64, method="pme", r_cut=0.5,
+                                  r_switch=0.42)
+    system = system.add_force(
+        MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=10))
+    thermo = VelocityRescalingPropagator(300.0, 3 * 192 - 3, 0.1)
+    ctx = Context(system, GlobalThermostatIntegrator(0.0005, thermo),
+                  make_state(x, box=box, seed=6))
+    ctx.set_velocities_to_temperature(300.0, seed=7)
+    ctx.step(120)  # several barostat attempts; raises if the guard trips
+    assert float(ctx.state.extra["baro_nattempted"]) >= 10
+
+
 def test_total_ewald_energy_alpha_independent():
     """direct(erfc) + reciprocal + self must not depend on alpha."""
     from atomsmm_tpu.ops.pairfuncs import damped_coulomb

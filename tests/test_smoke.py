@@ -136,7 +136,9 @@ def test_constraints_shake_rattle():
     from atomsmm_tpu.models import rigid_water_system
     from atomsmm_tpu.ops.constraints import constraint_residual
 
-    system, x, box = rigid_water_system(n_molecules=216)
+    # analytic=False: drive the iterative SHAKE/RATTLE path here (the
+    # default SETTLE split is smoked in test_settle.py)
+    system, x, box = rigid_water_system(n_molecules=216, analytic=False)
     ctx = amm.Context(
         system, amm.VelocityVerletIntegrator(dt=0.001), amm.make_state(x, box=box)
     )
