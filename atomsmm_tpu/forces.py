@@ -142,10 +142,21 @@ def _spatial_mesh():
 
 
 def _pme_reciprocal(x, box, q, alpha, grid_shape, order):
-    """Reciprocal PME sum, atom-sharded over the active spatial mesh when
-    one is set (parallel/spatial.py), else single-device (ops/pme.py)."""
+    """Reciprocal PME sum, sharded over the active spatial mesh when one is
+    set (parallel/spatial.py), else single-device (ops/pme.py). On a mesh
+    the slab-decomposed FFT path is used whenever the grid divides the
+    device count (spreading reduce-scatter + distributed FFT + sharded
+    convolution); otherwise spreading is atom-sharded with a grid psum and
+    the FFT runs replicated."""
     mesh = _spatial_mesh()
     if mesh is not None:
+        ndev = mesh[0].shape[mesh[1]]
+        if grid_shape[0] % ndev == 0 and grid_shape[1] % ndev == 0:
+            from .parallel.spatial import sharded_pme_reciprocal_energy_fft
+
+            return sharded_pme_reciprocal_energy_fft(
+                x, box, q, alpha, grid_shape, mesh[0], mesh[1], order=order
+            )
         from .parallel.spatial import sharded_pme_reciprocal_energy
 
         return sharded_pme_reciprocal_energy(

@@ -27,7 +27,7 @@ Examples — composition mirrors the operator-splitting math:
 ...     print(line)
 VelocityVerlet:
   v <- v + F[all]/m * 0.5 dt, read cache
-  x <- x + v * 1 dt (+SHAKE if constrained)
+  x <- x + v * 1 dt (+SETTLE/SHAKE if constrained)
   v <- v + F[all]/m * 0.5 dt, write cache
 
 >>> ts = TrotterSuzukiPropagator(TranslationPropagator(),
@@ -36,7 +36,7 @@ VelocityVerlet:
 ...     print(line)
 TrotterSuzuki:
   v <- v + F[[0]]/m * 0.5 dt
-  x <- x + v * 1 dt (+SHAKE if constrained)
+  x <- x + v * 1 dt (+SETTLE/SHAKE if constrained)
   v <- v + F[[0]]/m * 0.5 dt
 
 Suzuki-Yoshida weights sum to 1 at every supported order (1/3/7/15):

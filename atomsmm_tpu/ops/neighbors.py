@@ -562,6 +562,11 @@ def _cell_pair_sums(spec, pair_fn, x, box, per_particle, bucket, r_cut,
     explicit_ids = cell_ids is not None
     if explicit_ids:
         k = cell_ids.shape[0]
+        # chunk by the CALLER'S id count, not ncells: the spatial shard path
+        # passes ncells/D ids per device, and padding them back up to a
+        # full-size chunk made every device do the whole sweep's FLOPs on
+        # masked rows (caught by tools/dd_scaling.py — r4)
+        chunk = min(chunk, k)
         n_chunks = -(-k // chunk)
         pad = n_chunks * chunk - k
         cells = jnp.concatenate(

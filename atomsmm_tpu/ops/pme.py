@@ -190,27 +190,33 @@ def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
     return pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order)
 
 
-def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
-    """FFT + reciprocal convolution of an already-spread charge grid —
-    split out so the sharded path (parallel/spatial.py) can psum per-device
-    grids before this replicated part.
+def pme_influence(box, alpha, grid_shape, order: int, dtype,
+                  k2_indices=None):
+    """The reciprocal influence weight W(m) such that
+    E = sum_m W(m) |Q^hat(m)|^2 on the half-spectrum (k3r = K3//2 + 1)
+    layout — includes the Gaussian filter, B-spline moduli, the rfft
+    double-count column weights AND the 1/(2 pi V) prefactor.
 
-    The charge grid is real, so the last axis uses the half-spectrum real
-    FFT (rfftn); interior k3 columns carry weight 2 (their conjugate twins
-    are not stored), while k3 = 0 and the Nyquist column (even K3) appear
-    once in the full spectrum and keep weight 1."""
+    k2_indices: optional (B,) int32 row subset along K2 — the sharded slab
+    FFT (parallel/spatial.py) holds only a K2/D block of the spectrum per
+    device and needs exactly its block of the influence.
+    """
     k1, k2, k3 = grid_shape
-    dtype = Q.dtype
-    Qhat = jnp.fft.rfftn(Q)
     k3r = k3 // 2 + 1
 
     def freqs(k):
         m = jnp.arange(k)
         return jnp.where(m <= k // 2, m, m - k).astype(dtype)
 
+    f2_full = freqs(k2)
+    b2_k2 = _bspline_moduli(k2, order, dtype)
+    if k2_indices is not None:
+        f2_full = f2_full[k2_indices]
+        b2_k2 = b2_k2[k2_indices]
+
     if box.ndim == 1:
         m1 = freqs(k1)[:, None, None] / box[0]
-        m2 = freqs(k2)[None, :, None] / box[1]
+        m2 = f2_full[None, :, None] / box[1]
         m3 = jnp.arange(k3r).astype(dtype)[None, None, :] / box[2]
         m2_tilde = m1 * m1 + m2 * m2 + m3 * m3
     else:
@@ -221,7 +227,7 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
         g = jnp.matmul(inv_h.T, inv_h,
                        precision=jax.lax.Precision.HIGHEST)
         f1 = freqs(k1)[:, None, None]
-        f2 = freqs(k2)[None, :, None]
+        f2 = f2_full[None, :, None]
         f3 = jnp.arange(k3r).astype(dtype)[None, None, :]
         m2_tilde = (
             g[0, 0] * f1 * f1 + g[1, 1] * f2 * f2 + g[2, 2] * f3 * f3
@@ -231,9 +237,12 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
 
     b2 = (
         _bspline_moduli(k1, order, dtype)[:, None, None]
-        * _bspline_moduli(k2, order, dtype)[None, :, None]
+        * b2_k2[None, :, None]
         * _bspline_moduli(k3, order, dtype)[None, None, :k3r]
     )
+    # the charge grid is real, so the last axis is the half-spectrum rfft:
+    # interior k3 columns carry weight 2 (their conjugate twins are not
+    # stored); k3 = 0 and the Nyquist column (even K3) appear once
     w3 = jnp.ones((k3r,), dtype)
     w3 = w3.at[1:].set(2.0)
     if k3 % 2 == 0:
@@ -247,10 +256,16 @@ def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
     filt = jnp.where(
         m2_tilde > 0, jnp.exp(-pi2 * safe_m2 / alpha**2) / safe_m2, 0.0
     )
-    s2 = jnp.abs(Qhat) ** 2
-    return (
-        ONE_4PI_EPS0 / (2.0 * math.pi * volume) * jnp.sum(filt * b2 * s2)
-    )
+    return ONE_4PI_EPS0 / (2.0 * math.pi * volume) * filt * b2
+
+
+def pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order: int = 4):
+    """FFT + reciprocal convolution of an already-spread charge grid —
+    split out so the sharded path (parallel/spatial.py) can psum per-device
+    grids before this replicated part."""
+    Qhat = jnp.fft.rfftn(Q)
+    w = pme_influence(box, alpha, grid_shape, order, Q.dtype)
+    return jnp.sum(w * jnp.abs(Qhat) ** 2)
 
 
 def pme_self_energy(q, alpha):
@@ -290,20 +305,22 @@ def pme_corrections(x, box, q, exclusions, alpha):
 # --------------------------------------------------------------------------
 
 
-def _good_fft_size(n: int) -> int:
-    """Smallest size >= n with only factors 2, 3, 5."""
+def _good_fft_size(n: int, multiple_of: int = 1) -> int:
+    """Smallest size >= n with only factors 2, 3, 5 (and divisible by
+    `multiple_of` — the sharded slab FFT needs K1 and K2 to split evenly
+    across devices)."""
     while True:
         m = n
         for p in (2, 3, 5):
             while m % p == 0:
                 m //= p
-        if m == 1:
+        if m == 1 and n % multiple_of == 0:
             return n
         n += 1
 
 
 def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None,
-                          grid=None, order: int = 6):
+                          grid=None, order: int = 6, multiple_of: int = 1):
     """(alpha, (K1, K2, K3), order) from cutoff + error tolerance.
 
     alpha matches openmm.NonbondedForce's heuristic
@@ -329,7 +346,8 @@ def choose_pme_parameters(r_cut, box, tol: float = 5e-4, alpha=None,
         factor = _ORDER_SPACING_FACTOR.get(order, 1.0 if order < 4 else 0.65)
         grid = [
             _good_fft_size(
-                int(math.ceil(factor * 2.0 * alpha * L / (3.0 * tol ** 0.2)))
+                int(math.ceil(factor * 2.0 * alpha * L / (3.0 * tol ** 0.2))),
+                multiple_of,
             )
             for L in lengths
         ]

@@ -80,6 +80,7 @@ def test_ideal_gas_equation_of_state():
     assert n_att >= 3000 and 0 < n_acc <= n_att
 
 
+@pytest.mark.slow
 def test_npt_water_stays_finite():
     from atomsmm_tpu import GlobalThermostatIntegrator, RESPASystem
     from atomsmm_tpu.integrate.propagators import VelocityRescalingPropagator

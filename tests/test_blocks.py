@@ -10,6 +10,10 @@ import dataclasses
 import numpy as np
 import pytest
 
+# EXPERIMENTAL alternate backends (ops/blocks.py / ops/tilepair.py) are off
+# the production path — full parity sweeps run in the slow tier only
+pytestmark = pytest.mark.slow
+
 from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
 from atomsmm_tpu.models import argon_system, water_system
 from atomsmm_tpu.ops.blocks import (

@@ -95,6 +95,7 @@ def test_hopeless_swaps_rejected(solvated):
     assert accepts == 0
 
 
+@pytest.mark.slow
 def test_acceptance_monotone_in_ladder_spacing(solvated):
     """Coarser λ ladders must accept less: run short HREX chains with K=4
     adjacent vs distant spacing and compare measured acceptance."""

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Pallas kernels execute in interpret mode on the CPU host (slow);
+# kernel-vs-dense parity runs in the slow tier, on-TPU checks in tpu_gate
+pytestmark = pytest.mark.slow
+
 from atomsmm_tpu.models import argon_system, water_system
 from atomsmm_tpu.ops.neighbors import NBR_BUCKET, neighbor_list_extras
 from atomsmm_tpu.ops.pairs import dense_pair_energy

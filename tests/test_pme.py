@@ -88,6 +88,7 @@ def test_pme_force_exact_for_atom_on_grid_node():
     x = x.at[0].set(jnp.asarray([0.8 * box[0], 0.5 * box[1], 0.0]))
     alpha = 3.0
 
+    @jax.jit
     def e(xx):
         return pme_reciprocal_energy(xx, box, q, alpha, (15, 15, 15), order=6)
 
@@ -162,8 +163,8 @@ def test_pme_npt_guard_and_retune():
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
     from atomsmm_tpu.models import water_system
 
-    system, x, box = water_system(n_molecules=64, method="pme", r_cut=0.5,
-                                  r_switch=0.42)
+    system, x, box = water_system(n_molecules=48, method="pme", r_cut=0.45,
+                                  r_switch=0.38)
     ctx = Context(system, VelocityVerletIntegrator(0.0005),
                   make_state(x, box=box))
     ctx.step(2)  # in-bounds: no flag
@@ -181,6 +182,7 @@ def test_pme_npt_guard_and_retune():
     ctx.step(2)  # regridded: steps cleanly
 
 
+@pytest.mark.slow
 def test_pme_npt_short_run_guard_quiet():
     """A PME system under the MC barostat at 1 bar must step cleanly: normal
     volume fluctuations stay inside the static grid's validity bound (the
@@ -278,6 +280,7 @@ def test_exclusion_correction():
     np.testing.assert_allclose(float(corr), expected, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_pme_forces_match_numerical_gradient():
     x, q, box = random_neutral_system(n=16, box_l=1.8)
     alpha = 3.5
@@ -297,6 +300,7 @@ def test_pme_forces_match_numerical_gradient():
         )
 
 
+@pytest.mark.slow
 def test_nonbonded_pme_method_end_to_end():
     """NonbondedForce(method='pme') total == erfc-pair + recip + corrections,
     and the neighbor path agrees with the dense path."""

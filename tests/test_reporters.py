@@ -285,16 +285,30 @@ def test_system_serialization_roundtrip(tmp_path):
     assert loaded.neighbors.cell_capacity == respa.neighbors.cell_capacity
     assert loaded.num_molecules == respa.num_molecules
 
-    # constraints round-trip (rigid TIP3P)
+    # constraints round-trip (rigid TIP3P): the default analytic split
+    # (SettleSet) AND the iterative ConstraintSet
+    import numpy as np
+
     rigid, xr, boxr = rigid_water_system(n_molecules=27, r_cut=0.45)
     path2 = tmp_path / "rigid.npz"
     save_system(str(path2), rigid)
     loaded2 = load_system(str(path2))
     assert loaded2.num_constraints == rigid.num_constraints
-    import numpy as np
-
+    assert loaded2.constraints is None
     np.testing.assert_array_equal(
-        np.asarray(loaded2.constraints.pairs), np.asarray(rigid.constraints.pairs)
+        np.asarray(loaded2.settle.triplets), np.asarray(rigid.settle.triplets)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded2.settle.ra), np.asarray(rigid.settle.ra)
+    )
+
+    shake, _, _ = rigid_water_system(n_molecules=27, r_cut=0.45,
+                                     analytic=False)
+    path3 = tmp_path / "rigid_shake.npz"
+    save_system(str(path3), shake)
+    loaded3 = load_system(str(path3))
+    np.testing.assert_array_equal(
+        np.asarray(loaded3.constraints.pairs), np.asarray(shake.constraints.pairs)
     )
 
 

@@ -66,6 +66,7 @@ def test_near_plus_far_equals_full(water):
     )
 
 
+@pytest.mark.slow
 def test_near_plus_far_with_dispersion_correction():
     """ADVICE r01 (high): the fused FarNonbondedForce branches dropped the
     long-range LJ tail (coeff/V), breaking near + far == full exactly by that

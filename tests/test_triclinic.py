@@ -87,14 +87,14 @@ def test_cutoff_beyond_minimum_image_bound_rejected():
     too-large cutoff silently returns non-minimum images (ADVICE r3)."""
     from atomsmm_tpu import VelocityVerletIntegrator
 
-    system, x, _ = argon_system(n=32, jitter=0.1, seed=0, r_cut=1.1,
-                                r_switch=1.0)
-    # strongly sheared: edge lengths ~2.2 nm but perpendicular width << 2.2
+    system, x, _ = argon_system(n=216, jitter=0.1, seed=0, r_cut=1.0,
+                                r_switch=0.9)
+    # strongly sheared: edge lengths 2.2 nm but perpendicular width << 2.2
     h = jnp.asarray(triclinic_from_lengths_angles(
         2.2, 2.2, 2.2, 90.0, 120.0, 60.0))
-    assert max_cutoff(h) < 1.1
+    assert max_cutoff(h) < 1.0
     rs = np.random.RandomState(7)
-    xs = jnp.asarray(rs.uniform(0, 1, (32, 3))) @ h
+    xs = jnp.asarray(rs.uniform(0, 1, (216, 3))) @ h
     with pytest.raises(InputError, match="minimum-image bound"):
         Context(system, VelocityVerletIntegrator(dt=0.002),
                 make_state(xs, box=h))
@@ -165,6 +165,7 @@ def test_pme_reciprocal_matches_ewald_on_sheared_cell():
     np.testing.assert_allclose(float(e_pme), float(e_ref), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_md_and_virial_on_triclinic_cell():
     """NVE dynamics + the isotropic-scaling virial on a (3, 3) box (the
     barostat/pressure machinery shares the same volume/scaling helpers)."""
