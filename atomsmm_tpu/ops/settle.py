@@ -19,6 +19,33 @@ Eligibility (checked host-side in partition_constraints): molecules whose
 three constraints form a triangle with an apex atom A and two symmetric
 satellite atoms B, C — m_B == m_C and d_AB == d_AC (every rigid 3-site
 water model). Anything else stays on SHAKE/RATTLE.
+
+Examples — one TIP3P-like water, displaced then reset exactly:
+
+>>> import numpy as np
+>>> import jax.numpy as jnp
+>>> masses = jnp.asarray([15.9994, 1.008, 1.008])
+>>> ss = make_settle_set(np.array([[0, 1, 2]], np.int32),
+...                      d_ab=0.09572, d_bc=0.15139, masses=masses)
+>>> ra, rb, rc = float(ss.ra[0]), float(ss.rb[0]), float(ss.rc[0])
+>>> x0 = jnp.asarray([[0.0, ra, 0.0],          # apex on the symmetry axis
+...                   [-rc, -rb, 0.0], [rc, -rb, 0.0]])
+>>> float(settle_residual(ss, x0)) < 1e-12     # on the manifold already
+True
+>>> x1 = x0 + 0.004 * jnp.asarray([[0.3, -1.0, 0.2],
+...                                [-0.8, 0.5, -0.1], [0.6, 0.4, 0.9]])
+>>> x = settle_positions(ss, x1, x0, masses)
+>>> float(settle_residual(ss, x)) < 1e-12      # exact in ONE shot
+True
+>>> com1 = (masses[:, None] * x1).sum(0)       # COM is never moved
+>>> com = (masses[:, None] * x).sum(0)
+>>> bool(jnp.allclose(com, com1, atol=1e-15))
+True
+>>> v = jnp.asarray([[0.1, 0.4, -0.2], [1.5, -0.3, 0.8], [-0.9, 0.2, 0.1]])
+>>> vv = settle_velocities(ss, x0, v, masses)
+>>> r_ab = x0[0] - x0[1]                       # exact tangency after one solve
+>>> bool(abs(jnp.dot(vv[0] - vv[1], r_ab)) < 1e-14)
+True
 """
 from __future__ import annotations
 

@@ -14,6 +14,7 @@ import atomsmm_tpu.integrate.propagators
 import atomsmm_tpu.io.pdb
 import atomsmm_tpu.ops.pairfuncs
 import atomsmm_tpu.ops.pbc
+import atomsmm_tpu.ops.settle
 import atomsmm_tpu.ops.switching
 import atomsmm_tpu.state
 import atomsmm_tpu.systems
@@ -24,6 +25,7 @@ MODULES = {
     "pairfuncs": (atomsmm_tpu.ops.pairfuncs, 5),
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
+    "settle": (atomsmm_tpu.ops.settle, 8),
     "io_pdb": (atomsmm_tpu.io.pdb, 4),
     "systems": (atomsmm_tpu.systems, 7),
     "alchemy": (atomsmm_tpu.alchemy, 7),
