@@ -161,6 +161,7 @@ class Context:
             self.state = self.state.with_extra(**pme_seed)
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         self._observe = jax.jit(self._make_observe())
+        self._observe_lite = jax.jit(self._make_observe(lite=True))
         self.check_overflow = system.neighbors is not None
 
     # -- construction of jitted entry points -------------------------------
@@ -250,7 +251,7 @@ class Context:
 
         return run
 
-    def _make_observe(self):
+    def _make_observe(self, lite: bool = False):
         def observe(system, state, globals):
             if system.neighbors is not None:
                 from .ops.neighbors import update_all_neighbors
@@ -261,6 +262,21 @@ class Context:
             from .ops.neighbors import make_aux
 
             aux = make_aux(system, state.extra)
+            if lite:
+                # partial-split observe (VERDICT r3 weak #8): the full row
+                # evaluates the per-force split + per-group energies +
+                # forces (9-12 step-times, KERNELS.md); plain
+                # StateDataReporter columns need ONE total-energy pass
+                e_pot = potential_energy(system, state.x, state.box,
+                                         globals, aux)
+                return StateSnapshot(
+                    positions=state.x,
+                    velocities=state.v,
+                    box=state.box,
+                    potential_energy=e_pot,
+                    kinetic_energy=kinetic_energy(system.masses, state.v),
+                    step=state.step,
+                )
             e_split = split_potential_energy(
                 system, state.x, state.box, globals, aux
             )
@@ -381,7 +397,15 @@ class Context:
                     )
         return self
 
-    def get_state(self) -> StateSnapshot:
+    def get_state(self, lite: bool = False) -> StateSnapshot:
+        """Full snapshot (per-force split, per-group energies, forces), or
+        with lite=True a cheap one (positions/velocities/PE/KE only — one
+        total-energy pass instead of the 9-12 step-time full split;
+        Simulation picks it automatically when only lite reporters are
+        due)."""
+        if lite:
+            return self._observe_lite(self.system, self.state,
+                                      self.parameters)
         return self._observe(self.system, self.state, self.parameters)
 
     def retune_neighbors(self, safety: float = 1.15):

@@ -28,6 +28,12 @@ from .units import BOLTZMANN
 
 
 class _Reporter:
+    # True when report() reads the full snapshot (energy split / per-group
+    # energies / forces); lite reporters cost one total-energy pass per row
+    # instead of the 9-12 step-time full split (KERNELS.md report-row
+    # measurement; VERDICT r3 weak #8)
+    needs_full_snapshot = False
+
     def __init__(self, file, interval: int):
         self.interval = int(interval)
         self._own = isinstance(file, str)
@@ -84,6 +90,8 @@ class ExtendedStateDataReporter(StateDataReporter):
     """Superset of StateDataReporter (SURVEY.md §2a): per-force energies,
     virials and pressures (atomic & molecular), molecular KE, and any global
     context parameters requested by name."""
+
+    needs_full_snapshot = True
 
     def __init__(self, file, interval, separator: str = ",",
                  energy_split: bool = True,
