@@ -22,9 +22,12 @@ Format notes (AMBER file formats specification, ambermd.org/FileFormats.php):
   negative third atom flags "skip the 1-4 pair" (multi-term Fourier series
   and rings) and a negative fourth atom flags an improper.
 * LJ is tabulated pairwise (ACOEF/BCOEF via NONBONDED_PARM_INDEX); we
-  recover per-type (sigma, epsilon) from the diagonal and *verify* the
-  off-diagonal is Lorentz-Berthelot — NBFIX-style tables are rejected
-  explicitly rather than silently mis-combined.
+  recover per-type (sigma, epsilon) from the diagonal. When the
+  off-diagonal deviates from Lorentz-Berthelot (NBFIX / LJEDIT ion-pair
+  overrides), the FULL per-type-pair tables are carried onto the
+  NonbondedForce (lj_type + pair_sigma/pair_epsilon) and the pair sweeps
+  gather per-pair parameters instead of combining — including the 1-4
+  exception values and the dispersion tail.
 """
 from __future__ import annotations
 
@@ -115,6 +118,11 @@ class AmberPrmtop:
     scnb: np.ndarray          # (P,) LJ 1-4 divisor
     box: np.ndarray | None = None      # (3,) [nm] if IFBOX and BOX_DIMENSIONS
     molecule: np.ndarray = field(default=None)  # (N,) connected component id
+    # NBFIX: set only when the LJ matrix deviates from Lorentz-Berthelot —
+    # full per-type-pair tables + the per-atom type index
+    lj_type: np.ndarray | None = None       # (N,) int32
+    pair_sigma: np.ndarray | None = None    # (T, T) [nm]
+    pair_epsilon: np.ndarray | None = None  # (T, T) [kJ/mol]
 
     @property
     def num_molecules(self) -> int:
@@ -211,21 +219,26 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         if a > 0.0 and b > 0.0:
             sig_t[t] = (a / b) ** (1.0 / 6.0) * 0.1
             eps_t[t] = b * b / (4.0 * a) * _KCAL
-    # reject NBFIX-style tables: every off-diagonal must be Lorentz-Berthelot
+    # NBFIX detection: when any off-diagonal deviates from Lorentz-Berthelot
+    # (LJEDIT / ion-pair overrides), carry the FULL per-type-pair tables —
+    # the pair sweeps then gather (sigma, epsilon) per (type_i, type_j)
+    # instead of combining (forces._lj_combiner)
+    nbfix = False
+    pair_sig = np.full((ntypes, ntypes), 0.1)
+    pair_eps = np.zeros((ntypes, ntypes))
     for ti in range(ntypes):
-        for tj in range(ti + 1, ntypes):
+        for tj in range(ntypes):
             a, b = _pair_ab(ti, tj)
-            if eps_t[ti] == 0.0 or eps_t[tj] == 0.0:
+            if a > 0.0 and b > 0.0:
+                pair_sig[ti, tj] = (a / b) ** (1.0 / 6.0) * 0.1
+                pair_eps[ti, tj] = b * b / (4.0 * a) * _KCAL
+            if tj <= ti or eps_t[ti] == 0.0 or eps_t[tj] == 0.0:
                 continue
             sig = 0.5 * (sig_t[ti] + sig_t[tj]) * 10.0  # back to A
             eps = np.sqrt(eps_t[ti] * eps_t[tj]) / _KCAL
             a_lb, b_lb = 4 * eps * sig**12, 4 * eps * sig**6
             if abs(a - a_lb) > 1e-4 * max(a, 1.0) or abs(b - b_lb) > 1e-6 * max(b, 1.0):
-                raise InputError(
-                    f"prmtop LJ table deviates from Lorentz-Berthelot for type "
-                    f"pair ({ti}, {tj}) (NBFIX): A={a} vs {a_lb}, B={b} vs "
-                    f"{b_lb}; per-pair LJ tables are not supported"
-                )
+                nbfix = True
     sigma = sig_t[type_idx]
     epsilon = eps_t[type_idx]
 
@@ -338,6 +351,9 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         scnb=np.asarray(scnb),
         box=box,
         molecule=molecule.astype(np.int32),
+        lj_type=type_idx.astype(np.int32) if nbfix else None,
+        pair_sigma=pair_sig if nbfix else None,
+        pair_epsilon=pair_eps if nbfix else None,
     )
     # The prmtop's EXCLUDED_ATOMS_LIST is authoritative; our exclusions are
     # derived from the bond graph + dihedral 1-4s (equivalent for standard
@@ -478,6 +494,12 @@ def amber_system(
         use_switch=True,
         chunk=chunk,
     )
+    if top.pair_sigma is not None:  # NBFIX per-type-pair LJ tables
+        nb_kwargs.update(
+            lj_type=jnp.asarray(top.lj_type),
+            pair_sigma=jnp.asarray(top.pair_sigma, dtype),
+            pair_epsilon=jnp.asarray(top.pair_epsilon, dtype),
+        )
     if method == "pme":
         from ..ops.pme import choose_pme_parameters
 
@@ -493,6 +515,8 @@ def amber_system(
             compute_dispersion_coefficient(
                 np.asarray(top.sigma), np.asarray(top.epsilon),
                 r_switch, r_cut,
+                lj_type=top.lj_type, pair_sigma=top.pair_sigma,
+                pair_epsilon=top.pair_epsilon,
             ),
             dtype,
         )
@@ -528,8 +552,13 @@ def amber_system(
         )
     if len(top.pairs14):
         i, j = top.pairs14[:, 0], top.pairs14[:, 1]
-        sig = 0.5 * (top.sigma[i] + top.sigma[j])
-        eps = np.sqrt(top.epsilon[i] * top.epsilon[j]) / top.scnb
+        if top.pair_sigma is not None:  # exact NBFIX values per 1-4 pair
+            ti, tj = top.lj_type[i], top.lj_type[j]
+            sig = top.pair_sigma[ti, tj]
+            eps = top.pair_epsilon[ti, tj] / top.scnb
+        else:
+            sig = 0.5 * (top.sigma[i] + top.sigma[j])
+            eps = np.sqrt(top.epsilon[i] * top.epsilon[j]) / top.scnb
         qq = top.charge[i] * top.charge[j] / top.scee
         forces.append(
             NonbondedExceptionsForce(

@@ -106,6 +106,9 @@ def RESPASystem(
         exclusions=nb.exclusions,
         r_cut=jnp.asarray(rcut_in, nb.sigma.dtype),
         r_switch=jnp.asarray(rswitch_in, nb.sigma.dtype),
+        lj_type=nb.lj_type,           # NBFIX tables follow the full force
+        pair_sigma=nb.pair_sigma,     # so near + far == full stays exact
+        pair_epsilon=nb.pair_epsilon,
         alpha=alpha,
         subtract=False,
         chunk=nb.chunk,
@@ -200,6 +203,12 @@ def SolvationSystem(
     """
     idx = find_nonbonded_force(system)
     nb = system.forces[idx]
+    if nb.pair_sigma is not None:
+        raise InputError(
+            "SolvationSystem does not support NBFIX per-pair LJ tables: the "
+            "softcore decoupling path combines per-particle (sigma, epsilon) "
+            "with Lorentz-Berthelot"
+        )
     n = nb.charge.shape[0]
     solute = jnp.zeros((n,), nb.charge.dtype).at[jnp.asarray(solute_atoms)].set(1.0)
 

@@ -402,6 +402,94 @@ def test_10_12_potential_rejected():
         read_prmtop(text)
 
 
+def _nbfix_prmtop(n1, n2, sig12_a=3.6, eps12_kcal=0.05):
+    """LJ-only binary mixture whose (1,2) row deviates from
+    Lorentz-Berthelot — an NBFIX/LJEDIT-style table."""
+    n = n1 + n2
+
+    def ab(sig_a, eps_kcal):
+        return 4 * eps_kcal * sig_a**12, 4 * eps_kcal * sig_a**6
+
+    a11, b11 = ab(3.0, 0.2)
+    a12, b12 = ab(sig12_a, eps12_kcal)
+    a22, b22 = ab(3.4, 0.15)
+    pointers = [0] * 31
+    pointers[0], pointers[1] = n, 2
+    pointers[11] = n  # NRES
+    pointers[15] = pointers[16] = 1
+    pointers[18] = 2
+    sections = [
+        ("ATOM_NAME", ["A1"] * n1 + ["A2"] * n2, "a"),
+        ("CHARGE", [0.0] * n, "e"),
+        ("MASS", [40.0] * n, "e"),
+        ("ATOM_TYPE_INDEX", [1] * n1 + [2] * n2, "i"),
+        ("NONBONDED_PARM_INDEX", [1, 2, 2, 3], "i"),
+        ("RESIDUE_LABEL", ["AR"] * n, "a"),
+        ("RESIDUE_POINTER", list(range(1, n + 1)), "i"),
+        ("LENNARD_JONES_ACOEF", [a11, a12, a22], "e"),
+        ("LENNARD_JONES_BCOEF", [b11, b12, b22], "e"),
+        ("BONDS_INC_HYDROGEN", [], "i"),
+        ("BONDS_WITHOUT_HYDROGEN", [], "i"),
+        ("ANGLES_INC_HYDROGEN", [], "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", [], "i"),
+    ]
+    return _prmtop_text(sections, pointers)
+
+
+def test_nbfix_tables_supported():
+    """Off-diagonal LJ deviating from Lorentz-Berthelot (NBFIX/LJEDIT) is
+    carried as per-type-pair tables and evaluated exactly: the energy must
+    match a numpy brute-force sum with the tabulated (sigma, epsilon), and
+    the RESPA near/far split must stay exact on the table path
+    (VERDICT r3 missing #5)."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu import RESPASystem
+    from atomsmm_tpu.potential import potential_energy
+
+    n1 = n2 = 12
+    top = read_prmtop(_nbfix_prmtop(n1, n2))
+    assert top.pair_sigma is not None
+    np.testing.assert_allclose(top.pair_sigma[0, 1], 0.36, rtol=1e-7)
+    np.testing.assert_allclose(top.pair_epsilon[0, 1], 0.05 * KCAL,
+                               rtol=1e-7)
+    # and the diagonal still matches the per-type values
+    np.testing.assert_allclose(top.pair_sigma[0, 0], top.sigma[0], rtol=1e-12)
+
+    box = np.array([2.4, 2.4, 2.4])
+    rs_ = np.random.RandomState(3)
+    x = rs_.uniform(0, 2.4, (n1 + n2, 3))
+    r_cut, r_switch = 0.9, 0.75
+    system, _, _ = amber_system(top, box=box, method="cutoff",
+                                r_cut=r_cut, r_switch=r_switch)
+    e = float(potential_energy(system, jnp.asarray(x), jnp.asarray(box)))
+
+    # numpy oracle with the exact tabulated parameters + quintic switch
+    sig_t = np.asarray(top.pair_sigma)
+    eps_t = np.asarray(top.pair_epsilon)
+    types = np.asarray(top.lj_type)
+    e_ref = 0.0
+    for i in range(n1 + n2):
+        for j in range(i + 1, n1 + n2):
+            d = x[i] - x[j]
+            d -= box * np.round(d / box)
+            r = np.sqrt((d * d).sum())
+            if r >= r_cut:
+                continue
+            s, ep = sig_t[types[i], types[j]], eps_t[types[i], types[j]]
+            u = 4 * ep * ((s / r) ** 12 - (s / r) ** 6)
+            if r > r_switch:
+                t = (r - r_switch) / (r_cut - r_switch)
+                u *= 1 + t**3 * (-10 + t * (15 - 6 * t))
+            e_ref += u
+    np.testing.assert_allclose(e, e_ref, rtol=1e-6)
+
+    # near + far == full must hold on the table path too
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.42)
+    e_split = float(potential_energy(respa, jnp.asarray(x), jnp.asarray(box)))
+    np.testing.assert_allclose(e_split, e, rtol=1e-12)
+
+
 def test_virtual_sites_rejected():
     # NUMEXTRA (POINTERS index 30) nonzero
     text = _water_prmtop(1)
