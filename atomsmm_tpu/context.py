@@ -91,6 +91,19 @@ class Context:
         from .ops.pbc import validate_cutoffs
 
         validate_cutoffs(system, state.box)
+        if system.virtual_sites is not None:
+            # place virtual rows once so neighbor builds / reporters see
+            # consistent positions from the start (builder rows may be junk)
+            from .ops.virtual_sites import (
+                place_virtual_sites,
+                zero_virtual_velocities,
+            )
+
+            state = replace(
+                state,
+                x=place_virtual_sites(system.virtual_sites, state.x),
+                v=zero_virtual_velocities(system.virtual_sites, state.v),
+            )
         if system.neighbors is not None:
             from .ops.neighbors import all_neighbor_extras
 
@@ -313,7 +326,17 @@ class Context:
             rng, self.system.masses, temperature, self.state.x.dtype
         )
         if self.system.remove_com_motion:
+            if self.system.virtual_sites is not None:
+                from .ops.virtual_sites import zero_virtual_velocities
+
+                # massless rows sample inf from the Maxwell draw; zero them
+                # before the COM projection (which would spread them)
+                v = zero_virtual_velocities(self.system.virtual_sites, v)
             v = remove_com_motion(self.system.masses, v)
+        if self.system.virtual_sites is not None:
+            from .ops.virtual_sites import zero_virtual_velocities
+
+            v = zero_virtual_velocities(self.system.virtual_sites, v)
         self.set_velocities(v)
 
     def set_periodic_box(self, box):

@@ -274,8 +274,13 @@ class TranslationPropagator(Propagator):
         t = fraction * ctx.dt
         cons = getattr(ctx.system, "constraints", None)
         sset = getattr(ctx.system, "settle", None)
+        vsites = getattr(ctx.system, "virtual_sites", None)
         x_unc = state.x + state.v * t
         if cons is None and sset is None:
+            if vsites is not None:
+                from ..ops.virtual_sites import place_virtual_sites
+
+                x_unc = place_virtual_sites(vsites, x_unc)
             return replace(state, x=x_unc)
         x_new = x_unc
         if sset is not None:
@@ -287,6 +292,16 @@ class TranslationPropagator(Propagator):
 
             x_new = shake_positions(cons, x_new, state.x, 1.0 / ctx.masses)
         v = state.v + (x_new - x_unc) / t
+        if vsites is not None:
+            # keep the stored virtual rows consistent with their parents
+            # (forces never read them — they are re-placed at evaluation)
+            from ..ops.virtual_sites import (
+                place_virtual_sites,
+                zero_virtual_velocities,
+            )
+
+            x_new = place_virtual_sites(vsites, x_new)
+            v = zero_virtual_velocities(vsites, v)
         return replace(state, x=x_new, v=v)
 
     def describe(self, fraction=1.0):
@@ -296,7 +311,9 @@ class TranslationPropagator(Propagator):
 def _project_velocities(ctx, x, v):
     """Project velocities onto the constraint tangent space: closed-form
     SETTLE for 3-site molecules (exact one-shot 3x3 solve), iterative
-    RATTLE for any remaining general constraints."""
+    RATTLE for any remaining general constraints; virtual-site rows are
+    pinned to zero (they receive no kicks, and stochastic baths must not
+    hand them noise)."""
     sset = getattr(ctx.system, "settle", None)
     if sset is not None:
         from ..ops.settle import settle_velocities
@@ -307,6 +324,11 @@ def _project_velocities(ctx, x, v):
         from ..ops.constraints import rattle_velocities
 
         v = rattle_velocities(cons, x, v, 1.0 / ctx.masses)
+    vsites = getattr(ctx.system, "virtual_sites", None)
+    if vsites is not None:
+        from ..ops.virtual_sites import zero_virtual_velocities
+
+        v = zero_virtual_velocities(vsites, v)
     return v
 
 
@@ -351,7 +373,11 @@ class BoostPropagator(Propagator):
             f = state.extra[force_cache_tag(self.groups)]
         else:
             f = ctx.forces(state, self.groups)
-        v = state.v + f / ctx.masses[:, None] * t
+        # safe inverse mass: virtual sites are massless AND forceless (the
+        # placement vjp zeroes their rows), so 0-mass rows get kick 0, not nan
+        m = ctx.masses
+        inv_m = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+        v = state.v + f * inv_m[:, None] * t
         v = _project_velocities(ctx, state.x, v)
         state = replace(state, v=v)
         if self.cache == "write":

@@ -35,12 +35,14 @@ def fire_minimize(
     astronomic forces of overlapping lattice starts make the first kick
     diverge (trust-region-style clamp)."""
     f = force_fn(system)
-    masses = system.masses[:, None]
+    m = system.masses
+    # virtual sites are massless and forceless: kick 0, not nan
+    inv_m = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)[:, None]
 
     def body(carry, _):
         x, v, dt, alpha, n_pos = carry
         _, F = f(x, box, globals or {})
-        v = v + dt * F / masses
+        v = v + dt * F * inv_m
         power = jnp.sum(F * v)
         fnorm = jnp.sqrt(jnp.sum(F * F)) + 1e-30
         vnorm = jnp.sqrt(jnp.sum(v * v))

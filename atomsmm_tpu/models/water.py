@@ -326,3 +326,121 @@ def rigid_water_system(
                                exclusions=nb_kwargs["exclusions"])
         )
     return system, jnp.asarray(x, dtype), box
+
+
+# --- TIP4P/Ew rigid 4-site water (virtual sites, SURVEY.md §2b) -------------
+
+TIP4P_EW_Q_H = 0.52422
+TIP4P_EW_Q_M = -1.04844
+TIP4P_EW_SIGMA_O = 0.316435
+TIP4P_EW_EPSILON_O = 0.680946  # kJ/mol
+TIP4P_EW_R_OH = 0.09572
+TIP4P_EW_THETA = 104.52 * np.pi / 180.0
+TIP4P_EW_D_OM = 0.0125  # nm, O -> M along the HOH bisector
+
+
+def tip4p_water_system(
+    n_molecules: int = 216,
+    method: str = "cutoff",
+    r_cut: float = 0.9,
+    r_switch: float = 0.8,
+    seed: int = 0,
+    dtype=None,
+    neighbors: bool = False,
+    skin: float = 0.1,
+):
+    """Rigid TIP4P/Ew water (Horn et al., JCP 120, 9665 (2004)): 4 sites per
+    molecule — O (LJ only), two H (charge only), and the massless M site
+    carrying the negative charge, placed on the HOH bisector as a
+    ThreeParticleAverage virtual site (ops/virtual_sites.py). Geometry held
+    by closed-form SETTLE on (O, H1, H2); M is reconstructed from its
+    parents every move, and its Coulomb forces redistribute onto O/H1/H2
+    through the placement's vjp. Returns (System, positions, box)."""
+    from ..ops.settle import make_settle_set
+    from ..ops.virtual_sites import VirtualSiteSet, place_virtual_sites
+
+    dtype = dtype or jnp.result_type(float)
+    m = n_molecules
+    n = 4 * m
+    box_l = (m / WATER_NUMBER_DENSITY) ** (1.0 / 3.0)
+    if r_cut > 0.5 * box_l:
+        from ..utils import InputError
+
+        raise InputError(f"r_cut {r_cut} > box/2 ({box_l/2:.3f})")
+
+    r, t = TIP4P_EW_R_OH, TIP4P_EW_THETA
+    mol = np.stack([
+        np.zeros(3),
+        [r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+        [-r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+        np.zeros(3),  # M row — placed by the virtual-site construction
+    ])
+    rs = np.random.RandomState(seed)
+    n_side = int(np.ceil(m ** (1.0 / 3.0)))
+    spacing = box_l / n_side
+    grid = (np.arange(n_side) + 0.5) * spacing
+    centers = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), -1)
+    centers = centers.reshape(-1, 3)[:m]
+    rot = _random_rotations(m, rs)
+    x = (centers[:, None, :] + np.einsum("mij,aj->mai", rot, mol)).reshape(-1, 3)
+
+    o = 4 * np.arange(m)
+    # exclude all 6 intramolecular pairs (O, H1, H2, M)
+    excl_pairs = np.concatenate([
+        np.stack([o + a, o + b], 1)
+        for a in range(4) for b in range(a + 1, 4)
+    ])
+    nb_kwargs = dict(
+        group=0,
+        charge=jnp.asarray(np.tile(
+            [0.0, TIP4P_EW_Q_H, TIP4P_EW_Q_H, TIP4P_EW_Q_M], m), dtype),
+        sigma=jnp.asarray(np.tile([TIP4P_EW_SIGMA_O, 1.0, 1.0, 1.0], m), dtype),
+        epsilon=jnp.asarray(np.tile([TIP4P_EW_EPSILON_O, 0.0, 0.0, 0.0], m),
+                            dtype),
+        exclusions=make_exclusions_array(n, excl_pairs),
+        r_cut=jnp.asarray(r_cut, dtype),
+        r_switch=jnp.asarray(r_switch, dtype),
+        eps_rf=jnp.asarray(1e15, dtype),
+        method=method,
+        use_switch=True,
+    )
+    if method == "pme":
+        from ..ops.pme import choose_pme_parameters
+
+        alpha, grid_shape, order = choose_pme_parameters(
+            r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha),
+                         grid_shape=tuple(grid_shape), spline_order=order)
+
+    masses = jnp.asarray(np.tile([MASS_O, MASS_H, MASS_H, 0.0], m), dtype)
+    d_hh = 2.0 * r * np.sin(t / 2.0)
+    sset = make_settle_set(np.stack([o, o + 1, o + 2], 1), r, d_hh, masses,
+                           dtype=dtype)
+    c = TIP4P_EW_D_OM / (2.0 * r * np.cos(t / 2.0))
+    vsites = VirtualSiteSet(
+        sites=jnp.asarray(o + 3, jnp.int32),
+        parents=jnp.asarray(np.stack([o, o + 1, o + 2], 1), jnp.int32),
+        weights=jnp.asarray(np.tile([1.0 - 2 * c, c, c], (m, 1)), dtype),
+        oop=jnp.zeros((m,), dtype),
+    )
+    x = np.asarray(place_virtual_sites(vsites, jnp.asarray(x, dtype)))
+
+    box = jnp.full((3,), box_l, dtype)
+    system = System(
+        masses=masses,
+        forces=(NonbondedForce(**nb_kwargs),),
+        molecule=jnp.asarray(np.repeat(np.arange(m), 4), jnp.int32),
+        default_box=box,
+        settle=sset,
+        virtual_sites=vsites,
+        num_molecules=m,
+        num_constraints=3 * m,
+    )
+    if neighbors:
+        from ..ops.neighbors import make_neighbor_spec
+
+        system = system.with_neighbors(
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
+                               exclusions=nb_kwargs["exclusions"])
+        )
+    return system, jnp.asarray(x, dtype), box

@@ -41,6 +41,7 @@ class System:
     extra_neighbor_specs: dict = None  # name -> NeighborSpec (e.g. 'near')
     constraints: object = None  # Optional[ops.constraints.ConstraintSet]
     settle: object = None  # Optional[ops.settle.SettleSet] (analytic waters)
+    virtual_sites: object = None  # Optional[ops.virtual_sites.VirtualSiteSet]
     num_molecules: int = static_field(default=0)
     num_constraints: int = static_field(default=0)
     remove_com_motion: bool = static_field(default=True)

@@ -76,10 +76,14 @@ def replace(obj, **changes):
 def count_degrees_of_freedom(system) -> int:
     """Number of kinetic degrees of freedom (atomsmm/utils.py::countDegreesOfFreedom).
 
-    3*N minus 3 if center-of-mass motion is removed, minus constraints (none yet).
-    """
+    3*N minus 3 if center-of-mass motion is removed, minus constraints,
+    minus 3 per virtual site (massless interaction points carry no kinetic
+    degrees of freedom — their velocities are pinned to zero)."""
     n = system.num_particles
     dof = 3 * n - system.num_constraints
+    vs = getattr(system, "virtual_sites", None)
+    if vs is not None:
+        dof -= 3 * vs.size
     if getattr(system, "remove_com_motion", True):
         dof -= 3
     return dof
