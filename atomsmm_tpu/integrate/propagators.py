@@ -642,15 +642,23 @@ class OrnsteinUhlenbeckPropagator(Propagator):
     is_thermostat = True
 
     def __init__(self, temperature, friction, variable: Optional[str] = None,
-                 mass=None):
+                 mass=None, temperature_global: Optional[str] = None):
         self.temperature = float(temperature)
         self.friction = float(friction)  # 1/ps
         self.variable = variable
         self.mass = mass
+        # when set, the bath temperature is read from this traced global
+        # parameter at step time (falls back to `temperature`) — lets
+        # temperature-REMD replicas carry per-replica bath setpoints
+        # through the vmapped globals row with no recompilation
+        self.temperature_global = temperature_global
 
     def apply(self, ctx, state, fraction):
         t = fraction * ctx.dt
-        kT = BOLTZMANN * self.temperature
+        t_set = self.temperature
+        if self.temperature_global is not None:
+            t_set = (ctx.globals or {}).get(self.temperature_global, t_set)
+        kT = BOLTZMANN * t_set
         decay = math.exp(-self.friction * t)
         noise = math.sqrt(max(1.0 - decay * decay, 0.0))
         rng, sub = jax.random.split(state.rng)

@@ -63,8 +63,19 @@ def make_hrex_swap(system, temperature):
     states: replica-stacked State (leading K axis); globalss: dict of (K,)
     λ arrays; parity: 0 swaps pairs (0,1),(2,3)…, 1 swaps (1,2),(3,4)….
     Fully jittable — three vmapped energy batches + one gather.
+
+    `temperature` may be a scalar (Hamiltonian exchange at one T) or a
+    (K,) ladder (temperature/combined REMD): the criterion generalizes to
+
+        Δ_k = β_k [U_k(x_{k+1}) - U_k(x_k)]
+            + β_{k+1} [U_{k+1}(x_k) - U_{k+1}(x_{k+1})],
+
+    and velocities arriving at row k from row j are rescaled by
+    sqrt(T_k / T_j) so the exchanged configuration lands with kinetic
+    energy canonical at its NEW temperature (the standard T-REMD move).
     """
-    beta = 1.0 / (BOLTZMANN * float(temperature))
+    temperature = jnp.asarray(temperature)
+    beta = 1.0 / (BOLTZMANN * temperature)  # scalar or (K,)
     energy_one = _energy_fn(system)
 
     def swap(states, globalss, key, parity):
@@ -90,9 +101,7 @@ def make_hrex_swap(system, temperature):
             dn(states.x), dn(states.box), jax.tree.map(dn, states.extra),
             globalss,
         )
-        # pair (k, k+1): Δ_k = β [(U_k(x_{k+1}) - U_k(x_k))
-        #                          + (U_{k+1}(x_k) - U_{k+1}(x_{k+1}))]
-        delta = beta * ((e_up - e_own) + up(e_dn - e_own))
+        delta = beta * (e_up - e_own) + up(beta * (e_dn - e_own))
         eligible = (idx % 2 == parity) & (idx < k_states - 1)
         r = jax.random.uniform(key, (k_states,))
         accept = eligible & (jnp.log(r) < -delta)
@@ -102,11 +111,16 @@ def make_hrex_swap(system, temperature):
         def take(a):
             return jnp.take(a, perm, axis=0)
 
+        v_new = take(states.v)
+        if temperature.ndim:  # T ladder: rescale v to the new row's T
+            t_arr = jnp.asarray(temperature, states.v.dtype)
+            scale = jnp.sqrt(t_arr / jnp.take(t_arr, perm))
+            v_new = v_new * scale[:, None, None]
         new_extra = {
             k: (take(v) if k.startswith(_CONFIG_PREFIXES) else v)
             for k, v in states.extra.items()
         }
-        states = replace(states, x=take(states.x), v=take(states.v),
+        states = replace(states, x=take(states.x), v=v_new,
                          box=take(states.box), extra=new_extra)
         return states, accept.sum(), eligible.sum()
 
@@ -156,7 +170,13 @@ class HREXSampler:
 
     def __init__(self, system, x0, box, lambdas: Dict[str, jnp.ndarray],
                  temperature, mesh: Optional[Mesh] = None, axis: str = "dp",
-                 dt=0.001, friction=5.0, seed: int = 0):
+                 dt=0.001, friction=5.0, seed: int = 0,
+                 temperatures=None):
+        """temperatures: optional (K,) ladder for temperature-REMD — each
+        replica's OU bath reads its own setpoint from the traced globals
+        row ('bath_T'), and swaps use the per-row β criterion with
+        sqrt(T_new/T_old) velocity rescaling. lambdas may be {} for pure
+        T-REMD (one Hamiltonian, many temperatures)."""
         from ..integrate.integrators import GlobalThermostatIntegrator
         from ..integrate.propagators import (
             OrnsteinUhlenbeckPropagator,
@@ -166,12 +186,21 @@ class HREXSampler:
         self.system = system
         self.temperature = float(temperature)
         self.lambdas = {k: jnp.asarray(v) for k, v in lambdas.items()}
-        self.k_states = len(next(iter(self.lambdas.values())))
+        self.temperatures = (None if temperatures is None
+                             else jnp.asarray(temperatures))
+        if self.lambdas:
+            self.k_states = len(next(iter(self.lambdas.values())))
+        else:
+            self.k_states = len(self.temperatures)
         self.mesh, self.axis = mesh, axis
         integ = GlobalThermostatIntegrator(
             dt,
             VelocityVerletPropagator(),
-            OrnsteinUhlenbeckPropagator(self.temperature, friction),
+            OrnsteinUhlenbeckPropagator(
+                self.temperature, friction,
+                temperature_global=("bath_T" if temperatures is not None
+                                    else None),
+            ),
         )
 
         state = make_state(x0, box=box, seed=seed)
@@ -186,10 +215,17 @@ class HREXSampler:
             jax.random.PRNGKey(seed + 1), system.masses, self.temperature,
             x0.dtype,
         )
-        states = replace(states, v=jnp.tile(v0, (self.k_states, 1, 1)))
+        v_rows = jnp.tile(v0, (self.k_states, 1, 1))
+        if self.temperatures is not None:  # per-row Maxwell temperature
+            scale = jnp.sqrt(self.temperatures / self.temperature)
+            v_rows = v_rows * scale[:, None, None].astype(v_rows.dtype)
+        states = replace(states, v=v_rows)
         self.states = self._shard(states)
         self._run = jax.jit(make_replica_run(system, integ))
-        self._swap = jax.jit(make_hrex_swap(system, self.temperature))
+        self._swap = jax.jit(make_hrex_swap(
+            system,
+            self.temperature if temperatures is None else self.temperatures,
+        ))
         self._key = jax.random.PRNGKey(seed + 2)
         self._parity = 0
         self.swap_attempts = 0
@@ -202,7 +238,10 @@ class HREXSampler:
         return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
     def _globals(self, values: Dict[str, jnp.ndarray]):
-        return self._shard(dict(values))
+        g = dict(values)
+        if self.temperatures is not None:
+            g.setdefault("bath_T", self.temperatures)
+        return self._shard(g)
 
     def run(self, n_steps: int, globalss=None):
         g = self._globals(globalss if globalss is not None else self.lambdas)

@@ -16,6 +16,7 @@ import atomsmm_tpu.ops.pairfuncs
 import atomsmm_tpu.ops.pbc
 import atomsmm_tpu.ops.settle
 import atomsmm_tpu.ops.switching
+import atomsmm_tpu.ops.virtual_sites
 import atomsmm_tpu.state
 import atomsmm_tpu.systems
 import atomsmm_tpu.utils
@@ -26,6 +27,7 @@ MODULES = {
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
     "settle": (atomsmm_tpu.ops.settle, 8),
+    "virtual_sites": (atomsmm_tpu.ops.virtual_sites, 6),
     "io_pdb": (atomsmm_tpu.io.pdb, 4),
     "systems": (atomsmm_tpu.systems, 7),
     "alchemy": (atomsmm_tpu.alchemy, 7),

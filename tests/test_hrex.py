@@ -120,6 +120,63 @@ def test_acceptance_monotone_in_ladder_spacing(solvated):
     assert r_tight > 0.5  # near-identical neighbors swap readily
 
 
+def test_tremd_zero_delta_swaps_and_velocity_rescale(solvated):
+    """Temperature exchange: identical configurations make Δ = 0 at ANY
+    temperature pair (the β terms cancel pairwise), so the swap always
+    accepts — and the exchanged velocities must be rescaled by
+    sqrt(T_new/T_old)."""
+    solv, x, box = solvated
+    states = _stacked_states(x, box, 2)
+    rs = np.random.RandomState(1)
+    from atomsmm_tpu.utils import replace
+
+    v = jnp.asarray(rs.normal(0, 1.0, states.v.shape))
+    states = replace(states, v=v)
+    temps = jnp.asarray([300.0, 450.0])
+    lams = {"lambda_vdw": jnp.ones(2), "lambda_coul": jnp.ones(2)}
+    swap = make_hrex_swap(solv, temps)
+    out, acc, att = jax.jit(swap)(states, lams, jax.random.PRNGKey(0), 0)
+    assert int(att) == 1 and int(acc) == 1
+    np.testing.assert_allclose(
+        np.asarray(out.v)[0], np.asarray(v)[1] * np.sqrt(300.0 / 450.0),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out.v)[1], np.asarray(v)[0] * np.sqrt(450.0 / 300.0),
+        rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_tremd_rows_hold_their_setpoints():
+    """Pure T-REMD on argon (one Hamiltonian, a 4-rung temperature
+    ladder): each replica ROW must hold its own bath setpoint even while
+    configurations migrate through accepted swaps, and neighboring rungs
+    at ~15% spacing must actually exchange."""
+    from atomsmm_tpu.models import argon_system
+    from atomsmm_tpu.state import kinetic_energy
+
+    system, x, box = argon_system(n=216, jitter=0.1, seed=4, neighbors=True)
+    temps = jnp.asarray([100.0, 115.0, 132.0, 152.0])
+    sampler = HREXSampler(system, x, box, {}, 100.0, dt=0.002, friction=10.0,
+                          seed=7, temperatures=temps)
+    sampler.run(400)  # thermalize each rung at its own T
+    t_rows = np.zeros(4)
+    n_samp = 30
+    for _ in range(n_samp):
+        sampler.run(20)
+        sampler.attempt_swaps()
+        for k in range(4):
+            ke = float(kinetic_energy(system.masses, sampler.states.v[k]))
+            t_rows[k] += 2.0 * ke / (3 * 216 * 0.00831446261815324)
+    t_rows /= n_samp
+    assert sampler.swap_accepts > 0, "no exchanges at 15% rung spacing"
+    assert sampler.acceptance_rate < 1.0
+    for k in range(4):
+        assert abs(t_rows[k] - float(temps[k])) < 0.12 * float(temps[k]), (
+            k, t_rows)
+    # the ladder ordering survives the swaps (row k is the k-th rung)
+    assert np.all(np.diff(t_rows) > 0), t_rows
+
+
 @pytest.mark.slow
 def test_parallel_dg_matches_sequential(solvated):
     """ΔG(MBAR) from the replica-parallel HREX sampler on the virtual
