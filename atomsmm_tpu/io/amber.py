@@ -123,6 +123,12 @@ class AmberPrmtop:
     lj_type: np.ndarray | None = None       # (N,) int32
     pair_sigma: np.ndarray | None = None    # (T, T) [nm]
     pair_epsilon: np.ndarray | None = None  # (T, T) [kJ/mol]
+    # TIP4P-style extra points, classified into virtual sites (the frame
+    # "bonds"/"angles" stay in the bond/angle lists for exclusion derivation
+    # and are filtered out of the bonded FORCES by amber_system)
+    vs_sites: np.ndarray | None = None      # (V,) int32
+    vs_parents: np.ndarray | None = None    # (V, 3) int32 (O, H1, H2)
+    vs_weights: np.ndarray | None = None    # (V, 3)
 
     @property
     def num_molecules(self) -> int:
@@ -180,17 +186,10 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
             "prmtop uses 10-12 hydrogen-bond potentials (NPHB > 0 with "
             "nonzero HBOND_ACOEF) — not supported"
         )
-    numextra = ptr[30] if len(ptr) > 30 else 0
-    if numextra:
-        raise InputError(
-            f"prmtop declares {numextra} extra points / virtual sites "
-            "(NUMEXTRA) — not supported"
-        )
-    if any(m == 0.0 for m in s["MASS"][:natom]):
-        raise InputError(
-            "prmtop contains zero-mass atoms (virtual sites / extra points) "
-            "— not supported"
-        )
+    # NUMEXTRA / zero-mass atoms: TIP4P-style extra points are supported
+    # (classified into virtual sites after the bond lists are parsed);
+    # anything that does not match the single-parent water-EP pattern still
+    # raises a clear error below.
     nbonh, nbona = ptr[2], ptr[12]
     ntheth, ntheta = ptr[4], ptr[13]
     nphih, nphia = ptr[6], ptr[14]
@@ -326,6 +325,62 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     roots = np.fromiter((_find(i) for i in range(natom)), np.int64, natom)
     _, molecule = np.unique(roots, return_inverse=True)
 
+    # extra points / zero-mass atoms -> virtual sites. Supported pattern:
+    # the TIP4P-style water EP — massless atom framed by exactly one
+    # parent whose other two bonded massive neighbors are equivalent
+    # hydrogens; the ThreeParticleAverage weights follow from the
+    # EQUILIBRIUM frame geometry (bond equil values + the H-O-H angle),
+    # exactly as OpenMM's AmberPrmtopFile derives them.
+    ep_idx = np.nonzero(mass == 0.0)[0]
+    vs_sites = vs_parents = vs_weights = None
+    if len(ep_idx):
+        neigh: dict = {}
+        bond_len: dict = {}
+        for bi, (i, j) in enumerate(bonds):
+            i, j = int(i), int(j)
+            neigh.setdefault(i, []).append(j)
+            neigh.setdefault(j, []).append(i)
+            bond_len[(min(i, j), max(i, j))] = bond_r0[bi]
+        angle_eq: dict = {}
+        for ai, (a, b, c_) in enumerate(angles):
+            a, b, c_ = int(a), int(b), int(c_)
+            angle_eq[(min(a, c_), b, max(a, c_))] = angle_t0[ai]
+        rows, wrows = [], []
+        for ep in ep_idx:
+            parents = neigh.get(int(ep), [])
+            if len(parents) != 1:
+                raise InputError(
+                    f"extra point {ep} is framed by {len(parents)} bonds — "
+                    "only single-parent TIP4P-style water EPs are supported"
+                )
+            o = parents[0]
+            hs = [a for a in neigh[o] if mass[a] > 0.0]
+            if len(hs) != 2:
+                raise InputError(
+                    f"extra point {ep}: parent {o} has {len(hs)} massive "
+                    "neighbors — only TIP4P-style water EPs (O with two H) "
+                    "are supported"
+                )
+            h1, h2 = sorted(hs)
+            d_om = bond_len[(min(int(ep), o), max(int(ep), o))]
+            r1 = bond_len[(min(o, h1), max(o, h1))]
+            r2 = bond_len[(min(o, h2), max(o, h2))]
+            if abs(r1 - r2) > 1e-9:
+                raise InputError(
+                    f"extra point {ep}: unequal O-H frame bonds ({r1}, {r2})"
+                )
+            t0 = angle_eq.get((h1, o, h2))
+            if t0 is None:
+                raise InputError(
+                    f"extra point {ep}: no H-O-H angle to derive the frame"
+                )
+            c_w = d_om / (2.0 * r1 * np.cos(t0 / 2.0))
+            rows.append((int(ep), o, h1, h2))
+            wrows.append((1.0 - 2.0 * c_w, c_w, c_w))
+        vs_sites = np.asarray([r[0] for r in rows], np.int32)
+        vs_parents = np.asarray([r[1:] for r in rows], np.int32)
+        vs_weights = np.asarray(wrows)
+
     res_ptr = np.asarray(s.get("RESIDUE_POINTER", [1]), dtype=np.int64) - 1
     top = AmberPrmtop(
         natom=natom,
@@ -354,6 +409,9 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         lj_type=type_idx.astype(np.int32) if nbfix else None,
         pair_sigma=pair_sig if nbfix else None,
         pair_epsilon=pair_eps if nbfix else None,
+        vs_sites=vs_sites,
+        vs_parents=vs_parents,
+        vs_weights=vs_weights,
     )
     # The prmtop's EXCLUDED_ATOMS_LIST is authoritative; our exclusions are
     # derived from the bond graph + dihedral 1-4s (equivalent for standard
@@ -522,34 +580,50 @@ def amber_system(
         )
     forces = [NonbondedForce(**nb_kwargs)]
 
+    # frame terms of extra points define virtual-site geometry, not forces:
+    # drop any bonded term touching a virtual site (the bonds stayed in the
+    # topology so the exclusion graph still covers the EP)
+    vs_mask = np.zeros(n, bool)
+    if top.vs_sites is not None:
+        vs_mask[top.vs_sites] = True
+
+    def _massive(idx2d):
+        return ~vs_mask[np.asarray(idx2d)].any(axis=1)
+
     if len(top.bonds):
-        forces.append(
-            HarmonicBondForce(
-                group=0,
-                idx=jnp.asarray(top.bonds),
-                r0=jnp.asarray(top.bond_r0, dtype),
-                k=jnp.asarray(top.bond_k, dtype),
+        keep = _massive(top.bonds)
+        if keep.any():
+            forces.append(
+                HarmonicBondForce(
+                    group=0,
+                    idx=jnp.asarray(top.bonds[keep]),
+                    r0=jnp.asarray(top.bond_r0[keep], dtype),
+                    k=jnp.asarray(top.bond_k[keep], dtype),
+                )
             )
-        )
     if len(top.angles):
-        forces.append(
-            HarmonicAngleForce(
-                group=0,
-                idx=jnp.asarray(top.angles),
-                theta0=jnp.asarray(top.angle_t0, dtype),
-                k=jnp.asarray(top.angle_k, dtype),
+        keep = _massive(top.angles)
+        if keep.any():
+            forces.append(
+                HarmonicAngleForce(
+                    group=0,
+                    idx=jnp.asarray(top.angles[keep]),
+                    theta0=jnp.asarray(top.angle_t0[keep], dtype),
+                    k=jnp.asarray(top.angle_k[keep], dtype),
+                )
             )
-        )
     if len(top.torsions):
-        forces.append(
-            PeriodicTorsionForce(
-                group=0,
-                idx=jnp.asarray(top.torsions),
-                periodicity=jnp.asarray(top.torsion_periodicity),
-                phase=jnp.asarray(top.torsion_phase, dtype),
-                k=jnp.asarray(top.torsion_k, dtype),
+        keep = _massive(top.torsions)
+        if keep.any():
+            forces.append(
+                PeriodicTorsionForce(
+                    group=0,
+                    idx=jnp.asarray(top.torsions[keep]),
+                    periodicity=jnp.asarray(top.torsion_periodicity[keep]),
+                    phase=jnp.asarray(top.torsion_phase[keep], dtype),
+                    k=jnp.asarray(top.torsion_k[keep], dtype),
+                )
             )
-        )
     if len(top.pairs14):
         i, j = top.pairs14[:, 0], top.pairs14[:, 1]
         if top.pair_sigma is not None:  # exact NBFIX values per 1-4 pair
@@ -571,11 +645,22 @@ def amber_system(
             )
         )
 
+    vsites = None
+    if top.vs_sites is not None:
+        from ..ops.virtual_sites import VirtualSiteSet
+
+        vsites = VirtualSiteSet(
+            sites=jnp.asarray(top.vs_sites),
+            parents=jnp.asarray(top.vs_parents),
+            weights=jnp.asarray(top.vs_weights, dtype),
+            oop=jnp.zeros((len(top.vs_sites),), dtype),
+        )
     system = System(
         masses=jnp.asarray(top.mass, dtype),
         forces=tuple(forces),
         molecule=jnp.asarray(top.molecule, jnp.int32),
         default_box=jnp.asarray(box, dtype),
+        virtual_sites=vsites,
         num_molecules=top.num_molecules,
     )
     if neighbors:

@@ -490,19 +490,113 @@ def test_nbfix_tables_supported():
     np.testing.assert_allclose(e_split, e, rtol=1e-12)
 
 
-def test_virtual_sites_rejected():
-    # NUMEXTRA (POINTERS index 30) nonzero
-    text = _water_prmtop(1)
-    lines = text.splitlines()
-    i = lines.index("%FLAG POINTERS") + 2
-    row4 = lines[i + 3]  # entries 30..: fourth data row
-    lines[i + 3] = f"{2:8d}" + row4[8:]
-    with pytest.raises(InputError, match="extra points"):
-        read_prmtop("\n".join(lines) + "\n")
-    # zero-mass atom
-    text2 = _water_prmtop(1).replace("1.00800000E+00", "0.00000000E+00")
-    with pytest.raises(InputError, match="zero-mass"):
-        read_prmtop(text2)
+def _tip4p_prmtop(m):
+    """TIP4P-style 4-site water: O, H1, H2 and a massless EP framed by an
+    O-EP bond + the H-O-H angle (the LEaP extra-point convention)."""
+    n = 4 * m
+    o = 4 * np.arange(m)
+    sig_a, eps_kcal = 3.16435, 0.16275
+    a_oo = 4 * eps_kcal * sig_a**12
+    b_oo = 4 * eps_kcal * sig_a**6
+    pointers = [0] * 31
+    pointers[0], pointers[1] = n, 3
+    pointers[2] = 2 * m       # NBONH (O-H bonds)
+    pointers[12] = m          # NBONA (O-EP frame bonds)
+    pointers[4] = m           # NTHETH (H-O-H)
+    pointers[11] = m
+    pointers[15], pointers[16] = 2, 1
+    pointers[18] = 3
+    pointers[20] = 1
+    pointers[30] = m          # NUMEXTRA
+    bonds_h, bonds_a, angles_h = [], [], []
+    for i in range(m):
+        bonds_h += [3 * o[i], 3 * (o[i] + 1), 1,
+                    3 * o[i], 3 * (o[i] + 2), 1]
+        bonds_a += [3 * o[i], 3 * (o[i] + 3), 2]
+        angles_h += [3 * (o[i] + 1), 3 * o[i], 3 * (o[i] + 2), 1]
+    qh = 0.52 * AMBER_CHARGE
+    sections = [
+        ("ATOM_NAME", ["O", "H1", "H2", "EPW"] * m, "a"),
+        ("CHARGE", [0.0, qh, qh, -2 * 0.52 * AMBER_CHARGE] * m, "e"),
+        ("MASS", [15.9994, 1.008, 1.008, 0.0] * m, "e"),
+        ("ATOM_TYPE_INDEX", [1, 2, 2, 3] * m, "i"),
+        ("NONBONDED_PARM_INDEX", [1, 2, 4, 2, 3, 5, 4, 5, 6], "i"),
+        ("RESIDUE_LABEL", ["WAT"] * m, "a"),
+        ("RESIDUE_POINTER", [4 * i + 1 for i in range(m)], "i"),
+        ("BOND_FORCE_CONSTANT", [553.0 / 2, 900.0 / 2], "e"),
+        ("BOND_EQUIL_VALUE", [0.9572, 0.15], "e"),
+        ("ANGLE_FORCE_CONSTANT", [100.0 / 2], "e"),
+        ("ANGLE_EQUIL_VALUE", [104.52 * np.pi / 180.0], "e"),
+        ("LENNARD_JONES_ACOEF", [a_oo, 0.0, 0.0, 0.0, 0.0, 0.0], "e"),
+        ("LENNARD_JONES_BCOEF", [b_oo, 0.0, 0.0, 0.0, 0.0, 0.0], "e"),
+        ("BONDS_INC_HYDROGEN", bonds_h, "i"),
+        ("BONDS_WITHOUT_HYDROGEN", bonds_a, "i"),
+        ("ANGLES_INC_HYDROGEN", angles_h, "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", [], "i"),
+    ]
+    return _prmtop_text(sections, pointers)
+
+
+def test_tip4p_extra_points_become_virtual_sites():
+    """TIP4P-style water EPs: classified into ThreeParticleAverage virtual
+    sites with weights derived from the equilibrium frame geometry; frame
+    bonds feed exclusions but not the bonded forces; the massless rows
+    carry the M charge and zero force (VERDICT r3 missing #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.forces import HarmonicBondForce
+    from atomsmm_tpu.ops.virtual_sites import place_virtual_sites
+    from atomsmm_tpu.potential import force_fn
+
+    m = 8
+    top = read_prmtop(_tip4p_prmtop(m))
+    assert top.vs_sites is not None and len(top.vs_sites) == m
+    np.testing.assert_array_equal(top.vs_sites, 4 * np.arange(m) + 3)
+    # expected ThreeParticleAverage weight from the frame geometry
+    c = 0.015 / (2 * 0.09572 * np.cos(104.52 * np.pi / 360.0))
+    np.testing.assert_allclose(top.vs_weights[:, 1], c, rtol=1e-6)
+    np.testing.assert_allclose(top.vs_weights[:, 0], 1 - 2 * c,
+                               rtol=1e-6)
+
+    box = np.full(3, 2.0)
+    system, _, _ = amber_system(top, box=box, method="cutoff", r_cut=0.8,
+                                r_switch=0.7)
+    assert system.virtual_sites is not None
+    # the O-EP frame bond must NOT appear as a harmonic bond (2 O-H only)
+    hb = [f for f in system.forces if isinstance(f, HarmonicBondForce)]
+    assert len(hb) == 1 and hb[0].idx.shape[0] == 2 * m
+    # but the EP is excluded from its own molecule's nonbonded terms
+    nb = system.forces[0]
+    excl_row = np.asarray(nb.exclusions)[3]
+    assert {0, 1, 2} <= {int(v) for v in excl_row if v >= 0}
+
+    # energy path: M rows placed, zero force on them, finite forces overall
+    rs_ = np.random.RandomState(0)
+    centers = rs_.uniform(0.3, 1.7, (m, 3))
+    r, t = 0.09572, 104.52 * np.pi / 180.0
+    mol = np.stack([
+        np.zeros(3),
+        [r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+        [-r * np.sin(t / 2), r * np.cos(t / 2), 0.0],
+        np.zeros(3),
+    ])
+    x = jnp.asarray((centers[:, None, :] + mol).reshape(-1, 3))
+    x = place_virtual_sites(system.virtual_sites, x)
+    e, f = force_fn(system)(x, jnp.asarray(box), {}, None)
+    assert np.isfinite(float(e))
+    np.testing.assert_array_equal(np.asarray(f)[np.asarray(top.vs_sites)],
+                                  0.0)
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_unsupported_extra_points_rejected():
+    """Zero-mass atoms that do not match the single-parent water-EP
+    pattern still raise a clear error (here: a water HYDROGEN zeroed —
+    bonded once, but its parent then lacks two massive neighbors)."""
+    text = _water_prmtop(1).replace("1.00800000E+00", "0.00000000E+00", 1)
+    with pytest.raises(InputError, match="massive neighbors"):
+        read_prmtop(text)
 
 
 def _exclusion_sections(m, extra_pair=None):
