@@ -246,6 +246,19 @@ class HREXSampler:
     def run(self, n_steps: int, globalss=None):
         g = self._globals(globalss if globalss is not None else self.lambdas)
         self.states = self._run(self.system, self.states, g, n_steps)
+        if self.system.neighbors is not None:
+            # replicas run without Context's overflow auto-recovery: check
+            # the sticky flags so a busted cell capacity raises instead of
+            # silently dropping pairs in some replica
+            for key, flag in self.states.extra.items():
+                if (key.startswith("nbr") and key.endswith("overflow")
+                        and bool(jnp.any(flag))):
+                    raise RuntimeError(
+                        f"cell-list capacity overflow in a replica ({key}): "
+                        "retune the NeighborSpec capacities (e.g. "
+                        "retune_neighbor_specs on an equilibrated "
+                        "configuration) before HREX sampling"
+                    )
 
     def anneal(self, n_steps: int, chunks: int = 8):
         """Gentle decoupling: every replica starts at the COUPLED λ (the
