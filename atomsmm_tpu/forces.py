@@ -316,6 +316,8 @@ class NonbondedForce(_PairForceMixin, Force):
     lj_type: jnp.ndarray = None   # (N,) int32 — set with the NBFIX tables
     pair_sigma: Any = None        # (T, T) per-type-pair sigma [nm] (NBFIX)
     pair_epsilon: Any = None      # (T, T) per-type-pair epsilon [kJ/mol]
+    pair_a1012: Any = None        # (T, T) legacy 10-12 A [kJ/mol nm^12]
+    pair_b1012: Any = None        # (T, T) legacy 10-12 B [kJ/mol nm^10]
     # damping constant is static: concrete at trace time so the undamped case
     # skips erfc entirely; it only changes at setup (PME parameterization)
     ewald_alpha: float = static_field(default=0.0)
@@ -350,11 +352,24 @@ class NonbondedForce(_PairForceMixin, Force):
         r_cut, r_switch, eps_rf = self.r_cut, self.r_switch, self.eps_rf
         alpha = self.ewald_alpha
         combine = _lj_combiner(self.pair_sigma, self.pair_epsilon)
+        hb_a, hb_b = self.pair_a1012, self.pair_b1012
+        if hb_a is not None:
+            n_types_hb = hb_a.shape[0]
+            hb_a_flat, hb_b_flat = hb_a.reshape(-1), hb_b.reshape(-1)
 
         def pair(r, pi, pj):
             sigma, epsilon = combine(pi, pj)
             qq = pi["charge"] * pj["charge"]
             u_lj = pairfuncs.lj(r, sigma, epsilon)
+            if hb_a is not None:
+                # legacy AMBER 10-12 hydrogen bonds: per-type-pair A/B
+                # tables on the flagged (negative parm index) slots; zero
+                # everywhere else. Rides the LJ switch so the total vdW
+                # term stays C2 at the cutoff.
+                idx = pi["lj_type"] * n_types_hb + pj["lj_type"]
+                u_lj = u_lj + pairfuncs.hbond_10_12(
+                    r, hb_a_flat[idx], hb_b_flat[idx]
+                )
             if method == "nocutoff":
                 return u_lj + pairfuncs.coulomb(r, qq)
             if use_switch:

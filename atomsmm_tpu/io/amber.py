@@ -123,6 +123,9 @@ class AmberPrmtop:
     lj_type: np.ndarray | None = None       # (N,) int32
     pair_sigma: np.ndarray | None = None    # (T, T) [nm]
     pair_epsilon: np.ndarray | None = None  # (T, T) [kJ/mol]
+    # legacy 10-12 hydrogen bonds (negative parm-index slots)
+    pair_a1012: np.ndarray | None = None    # (T, T) [kJ/mol nm^12]
+    pair_b1012: np.ndarray | None = None    # (T, T) [kJ/mol nm^10]
     # TIP4P-style extra points, classified into virtual sites (the frame
     # "bonds"/"angles" stay in the bond/angle lists for exclusion derivation
     # and are filtered out of the bonded FORCES by amber_system)
@@ -180,12 +183,8 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     if "POLARIZABILITY" in s or (s.get("IPOL") and s["IPOL"][0]):
         raise InputError("polarizable prmtop (IPOL/POLARIZABILITY) is not supported")
     natom, ntypes = ptr[0], ptr[1]
-    nphb = ptr[19] if len(ptr) > 19 else 0
-    if nphb and any(v != 0.0 for v in s.get("HBOND_ACOEF", [])[:nphb]):
-        raise InputError(
-            "prmtop uses 10-12 hydrogen-bond potentials (NPHB > 0 with "
-            "nonzero HBOND_ACOEF) — not supported"
-        )
+    # 10-12 hydrogen-bond slots (negative NONBONDED_PARM_INDEX entries) are
+    # supported: their A/B coefficients become per-type-pair tables below.
     # NUMEXTRA / zero-mass atoms: TIP4P-style extra points are supported
     # (classified into virtual sites after the bond lists are parsed);
     # anything that does not match the single-parent water-EP pattern still
@@ -223,10 +222,25 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     # the pair sweeps then gather (sigma, epsilon) per (type_i, type_j)
     # instead of combining (forces._lj_combiner)
     nbfix = False
+    has_hb = False
     pair_sig = np.full((ntypes, ntypes), 0.1)
     pair_eps = np.zeros((ntypes, ntypes))
+    hb_a = np.zeros((ntypes, ntypes))
+    hb_b = np.zeros((ntypes, ntypes))
+    acoef_hb = np.asarray(s.get("HBOND_ACOEF", []))
+    bcoef_hb = np.asarray(s.get("HBOND_BCOEF", []))
     for ti in range(ntypes):
         for tj in range(ntypes):
+            raw = int(nb_parm[ntypes * ti + tj])
+            if raw < 0:  # legacy 10-12 hydrogen-bond slot
+                kk = -raw - 1
+                a_12 = float(acoef_hb[kk]) if kk < len(acoef_hb) else 0.0
+                b_10 = float(bcoef_hb[kk]) if kk < len(bcoef_hb) else 0.0
+                if a_12 != 0.0 or b_10 != 0.0:
+                    # kcal A^12 -> kJ nm^12 and kcal A^10 -> kJ nm^10
+                    hb_a[ti, tj] = a_12 * _KCAL * 1e-12
+                    hb_b[ti, tj] = b_10 * _KCAL * 1e-10
+                    has_hb = True
             a, b = _pair_ab(ti, tj)
             if a > 0.0 and b > 0.0:
                 pair_sig[ti, tj] = (a / b) ** (1.0 / 6.0) * 0.1
@@ -238,6 +252,9 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
             a_lb, b_lb = 4 * eps * sig**12, 4 * eps * sig**6
             if abs(a - a_lb) > 1e-4 * max(a, 1.0) or abs(b - b_lb) > 1e-6 * max(b, 1.0):
                 nbfix = True
+    # 10-12 terms need the per-type tables/gathers too (the LJ part of the
+    # table is then exact LB, so carrying it is free)
+    need_tables = nbfix or has_hb
     sigma = sig_t[type_idx]
     epsilon = eps_t[type_idx]
 
@@ -406,9 +423,11 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         scnb=np.asarray(scnb),
         box=box,
         molecule=molecule.astype(np.int32),
-        lj_type=type_idx.astype(np.int32) if nbfix else None,
-        pair_sigma=pair_sig if nbfix else None,
-        pair_epsilon=pair_eps if nbfix else None,
+        lj_type=type_idx.astype(np.int32) if need_tables else None,
+        pair_sigma=pair_sig if need_tables else None,
+        pair_epsilon=pair_eps if need_tables else None,
+        pair_a1012=hb_a if has_hb else None,
+        pair_b1012=hb_b if has_hb else None,
         vs_sites=vs_sites,
         vs_parents=vs_parents,
         vs_weights=vs_weights,
@@ -557,6 +576,11 @@ def amber_system(
             lj_type=jnp.asarray(top.lj_type),
             pair_sigma=jnp.asarray(top.pair_sigma, dtype),
             pair_epsilon=jnp.asarray(top.pair_epsilon, dtype),
+        )
+    if top.pair_a1012 is not None:  # legacy 10-12 hydrogen bonds
+        nb_kwargs.update(
+            pair_a1012=jnp.asarray(top.pair_a1012, dtype),
+            pair_b1012=jnp.asarray(top.pair_b1012, dtype),
         )
     if method == "pme":
         from ..ops.pme import choose_pme_parameters

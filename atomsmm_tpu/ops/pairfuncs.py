@@ -105,6 +105,29 @@ def lj(r, sigma, epsilon):
     return 4.0 * epsilon * s6 * (s6 - 1.0)
 
 
+def hbond_10_12(r, a, b):
+    """AMBER legacy 10-12 hydrogen-bond potential A/r^12 - B/r^10
+    (HBOND_ACOEF/HBOND_BCOEF slots of the nonbonded parm table).
+
+    Minimum at r* = sqrt(6A/5B) with depth -B^6 (5/6)^5 / (6 A^5) ... checked
+    numerically instead: with A = 1e-5 kJ nm^12, B = 1e-3 kJ nm^10 the
+    minimum sits at r* = sqrt(6e-5/5e-4) nm:
+
+    >>> import jax.numpy as jnp
+    >>> r_star = float(jnp.sqrt(jnp.float64(6e-5 / 5e-4)))
+    >>> u0 = float(hbond_10_12(jnp.float64(r_star), 1e-5, 1e-3))
+    >>> ul = float(hbond_10_12(jnp.float64(r_star * 0.99), 1e-5, 1e-3))
+    >>> ur = float(hbond_10_12(jnp.float64(r_star * 1.01), 1e-5, 1e-3))
+    >>> bool(u0 < ul and u0 < ur)
+    True
+    """
+    _, rinv, _ = rv_parts(r)
+    inv2 = rinv * rinv
+    inv10 = inv2 * inv2
+    inv10 = inv10 * inv10 * inv2  # (1/r^2)^5
+    return (a * inv2 - b) * inv10
+
+
 def coulomb(r, qq):
     """Plain Coulomb k qq / r; qq = qi*qj [e^2]."""
     _, rinv, _ = rv_parts(r)

@@ -388,18 +388,51 @@ def test_polarizable_prmtop_rejected():
         read_prmtop(text)
 
 
-def test_10_12_potential_rejected():
-    text = _water_prmtop(1)
-    # set NPHB (POINTERS index 19) to 1 and add a nonzero HBOND table
-    lines = text.splitlines()
-    i = lines.index("%FLAG POINTERS") + 2  # first data row, 10 per row
-    row2 = lines[i + 1]
-    lines[i + 1] = row2[: 9 * 8] + f"{1:8d}" + row2[10 * 8:]
-    text = "\n".join(lines) + "\n"
-    text += "\n".join(_sec("HBOND_ACOEF", [7500.0], "e")) + "\n"
-    text += "\n".join(_sec("HBOND_BCOEF", [2300.0], "e")) + "\n"
-    with pytest.raises(InputError, match="10-12"):
-        read_prmtop(text)
+def test_10_12_hydrogen_bond_supported():
+    """Legacy AMBER 10-12 potentials (negative NONBONDED_PARM_INDEX slots
+    into HBOND_ACOEF/BCOEF) evaluate exactly: u = A/r^12 - B/r^10 on the
+    flagged type pair, zero elsewhere, units converted from kcal*A^n."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.potential import potential_energy
+
+    a_hb, b_hb = 7500.0, 2300.0  # kcal A^12 / kcal A^10
+    pointers = [0] * 31
+    pointers[0], pointers[1] = 2, 2
+    pointers[11] = 2
+    pointers[18] = 2
+    pointers[19] = 1  # NPHB
+    sections = [
+        ("ATOM_NAME", ["N", "H"], "a"),
+        ("CHARGE", [0.0, 0.0], "e"),
+        ("MASS", [14.0, 1.008], "e"),
+        ("ATOM_TYPE_INDEX", [1, 2], "i"),
+        ("NONBONDED_PARM_INDEX", [1, -1, -1, 2], "i"),
+        ("RESIDUE_LABEL", ["A", "B"], "a"),
+        ("RESIDUE_POINTER", [1, 2], "i"),
+        ("LENNARD_JONES_ACOEF", [0.0, 0.0], "e"),
+        ("LENNARD_JONES_BCOEF", [0.0, 0.0], "e"),
+        ("HBOND_ACOEF", [a_hb], "e"),
+        ("HBOND_BCOEF", [b_hb], "e"),
+        ("BONDS_INC_HYDROGEN", [], "i"),
+        ("BONDS_WITHOUT_HYDROGEN", [], "i"),
+        ("ANGLES_INC_HYDROGEN", [], "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", [], "i"),
+    ]
+    top = read_prmtop(_prmtop_text(sections, pointers))
+    assert top.pair_a1012 is not None
+    np.testing.assert_allclose(top.pair_a1012[0, 1], a_hb * KCAL * 1e-12,
+                               rtol=1e-10)
+    np.testing.assert_allclose(top.pair_a1012[0, 0], 0.0)
+
+    box = np.full(3, 3.0)
+    system, _, _ = amber_system(top, box=box, method="cutoff", r_cut=1.0,
+                                r_switch=0.9)
+    r = 0.19  # nm, inside the switch region -> plain 10-12
+    x = jnp.asarray([[1.0, 1.0, 1.0], [1.0 + r, 1.0, 1.0]])
+    e = float(potential_energy(system, x, jnp.asarray(box)))
+    e_ref = a_hb * KCAL * 1e-12 / r**12 - b_hb * KCAL * 1e-10 / r**10
+    np.testing.assert_allclose(e, e_ref, rtol=1e-10)
 
 
 def _nbfix_prmtop(n1, n2, sig12_a=3.6, eps12_kcal=0.05):
