@@ -145,6 +145,26 @@ def test_tremd_zero_delta_swaps_and_velocity_rescale(solvated):
         rtol=1e-12)
 
 
+def test_combined_hamiltonian_temperature_ladder(solvated):
+    """λ and temperature ladders compose: per-row Hamiltonians AND bath
+    setpoints, per-row β in the criterion, velocity rescaling on
+    exchange — the machinery runs end-to-end and keeps sane statistics."""
+    solv, x, box = solvated
+    lams = {"lambda_vdw": jnp.asarray([1.0, 0.95, 0.9, 0.85]),
+            "lambda_coul": jnp.asarray([1.0, 0.95, 0.9, 0.85])}
+    temps = jnp.asarray([300.0, 320.0, 341.0, 364.0])
+    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001,
+                          friction=10.0, seed=5, temperatures=temps)
+    sampler.run(100)
+    for _ in range(6):
+        sampler.run(20)
+        sampler.attempt_swaps()
+    # alternating parities at K=4: even swaps try 2 pairs, odd try 1
+    assert sampler.swap_attempts == 2 + 1 + 2 + 1 + 2 + 1
+    assert 0.0 <= sampler.acceptance_rate <= 1.0
+    assert np.isfinite(np.asarray(sampler.states.x)).all()
+
+
 @pytest.mark.slow
 def test_tremd_rows_hold_their_setpoints():
     """Pure T-REMD on argon (one Hamiltonian, a 4-rung temperature
