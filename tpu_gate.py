@@ -130,12 +130,21 @@ def main():
         return water_system(n_molecules=1000, method="pme", neighbors=True,
                             dtype=dtype, dispersion_correction=True)
 
+    def tip4p(dtype):
+        # virtual sites: energies/forces flow through placement + vjp
+        # pullback on both backends
+        from atomsmm_tpu.models import tip4p_water_system
+
+        return tip4p_water_system(n_molecules=750, neighbors=True,
+                                  dtype=dtype)
+
     check("argon 4096, LJ cutoff+switch (config 1)", argon)
     # thermal jitter: at the pristine lattice the bonded reference forces
     # are ~0 and stiff-spring position roundoff swamps any relative measure
     check("water 3000, RESPA near/far split (config 2)", water_respa,
           jitter=0.004)
     check("water 3000, PME (order-6 reciprocal)", water_pme, jitter=0.004)
+    check("rigid TIP4P/Ew 3000, virtual sites (r4)", tip4p, jitter=0.004)
 
     # NVE drift on the TPU production path (config 1, 1000 steps x 2 fs)
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
@@ -154,6 +163,26 @@ def main():
     print("## NVE drift, argon 4096, TPU f32, 2 ps")
     print(f"- |dE_conserved| = {drift:.2e} kJ/mol/atom/ps "
           f"{'PASS' if d_ok else 'FAIL'}\n")
+
+    # SETTLE on the TPU f32 production path: closed-form geometry must sit
+    # at the f32 floor over a trajectory (r4 — ops/settle.py)
+    from atomsmm_tpu.models import rigid_water_system
+    from atomsmm_tpu.ops.settle import settle_residual
+
+    with jax.default_device(tpu):
+        rsys, rx, rbox = rigid_water_system(n_molecules=1000, neighbors=True,
+                                            dtype=np.float32)
+        rctx = Context(rsys, VelocityVerletIntegrator(dt=0.002),
+                       make_state(rx, box=rbox))
+        rctx.set_velocities_to_temperature(300.0, seed=5)
+        rctx.step(500)
+        res = float(settle_residual(rsys.settle, rctx.state.x))
+    # f32 floor measured ~3.6e-6 relative on the CPU-f32 path
+    r_ok = res < 2e-5
+    ok &= r_ok
+    print("## SETTLE geometry, rigid TIP3P 3000, TPU f32, 1 ps")
+    print(f"- max relative geometry residual = {res:.2e} "
+          f"{'PASS' if r_ok else 'FAIL'}\n")
 
     print(f"**GATE: {'PASS' if ok else 'FAIL'}**")
     return 0 if ok else 1
