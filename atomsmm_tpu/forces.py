@@ -998,3 +998,19 @@ class PeriodicTorsionForce(Force):
         return periodic_torsion_energy(
             x, self.idx, self.periodicity, self.phase, self.k
         )
+
+
+@pytree_dataclass
+class HarmonicImproperForce(Force):
+    """CHARMM-style harmonic improper torsion E = k (phi - phi0)^2 with the
+    difference wrapped to (-pi, pi] — the CHAMBER prmtop improper term
+    (k carries no 1/2, the CHARMM convention)."""
+
+    idx: jnp.ndarray = None   # (I, 4)
+    phi0: jnp.ndarray = None  # (I,) [rad]
+    k: jnp.ndarray = None     # (I,) [kJ/mol/rad^2]
+
+    def energy(self, x, box, globals, aux=None):
+        from .ops.bonded import harmonic_improper_energy
+
+        return harmonic_improper_energy(x, self.idx, self.phi0, self.k)

@@ -126,6 +126,15 @@ class AmberPrmtop:
     # legacy 10-12 hydrogen bonds (negative parm-index slots)
     pair_a1012: np.ndarray | None = None    # (T, T) [kJ/mol nm^12]
     pair_b1012: np.ndarray | None = None    # (T, T) [kJ/mol nm^10]
+    # CHAMBER extras (CHARMM force fields in AMBER format)
+    ub_pairs: np.ndarray = field(default=None)   # (U, 2) Urey-Bradley 1-3
+    ub_r0: np.ndarray = field(default=None)      # (U,) [nm]
+    ub_k: np.ndarray = field(default=None)       # (U,) [kJ/mol/nm^2], 1/2 k
+    imp_idx: np.ndarray = field(default=None)    # (I, 4) harmonic impropers
+    imp_phi0: np.ndarray = field(default=None)   # (I,) [rad]
+    imp_k: np.ndarray = field(default=None)      # (I,) [kJ/mol/rad^2], no 1/2
+    pairs14_sigma: np.ndarray | None = None      # (P,) CHARMM 1-4 LJ tables
+    pairs14_eps: np.ndarray | None = None        # (P,)
     # TIP4P-style extra points, classified into virtual sites (the frame
     # "bonds"/"angles" stay in the bond/angle lists for exclusion derivation
     # and are filtered out of the bonded FORCES by amber_system)
@@ -175,10 +184,12 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
             raise InputError(f"prmtop is missing required %FLAG {req}")
     # explicit rejections for formats/features this reader would otherwise
     # silently mis-parse (VERDICT r2 weak #7): refuse, name the feature
-    if "CTITLE" in s or any(k.startswith("CHARMM") for k in s):
+    chamber = "CTITLE" in s or any(k.startswith("CHARMM") for k in s)
+    if chamber and s.get("CHARMM_CMAP_COUNT") and s["CHARMM_CMAP_COUNT"][0]:
         raise InputError(
-            "CHAMBER-format prmtop (CHARMM force field sections) is not "
-            "supported — regenerate a plain AMBER prmtop"
+            "CHAMBER prmtop uses CMAP cross-terms (CHARMM_CMAP_COUNT > 0) — "
+            "CMAP bicubic corrections are not supported; Urey-Bradley, "
+            "harmonic impropers and 1-4 LJ tables are"
         )
     if "POLARIZABILITY" in s or (s.get("IPOL") and s["IPOL"][0]):
         raise InputError("polarizable prmtop (IPOL/POLARIZABILITY) is not supported")
@@ -312,6 +323,62 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         scnb.append(scnb_t[t] if scnb_t[t] != 0 else 2.0)
     pairs14 = np.asarray(pairs14, np.int32).reshape(-1, 2)
 
+    # CHAMBER (CHARMM-in-AMBER) extras: Urey-Bradley 1-3 springs, harmonic
+    # impropers, and the dedicated 1-4 LJ tables (CHARMM scales 1-4 LJ by
+    # TYPE PAIR, not by a global divisor). Atom indices in the CHARMM
+    # sections are plain 1-based serials (not the 3*(i) AMBER convention).
+    ub_pairs = np.zeros((0, 2), np.int32)
+    ub_r0 = np.zeros(0)
+    ub_k = np.zeros(0)
+    imp_idx = np.zeros((0, 4), np.int32)
+    imp_phi0 = np.zeros(0)
+    imp_k = np.zeros(0)
+    pairs14_sigma = pairs14_eps = None
+    if chamber:
+        nub = int(s.get("CHARMM_UREY_BRADLEY_COUNT", [0])[0]) if \
+            s.get("CHARMM_UREY_BRADLEY_COUNT") else 0
+        if nub:
+            raw_ub = np.asarray(
+                s["CHARMM_UREY_BRADLEY"][: 3 * nub], np.int64
+            ).reshape(-1, 3)
+            ubk_t = np.asarray(s["CHARMM_UREY_BRADLEY_FORCE_CONSTANT"])
+            ubr_t = np.asarray(s["CHARMM_UREY_BRADLEY_EQUIL_VALUE"])
+            ub_pairs = (raw_ub[:, :2] - 1).astype(np.int32)
+            ubt = raw_ub[:, 2] - 1
+            ub_r0 = ubr_t[ubt] * 0.1
+            # CHARMM k (r - r0)^2 -> our 1/2 k' convention
+            ub_k = ubk_t[ubt] * 2.0 * _KCAL * 100.0
+        nimp = int(s.get("CHARMM_NUM_IMPROPERS", [0])[0]) if \
+            s.get("CHARMM_NUM_IMPROPERS") else 0
+        if nimp:
+            raw_imp = np.asarray(
+                s["CHARMM_IMPROPERS"][: 5 * nimp], np.int64
+            ).reshape(-1, 5)
+            impk_t = np.asarray(s["CHARMM_IMPROPER_FORCE_CONSTANT"])
+            impp_t = np.asarray(s["CHARMM_IMPROPER_PHASE"])
+            imp_idx = (raw_imp[:, :4] - 1).astype(np.int32)
+            impt = raw_imp[:, 4] - 1
+            imp_k = impk_t[impt] * _KCAL  # E = k dphi^2 on both sides
+            imp_phi0 = impp_t[impt]  # radians (the DIHEDRAL_PHASE convention)
+        if "LENNARD_JONES_14_ACOEF" in s and len(pairs14):
+            a14_t = np.asarray(s["LENNARD_JONES_14_ACOEF"])
+            b14_t = np.asarray(s["LENNARD_JONES_14_BCOEF"])
+            ti14 = type_idx[pairs14[:, 0]]
+            tj14 = type_idx[pairs14[:, 1]]
+            kslot = nb_parm[ntypes * ti14 + tj14] - 1
+            a14 = np.where(kslot >= 0, a14_t[np.maximum(kslot, 0)], 0.0)
+            b14 = np.where(kslot >= 0, b14_t[np.maximum(kslot, 0)], 0.0)
+            good = (a14 > 0.0) & (b14 > 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                pairs14_sigma = np.where(
+                    good, (a14 / np.where(good, b14, 1.0)) ** (1 / 6) * 0.1,
+                    0.1,
+                )
+                pairs14_eps = np.where(
+                    good, b14 * b14 / (4.0 * np.where(good, a14, 1.0))
+                    * _KCAL, 0.0,
+                )
+
     box = None
     if ifbox and "BOX_DIMENSIONS" in s:
         beta, bx, by, bz = s["BOX_DIMENSIONS"][:4]
@@ -431,6 +498,14 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         vs_sites=vs_sites,
         vs_parents=vs_parents,
         vs_weights=vs_weights,
+        ub_pairs=ub_pairs,
+        ub_r0=ub_r0,
+        ub_k=ub_k,
+        imp_idx=imp_idx,
+        imp_phi0=imp_phi0,
+        imp_k=imp_k,
+        pairs14_sigma=pairs14_sigma,
+        pairs14_eps=pairs14_eps,
     )
     # The prmtop's EXCLUDED_ATOMS_LIST is authoritative; our exclusions are
     # derived from the bond graph + dihedral 1-4s (equivalent for standard
@@ -648,9 +723,37 @@ def amber_system(
                     k=jnp.asarray(top.torsion_k[keep], dtype),
                 )
             )
+    if top.ub_pairs is not None and len(top.ub_pairs):
+        # CHARMM Urey-Bradley 1-3 springs: a second bond-like force — the
+        # pairs are 1-3 (already excluded), so the exclusion graph is
+        # untouched
+        forces.append(
+            HarmonicBondForce(
+                group=0,
+                idx=jnp.asarray(top.ub_pairs),
+                r0=jnp.asarray(top.ub_r0, dtype),
+                k=jnp.asarray(top.ub_k, dtype),
+            )
+        )
+    if top.imp_idx is not None and len(top.imp_idx):
+        from ..forces import HarmonicImproperForce
+
+        forces.append(
+            HarmonicImproperForce(
+                group=0,
+                idx=jnp.asarray(top.imp_idx),
+                phi0=jnp.asarray(top.imp_phi0, dtype),
+                k=jnp.asarray(top.imp_k, dtype),
+            )
+        )
     if len(top.pairs14):
         i, j = top.pairs14[:, 0], top.pairs14[:, 1]
-        if top.pair_sigma is not None:  # exact NBFIX values per 1-4 pair
+        if top.pairs14_sigma is not None:
+            # CHAMBER: the dedicated 1-4 LJ type-pair tables ARE the
+            # scaling — no scnb divisor
+            sig = top.pairs14_sigma
+            eps = top.pairs14_eps
+        elif top.pair_sigma is not None:  # exact NBFIX values per 1-4 pair
             ti, tj = top.lj_type[i], top.lj_type[j]
             sig = top.pair_sigma[ti, tj]
             eps = top.pair_epsilon[ti, tj] / top.scnb

@@ -33,8 +33,8 @@ def harmonic_angle_energy(x, idx, theta0, k):
     return jnp.sum(0.5 * k * (theta - theta0) ** 2)
 
 
-def periodic_torsion_energy(x, idx, periodicity, phase, k):
-    """E = sum k (1 + cos(n phi - phase)); idx (T,4) for dihedral i-j-k-l."""
+def dihedral_angle(x, idx):
+    """Signed dihedral phi for atoms i-j-k-l; idx (T, 4)."""
     b1 = x[idx[:, 1]] - x[idx[:, 0]]
     b2 = x[idx[:, 2]] - x[idx[:, 1]]
     b3 = x[idx[:, 3]] - x[idx[:, 2]]
@@ -43,5 +43,20 @@ def periodic_torsion_energy(x, idx, periodicity, phase, k):
     m1 = jnp.cross(n1, b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True))
     xc = jnp.sum(n1 * n2, axis=-1)
     yc = jnp.sum(m1 * n2, axis=-1)
-    phi = jnp.arctan2(yc, xc)
+    return jnp.arctan2(yc, xc)
+
+
+def periodic_torsion_energy(x, idx, periodicity, phase, k):
+    """E = sum k (1 + cos(n phi - phase)); idx (T,4) for dihedral i-j-k-l."""
+    phi = dihedral_angle(x, idx)
     return jnp.sum(k * (1.0 + jnp.cos(periodicity * phi - phase)))
+
+
+def harmonic_improper_energy(x, idx, phi0, k):
+    """CHARMM-style harmonic improper: E = sum k (phi - phi0)^2 with the
+    difference wrapped to (-pi, pi] (idx (I,4); k carries NO 1/2 — the
+    CHARMM convention, matching CHAMBER prmtop force constants)."""
+    phi = dihedral_angle(x, idx)
+    dphi = phi - phi0
+    dphi = dphi - 2.0 * jnp.pi * jnp.round(dphi / (2.0 * jnp.pi))
+    return jnp.sum(k * dphi * dphi)

@@ -371,15 +371,82 @@ def test_missing_section_message():
         read_prmtop("%FLAG POINTERS\n%FORMAT(10I8)\n" + f"{4:8d}" * 10 + "\n")
 
 
-def test_chamber_prmtop_rejected():
-    text = _water_prmtop(1) + "\n".join(_sec("CTITLE", ["x"], "a")) + "\n"
-    with pytest.raises(InputError, match="CHAMBER"):
-        read_prmtop(text)
+def test_chamber_cmap_rejected():
+    """CHAMBER prmtops are supported except CMAP cross-terms, which still
+    raise a named error."""
     text = _water_prmtop(1) + "\n".join(
-        _sec("CHARMM_UREY_BRADLEY_COUNT", [0, 0], "i")
+        _sec("CHARMM_CMAP_COUNT", [2, 1], "i")
     ) + "\n"
-    with pytest.raises(InputError, match="CHAMBER"):
+    with pytest.raises(InputError, match="CMAP"):
         read_prmtop(text)
+
+
+def test_chamber_extras_supported():
+    """CHAMBER extras evaluate exactly: Urey-Bradley 1-3 springs, CHARMM
+    harmonic impropers (k dphi^2, wrapped), and the dedicated 1-4 LJ
+    type-pair tables replacing the scnb divisor."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.forces import (
+        HarmonicBondForce,
+        HarmonicImproperForce,
+        NonbondedExceptionsForce,
+    )
+    from atomsmm_tpu.ops.bonded import dihedral_angle
+    from atomsmm_tpu.potential import split_potential_energy
+
+    ub_k_kcal, ub_r0_a = 50.0, 2.5
+    imp_k_kcal, imp_phi0 = 20.0, 0.0
+    sig14_a, eps14_kcal = 3.2, 0.04
+    a14 = 4 * eps14_kcal * sig14_a**12
+    b14 = 4 * eps14_kcal * sig14_a**6
+    text = _chain_prmtop() + "\n".join(
+        _sec("CHARMM_UREY_BRADLEY_COUNT", [1, 1], "i")
+        + _sec("CHARMM_UREY_BRADLEY", [1, 3, 1], "i")
+        + _sec("CHARMM_UREY_BRADLEY_FORCE_CONSTANT", [ub_k_kcal], "e")
+        + _sec("CHARMM_UREY_BRADLEY_EQUIL_VALUE", [ub_r0_a], "e")
+        + _sec("CHARMM_NUM_IMPROPERS", [1], "i")
+        + _sec("CHARMM_IMPROPERS", [1, 2, 3, 4, 1], "i")
+        + _sec("CHARMM_IMPROPER_FORCE_CONSTANT", [imp_k_kcal], "e")
+        + _sec("CHARMM_IMPROPER_PHASE", [imp_phi0], "e")
+        + _sec("LENNARD_JONES_14_ACOEF", [a14], "e")
+        + _sec("LENNARD_JONES_14_BCOEF", [b14], "e")
+    ) + "\n"
+    top = read_prmtop(text)
+    assert len(top.ub_pairs) == 1 and len(top.imp_idx) == 1
+    np.testing.assert_array_equal(top.ub_pairs[0], [0, 2])
+    np.testing.assert_allclose(top.ub_r0[0], 0.25, rtol=1e-10)
+    np.testing.assert_allclose(top.pairs14_sigma[0], 0.32, rtol=1e-7)
+    np.testing.assert_allclose(top.pairs14_eps[0], eps14_kcal * KCAL,
+                               rtol=1e-7)
+
+    box = np.full(3, 4.0)
+    system, _, _ = amber_system(top, box=box, method="cutoff", r_cut=1.2,
+                                r_switch=1.1)
+    kinds = [type(f).__name__ for f in system.forces]
+    assert kinds.count("HarmonicBondForce") == 2  # bonds + Urey-Bradley
+    assert "HarmonicImproperForce" in kinds
+
+    # hand-checkable configuration (a bent-out-of-plane 4-atom chain)
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.15, 0.0, 0.0],
+                     [0.22, 0.14, 0.0], [0.30, 0.18, 0.12]])
+    e = split_potential_energy(system, x, jnp.asarray(box))
+    # Urey-Bradley: 1/2 k' (r13 - r0)^2 with k' = 2 k_charmm
+    r13 = float(np.linalg.norm(np.asarray(x)[2] - np.asarray(x)[0]))
+    e_ub = 0.5 * (2 * ub_k_kcal * KCAL * 100.0) * (r13 - 0.25) ** 2
+    np.testing.assert_allclose(float(e["HarmonicBondForce#2"]), e_ub,
+                               rtol=1e-6)
+    # improper: k dphi^2
+    phi = float(dihedral_angle(x, jnp.asarray([[0, 1, 2, 3]]))[0])
+    e_imp = imp_k_kcal * KCAL * phi**2
+    np.testing.assert_allclose(float(e["HarmonicImproperForce"]), e_imp,
+                               rtol=1e-6)
+    # 1-4 exceptions carry the table values, not scnb-scaled LB
+    exc = [f for f in system.forces
+           if isinstance(f, NonbondedExceptionsForce)][0]
+    np.testing.assert_allclose(float(exc.sigma[0]), 0.32, rtol=1e-7)
+    np.testing.assert_allclose(float(exc.epsilon[0]), eps14_kcal * KCAL,
+                               rtol=1e-7)
 
 
 def test_polarizable_prmtop_rejected():
