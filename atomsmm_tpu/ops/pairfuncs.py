@@ -114,7 +114,7 @@ def hbond_10_12(r, a, b):
     minimum sits at r* = sqrt(6e-5/5e-4) nm:
 
     >>> import jax.numpy as jnp
-    >>> r_star = float(jnp.sqrt(jnp.float64(6e-5 / 5e-4)))
+    >>> r_star = float(jnp.sqrt(jnp.float64(6e-5 / 5e-3)))  # sqrt(6A/5B)
     >>> u0 = float(hbond_10_12(jnp.float64(r_star), 1e-5, 1e-3))
     >>> ul = float(hbond_10_12(jnp.float64(r_star * 0.99), 1e-5, 1e-3))
     >>> ur = float(hbond_10_12(jnp.float64(r_star * 1.01), 1e-5, 1e-3))

@@ -145,6 +145,7 @@ def test_tremd_zero_delta_swaps_and_velocity_rescale(solvated):
         rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_combined_hamiltonian_temperature_ladder(solvated):
     """λ and temperature ladders compose: per-row Hamiltonians AND bath
     setpoints, per-row β in the criterion, velocity rescaling on

@@ -198,34 +198,56 @@ def test_slab_fft_pme_matches_single_device():
     from atomsmm_tpu.parallel import sharded_pme_reciprocal_energy_fft
 
     rs = np.random.RandomState(2)
-    n = 96
+    n = 64
     q = jnp.asarray(rs.uniform(-1, 1, n))
     q = q - q.mean()
     mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
-    grid = (24, 16, 15)  # K1, K2 divisible by 8; K3 odd (rfft edge case)
+    grid = (16, 8, 15)  # K1, K2 divisible by 8; K3 odd (rfft edge case)
     alpha = 3.0
     box_o = jnp.asarray([2.0, 2.2, 1.9])
     box_t = jnp.asarray(triclinic_from_lengths_angles(
         2.2, 2.0, 2.4, 90.0, 105.0, 80.0))
-    for box in (box_o, box_t):
-        x = (jnp.asarray(rs.uniform(0, 1, (n, 3))) @ box
-             if box.ndim == 2 else
-             jnp.asarray(rs.uniform(0, 1, (n, 3))) * box)
-        e_ref = pme_reciprocal_energy(x, box, q, alpha, grid, order=6)
-        e_sh = sharded_pme_reciprocal_energy_fft(
-            x, box, q, alpha, grid, mesh, order=6)
-        np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-12)
-        g_ref = jax.grad(lambda xx: pme_reciprocal_energy(
-            xx, box, q, alpha, grid, order=6))(x)
-        g_sh = jax.grad(lambda xx: sharded_pme_reciprocal_energy_fft(
-            xx, box, q, alpha, grid, mesh, order=6))(x)
-        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
-                                   rtol=1e-9, atol=1e-11)
+    # orthorhombic + triclinic energy parity through the collectives
+    x = jnp.asarray(rs.uniform(0, 1, (n, 3))) * box_o
+    e_ref = pme_reciprocal_energy(x, box_o, q, alpha, grid, order=6)
+    e_sh = sharded_pme_reciprocal_energy_fft(
+        x, box_o, q, alpha, grid, mesh, order=6)
+    np.testing.assert_allclose(float(e_sh), float(e_ref), rtol=1e-12)
+    xt = jnp.asarray(rs.uniform(0, 1, (n, 3))) @ box_t
+    e_ref_t = pme_reciprocal_energy(xt, box_t, q, alpha, grid, order=6)
+    e_sh_t = sharded_pme_reciprocal_energy_fft(
+        xt, box_t, q, alpha, grid, mesh, order=6)
+    np.testing.assert_allclose(float(e_sh_t), float(e_ref_t), rtol=1e-12)
     # indivisible grids are rejected loudly, never silently wrong
     with pytest.raises(ValueError, match="divisible"):
         sharded_pme_reciprocal_energy_fft(
             jnp.zeros((8, 3)), box_o, jnp.zeros(8), alpha, (25, 16, 15),
             mesh)
+
+
+@pytest.mark.slow
+def test_slab_fft_pme_gradient_parity():
+    """Forces through the slab path: grad flows through psum_scatter and
+    all_to_all (their transposes are collectives too) and matches the
+    single-device gradient to roundoff."""
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+    from atomsmm_tpu.parallel import sharded_pme_reciprocal_energy_fft
+
+    rs = np.random.RandomState(3)
+    n = 64
+    q = jnp.asarray(rs.uniform(-1, 1, n))
+    q = q - q.mean()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    grid = (16, 8, 15)
+    alpha = 3.0
+    box = jnp.asarray([2.0, 2.2, 1.9])
+    x = jnp.asarray(rs.uniform(0, 1, (n, 3))) * box
+    g_ref = jax.grad(lambda xx: pme_reciprocal_energy(
+        xx, box, q, alpha, grid, order=6))(x)
+    g_sh = jax.grad(lambda xx: sharded_pme_reciprocal_energy_fft(
+        xx, box, q, alpha, grid, mesh, order=6))(x)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-9, atol=1e-11)
 
 
 @pytest.mark.slow

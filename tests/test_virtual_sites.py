@@ -104,6 +104,7 @@ def test_dof_excludes_virtual_sites(tip4p):
     assert count_degrees_of_freedom(system) == 6 * m - 3
 
 
+@pytest.mark.slow
 def test_tip4p_nve_dynamics(tip4p):
     """Rigid TIP4P/Ew under velocity Verlet: energy conserved, SETTLE
     geometry exact, M sites track their construction, virtual velocities
