@@ -1001,6 +1001,23 @@ class PeriodicTorsionForce(Force):
 
 
 @pytree_dataclass
+class CMAPTorsionForce(Force):
+    """CHARMM CMAP cross-term: a periodic bicubic correction surface over
+    the (phi, psi) dihedral pair of 5 consecutive atoms (ops/cmap.py).
+    `table` is the precomputed (T, n, n, 4) value+derivative tensor from
+    `ops.cmap.build_cmap_table` [kJ/mol]."""
+
+    idx: jnp.ndarray = None         # (C, 5) atoms i,j,k,l,m
+    type_index: jnp.ndarray = None  # (C,) int32 into table
+    table: jnp.ndarray = None       # (T, n, n, 4)
+
+    def energy(self, x, box, globals, aux=None):
+        from .ops.cmap import cmap_energy
+
+        return cmap_energy(x, self.idx, self.type_index, self.table)
+
+
+@pytree_dataclass
 class HarmonicImproperForce(Force):
     """CHARMM-style harmonic improper torsion E = k (phi - phi0)^2 with the
     difference wrapped to (-pi, pi] — the CHAMBER prmtop improper term

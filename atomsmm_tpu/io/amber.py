@@ -135,6 +135,9 @@ class AmberPrmtop:
     imp_k: np.ndarray = field(default=None)      # (I,) [kJ/mol/rad^2], no 1/2
     pairs14_sigma: np.ndarray | None = None      # (P,) CHARMM 1-4 LJ tables
     pairs14_eps: np.ndarray | None = None        # (P,)
+    cmap_idx: np.ndarray | None = None           # (C, 5) CMAP atom quintets
+    cmap_type: np.ndarray | None = None          # (C,)
+    cmap_table: np.ndarray | None = None         # (T, n, n, 4) [kJ/mol]
     # TIP4P-style extra points, classified into virtual sites (the frame
     # "bonds"/"angles" stay in the bond/angle lists for exclusion derivation
     # and are filtered out of the bonded FORCES by amber_system)
@@ -185,12 +188,6 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     # explicit rejections for formats/features this reader would otherwise
     # silently mis-parse (VERDICT r2 weak #7): refuse, name the feature
     chamber = "CTITLE" in s or any(k.startswith("CHARMM") for k in s)
-    if chamber and s.get("CHARMM_CMAP_COUNT") and s["CHARMM_CMAP_COUNT"][0]:
-        raise InputError(
-            "CHAMBER prmtop uses CMAP cross-terms (CHARMM_CMAP_COUNT > 0) — "
-            "CMAP bicubic corrections are not supported; Urey-Bradley, "
-            "harmonic impropers and 1-4 LJ tables are"
-        )
     if "POLARIZABILITY" in s or (s.get("IPOL") and s["IPOL"][0]):
         raise InputError("polarizable prmtop (IPOL/POLARIZABILITY) is not supported")
     natom, ntypes = ptr[0], ptr[1]
@@ -334,6 +331,7 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
     imp_phi0 = np.zeros(0)
     imp_k = np.zeros(0)
     pairs14_sigma = pairs14_eps = None
+    cmap_table = cmap_idx = cmap_type = None
     if chamber:
         nub = int(s.get("CHARMM_UREY_BRADLEY_COUNT", [0])[0]) if \
             s.get("CHARMM_UREY_BRADLEY_COUNT") else 0
@@ -360,6 +358,35 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
             impt = raw_imp[:, 4] - 1
             imp_k = impk_t[impt] * _KCAL  # E = k dphi^2 on both sides
             imp_phi0 = impp_t[impt]  # radians (the DIHEDRAL_PHASE convention)
+        n_cmap = (int(s["CHARMM_CMAP_COUNT"][0])
+                  if s.get("CHARMM_CMAP_COUNT") else 0)
+        if n_cmap:
+            from ..ops.cmap import build_cmap_table
+
+            n_cmap_types = int(s["CHARMM_CMAP_COUNT"][1])
+            resolutions = [int(r) for r in
+                           s["CHARMM_CMAP_RESOLUTION"][:n_cmap_types]]
+            if len(set(resolutions)) != 1:
+                raise InputError(
+                    f"CMAP tables with mixed resolutions {resolutions} are "
+                    "not supported (stack requires one grid size)"
+                )
+            res = resolutions[0]
+            grids = []
+            for t in range(n_cmap_types):
+                key = f"CHARMM_CMAP_PARAMETER_{t + 1:02d}"
+                if key not in s:
+                    raise InputError(f"missing CMAP table %FLAG {key}")
+                grids.append(
+                    np.asarray(s[key][: res * res]).reshape(res, res)
+                    * _KCAL
+                )
+            cmap_table = build_cmap_table(np.stack(grids))
+            raw_cm = np.asarray(
+                s["CHARMM_CMAP_INDEX"][: 6 * n_cmap], np.int64
+            ).reshape(-1, 6)
+            cmap_idx = (raw_cm[:, :5] - 1).astype(np.int32)
+            cmap_type = (raw_cm[:, 5] - 1).astype(np.int32)
         if "LENNARD_JONES_14_ACOEF" in s and len(pairs14):
             a14_t = np.asarray(s["LENNARD_JONES_14_ACOEF"])
             b14_t = np.asarray(s["LENNARD_JONES_14_BCOEF"])
@@ -506,6 +533,9 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
         imp_k=imp_k,
         pairs14_sigma=pairs14_sigma,
         pairs14_eps=pairs14_eps,
+        cmap_idx=cmap_idx,
+        cmap_type=cmap_type,
+        cmap_table=cmap_table,
     )
     # The prmtop's EXCLUDED_ATOMS_LIST is authoritative; our exclusions are
     # derived from the bond graph + dihedral 1-4s (equivalent for standard
@@ -744,6 +774,17 @@ def amber_system(
                 idx=jnp.asarray(top.imp_idx),
                 phi0=jnp.asarray(top.imp_phi0, dtype),
                 k=jnp.asarray(top.imp_k, dtype),
+            )
+        )
+    if top.cmap_idx is not None and len(top.cmap_idx):
+        from ..forces import CMAPTorsionForce
+
+        forces.append(
+            CMAPTorsionForce(
+                group=0,
+                idx=jnp.asarray(top.cmap_idx),
+                type_index=jnp.asarray(top.cmap_type),
+                table=jnp.asarray(top.cmap_table, dtype),
             )
         )
     if len(top.pairs14):

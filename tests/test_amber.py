@@ -371,14 +371,88 @@ def test_missing_section_message():
         read_prmtop("%FLAG POINTERS\n%FORMAT(10I8)\n" + f"{4:8d}" * 10 + "\n")
 
 
-def test_chamber_cmap_rejected():
-    """CHAMBER prmtops are supported except CMAP cross-terms, which still
-    raise a named error."""
-    text = _water_prmtop(1) + "\n".join(
-        _sec("CHARMM_CMAP_COUNT", [2, 1], "i")
-    ) + "\n"
-    with pytest.raises(InputError, match="CMAP"):
-        read_prmtop(text)
+def test_chamber_cmap_supported():
+    """CMAP cross-terms evaluate as a periodic C1 bicubic over the
+    (phi, psi) dihedral pair: a grid sampled from an analytic separable
+    surface must reproduce that surface at the configuration's dihedrals
+    to interpolation accuracy, with forces from autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from atomsmm_tpu.forces import CMAPTorsionForce
+    from atomsmm_tpu.ops.bonded import dihedral_angle
+    from atomsmm_tpu.potential import potential_energy
+
+    res = 24
+    ang = -np.pi + 2 * np.pi * np.arange(res) / res
+    # kcal values in the file; the reader converts to kJ
+    grid_kcal = np.cos(ang)[:, None] + np.sin(ang)[None, :]
+    q = [0.0] * 5
+    pointers = [0] * 31
+    pointers[0], pointers[1] = 5, 1
+    pointers[11] = 1
+    pointers[12] = 4  # NBONA: chain bonds (frame only for dihedral defs)
+    pointers[15] = 1
+    pointers[18] = 1
+    bonds_a = []
+    for i in range(4):
+        bonds_a += [3 * i, 3 * (i + 1), 1]
+    sections = [
+        ("ATOM_NAME", ["C"] * 5, "a"),
+        ("CHARGE", q, "e"),
+        ("MASS", [12.011] * 5, "e"),
+        ("ATOM_TYPE_INDEX", [1] * 5, "i"),
+        ("NONBONDED_PARM_INDEX", [1], "i"),
+        ("RESIDUE_LABEL", ["CHN"], "a"),
+        ("RESIDUE_POINTER", [1], "i"),
+        ("BOND_FORCE_CONSTANT", [0.0], "e"),
+        ("BOND_EQUIL_VALUE", [1.5], "e"),
+        ("LENNARD_JONES_ACOEF", [0.0], "e"),
+        ("LENNARD_JONES_BCOEF", [0.0], "e"),
+        ("BONDS_INC_HYDROGEN", [], "i"),
+        ("BONDS_WITHOUT_HYDROGEN", bonds_a, "i"),
+        ("ANGLES_INC_HYDROGEN", [], "i"),
+        ("ANGLES_WITHOUT_HYDROGEN", [], "i"),
+        ("CHARMM_CMAP_COUNT", [1, 1], "i"),
+        ("CHARMM_CMAP_RESOLUTION", [res], "i"),
+        ("CHARMM_CMAP_PARAMETER_01", list(grid_kcal.reshape(-1)), "e"),
+        ("CHARMM_CMAP_INDEX", [1, 2, 3, 4, 5, 1], "i"),
+    ]
+    top = read_prmtop(_prmtop_text(sections, pointers))
+    assert top.cmap_idx is not None and len(top.cmap_idx) == 1
+    assert top.cmap_table.shape == (1, res, res, 4)
+
+    box = np.full(3, 6.0)
+    system, _, _ = amber_system(top, box=box, method="cutoff", r_cut=1.0,
+                                r_switch=0.9)
+    assert any(isinstance(f, CMAPTorsionForce) for f in system.forces)
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.15, 0.0, 0.0],
+                     [0.22, 0.14, 0.0], [0.30, 0.18, 0.12],
+                     [0.42, 0.10, 0.20]]) + 3.0
+    phi = float(dihedral_angle(x, jnp.asarray([[0, 1, 2, 3]]))[0])
+    psi = float(dihedral_angle(x, jnp.asarray([[1, 2, 3, 4]]))[0])
+    e = float(potential_energy(system, x, jnp.asarray(box)))
+    e_ref = (np.cos(phi) + np.sin(psi)) * KCAL
+    np.testing.assert_allclose(e, e_ref, atol=1e-3 * KCAL)
+    # forces: autodiff through the bicubic matches finite differences
+    g = jax.grad(lambda xx: potential_energy(system, xx, jnp.asarray(box)))(x)
+    h = 1e-6
+    xp_ = x.at[2, 1].add(h)
+    xm_ = x.at[2, 1].add(-h)
+    fd = (potential_energy(system, xp_, jnp.asarray(box))
+          - potential_energy(system, xm_, jnp.asarray(box))) / (2 * h)
+    np.testing.assert_allclose(float(g[2, 1]), float(fd), rtol=1e-5,
+                               atol=1e-8)
+
+    # mixed-resolution tables remain a named rejection
+    sections2 = [r if r[0] != "CHARMM_CMAP_COUNT" else
+                 ("CHARMM_CMAP_COUNT", [1, 2], "i") for r in sections]
+    sections2 = [r if r[0] != "CHARMM_CMAP_RESOLUTION" else
+                 ("CHARMM_CMAP_RESOLUTION", [res, 12], "i")
+                 for r in sections2]
+    with pytest.raises(InputError, match="mixed resolutions"):
+        read_prmtop(_prmtop_text(sections2, pointers))
 
 
 def test_chamber_extras_supported():

@@ -12,6 +12,7 @@ import atomsmm_tpu.forces
 import atomsmm_tpu.integrate.integrators
 import atomsmm_tpu.integrate.propagators
 import atomsmm_tpu.io.pdb
+import atomsmm_tpu.ops.cmap
 import atomsmm_tpu.ops.pairfuncs
 import atomsmm_tpu.ops.pbc
 import atomsmm_tpu.ops.settle
@@ -26,6 +27,7 @@ MODULES = {
     "pairfuncs": (atomsmm_tpu.ops.pairfuncs, 5),
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
+    "cmap": (atomsmm_tpu.ops.cmap, 5),
     "settle": (atomsmm_tpu.ops.settle, 8),
     "virtual_sites": (atomsmm_tpu.ops.virtual_sites, 6),
     "io_pdb": (atomsmm_tpu.io.pdb, 4),
