@@ -11,11 +11,13 @@ __version__ = "0.1.0"
 from . import units
 from .context import Context, StateSnapshot
 from .forces import (
+    CMAPTorsionForce,
     CustomBondForce,
     MonteCarloBarostat,
     CustomNonbondedForce,
     DampedSmoothedForce,
     FarNonbondedForce,
+    HarmonicImproperForce,
     PMEReciprocalForce,
     HarmonicAngleForce,
     HarmonicBondForce,
