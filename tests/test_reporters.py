@@ -346,6 +346,28 @@ def test_system_serialization_roundtrip(tmp_path):
         np.asarray(loaded3.constraints.pairs), np.asarray(shake.constraints.pairs)
     )
 
+    # round-4 fields round-trip too: virtual sites (TIP4P) with SETTLE
+    from atomsmm_tpu.models import tip4p_water_system
+
+    t4, x4, box4 = tip4p_water_system(n_molecules=8, r_cut=0.28,
+                                      r_switch=0.24)
+    path4 = tmp_path / "tip4p.npz"
+    save_system(str(path4), t4)
+    loaded4 = load_system(str(path4))
+    np.testing.assert_array_equal(
+        np.asarray(loaded4.virtual_sites.sites),
+        np.asarray(t4.virtual_sites.sites))
+    np.testing.assert_array_equal(
+        np.asarray(loaded4.virtual_sites.weights),
+        np.asarray(t4.virtual_sites.weights))
+    np.testing.assert_array_equal(
+        np.asarray(loaded4.settle.triplets), np.asarray(t4.settle.triplets))
+    from atomsmm_tpu.potential import potential_energy
+
+    np.testing.assert_array_equal(
+        float(potential_energy(loaded4, x4, box4)),
+        float(potential_energy(t4, x4, box4)))
+
 
 def test_system_serialization_rejects_callables(tmp_path):
     from atomsmm_tpu.checkpoint import save_system
