@@ -291,6 +291,40 @@ def test_spatial_context_trajectory_parity():
 
 
 @pytest.mark.slow
+def test_spatial_context_rigid_water_settle():
+    """Composition: spatial decomposition + closed-form SETTLE — the sharded
+    pair sweep runs under a constrained integrator and the trajectory
+    matches the single-device full-stencil path."""
+    import dataclasses
+
+    from atomsmm_tpu.models import rigid_water_system
+    from atomsmm_tpu.ops.settle import settle_residual
+    from atomsmm_tpu.parallel.mesh import SpatialContext
+    from atomsmm_tpu.utils import replace as dreplace
+
+    system, x, box = rigid_water_system(n_molecules=64, r_cut=0.5,
+                                        r_switch=0.42, neighbors=True,
+                                        seed=3)
+    full_spec = dataclasses.replace(system.neighbors, half_stencil=False,
+                                    backend="xla")
+    system_full = dreplace(system, neighbors=full_spec)
+    integ = VelocityVerletIntegrator(0.002)
+
+    ref = Context(system_full, integ, make_state(x, box=box, seed=0))
+    ref.step(8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    ctx = SpatialContext(system, integ, make_state(x, box=box, seed=0),
+                         mesh=mesh)
+    ctx.step(8)
+
+    np.testing.assert_allclose(
+        np.asarray(ctx.state.x), np.asarray(ref.state.x), rtol=0, atol=1e-12
+    )
+    assert float(settle_residual(system.settle, ctx.state.x)) < 1e-12
+
+
+@pytest.mark.slow
 def test_spatial_context_pme_water():
     """Spatial DD with a PME far force: sharded direct sweep + atom-sharded
     reciprocal spreading through the Context surface."""
