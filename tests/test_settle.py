@@ -184,6 +184,35 @@ def test_rigid_water_nvt_geometry_held():
     assert 200.0 < t < 450.0, t
 
 
+@pytest.mark.slow
+def test_rigid_water_npt_barostat_preserves_geometry():
+    """Composition: MC barostat + SETTLE — molecular COM scaling must leave
+    the rigid geometry exact through accepted volume moves, and the box
+    must actually move."""
+    from atomsmm_tpu import MonteCarloBarostat
+    from atomsmm_tpu.integrate.propagators import (
+        VelocityRescalingPropagator,
+    )
+
+    system, x, box = rigid_water_system(n_molecules=64, r_cut=0.6,
+                                        r_switch=0.5, seed=2)
+    system = system.add_force(
+        MonteCarloBarostat(pressure=1.0, temperature=300.0, frequency=10))
+    dof = 3 * 192 - 3 * 64 - 3
+    thermo = VelocityRescalingPropagator(300.0, dof, 0.1)
+    ctx = Context(system, GlobalThermostatIntegrator(0.002, thermo),
+                  make_state(x, box=box, seed=5))
+    ctx.set_velocities_to_temperature(300.0, seed=6)
+    v0 = float(ctx.state.box[0]) ** 3
+    ctx.step(300)
+    assert int(ctx.state.extra["baro_nattempted"]) >= 25
+    assert int(ctx.state.extra["baro_naccepted"]) >= 1
+    v1 = float(ctx.state.box[0]) ** 3
+    assert v1 != v0  # at least one accepted volume move
+    res = float(settle_residual(system.settle, ctx.state.x))
+    assert res < 1e-10, res
+
+
 def test_settle_and_shake_trajectories_agree():
     """analytic=True and analytic=False are the same physics: short NVE
     trajectories from identical states agree to SHAKE's convergence level."""
