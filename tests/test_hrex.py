@@ -120,6 +120,22 @@ def test_acceptance_monotone_in_ladder_spacing(solvated):
     assert r_tight > 0.5  # near-identical neighbors swap readily
 
 
+def test_parallel_sampling_without_exchange(solvated):
+    """swap_every=0: the replica-parallel sampler is usable as a pure
+    K-fold parallel λ sampler — correct (xs, n_k) contract, no swap
+    statistics."""
+    solv, x, box = solvated
+    lams = {"lambda_vdw": jnp.asarray([1.0, 0.5]),
+            "lambda_coul": jnp.asarray([1.0, 0.5])}
+    xs, n_k, info = hrex_sample_lambda_states(
+        solv, x, box, lams, 300.0, dt=0.001, n_equil=20, n_samples=3,
+        sample_interval=5, swap_every=0, seed=2)
+    assert xs.shape == (6, x.shape[0], 3)
+    np.testing.assert_array_equal(np.asarray(n_k), [3, 3])
+    assert info["swap_attempts"] == 0
+    assert np.isfinite(np.asarray(xs)).all()
+
+
 def test_tremd_zero_delta_swaps_and_velocity_rescale(solvated):
     """Temperature exchange: identical configurations make Δ = 0 at ANY
     temperature pair (the β terms cancel pairwise), so the swap always
