@@ -68,6 +68,7 @@ from .system import System, make_exclusions_array
 from .systems import (
     AlchemicalRespaSystem,
     ComputingSystem,
+    HydrogenMassRepartitionedSystem,
     RESPASystem,
     SolvationSystem,
 )

@@ -293,3 +293,119 @@ def ComputingSystem(system: System) -> System:
         replace(f, group=i) for i, f in enumerate(system.forces)
     )
     return system.replace_forces(new_forces)
+
+
+def HydrogenMassRepartitionedSystem(
+    system: System,
+    factor: float = 3.0,
+    bonds=None,
+    h_mass_cutoff: float = 1.5,
+) -> System:
+    """Hydrogen mass repartitioning (HMR): scale every hydrogen's mass by
+    ``factor`` and remove the added mass from its bonded heavy partner.
+
+    Counterpart of OpenMM's ``createSystem(hydrogenMass=...)`` option on the
+    reference's substrate (SURVEY.md §2b N5 context): equilibrium ensemble
+    averages are mass-independent, so configurational sampling is unchanged,
+    while the fastest (H-X) vibrational/librational periods slow by roughly
+    sqrt(factor) — the standard trick that makes a 4 fs single timestep
+    stable for rigid water (vs 2 fs at physical masses).
+
+    Connectivity is taken from ``bonds`` ((P, 2) array) when given; otherwise
+    it is derived from the system itself: SETTLE triplets (A-B, A-C),
+    iterative constraint pairs, and any ``HarmonicBondForce.idx`` tables.
+    (``TemplateBondedForce`` stores per-template local indices — pass
+    ``bonds`` explicitly for such systems.)
+
+    The SETTLE canonical triangle (ra/rb/rc) is mass-weighted, so the
+    SettleSet is rebuilt for the new masses; the target distances d_AB/d_BC
+    are recovered exactly from the old triangle (d_BC = 2 rc,
+    d_AB = sqrt(rc^2 + (ra+rb)^2)) — molecular geometry is untouched.
+
+    Hydrogens are particles with 0 < m < ``h_mass_cutoff`` amu; massless
+    particles (virtual sites) are never touched. Raises InputError when a
+    hydrogen has no bonded heavy partner or a heavy atom's mass would go
+    non-positive.
+
+    >>> from atomsmm_tpu.models import rigid_water_system
+    >>> import numpy as np
+    >>> system, x, box = rigid_water_system(n_molecules=64, r_cut=0.55,
+    ...                                      r_switch=0.5)
+    >>> hmr = HydrogenMassRepartitionedSystem(system, factor=3.0)
+    >>> m0 = np.asarray(system.masses, np.float64)
+    >>> m1 = np.asarray(hmr.masses, np.float64)
+    >>> bool(np.allclose(m1[1::3], 3.0 * m0[1::3]))     # H tripled
+    True
+    >>> bool(abs(m1.sum() - m0.sum()) < 1e-6 * m0.sum())  # total conserved
+    True
+    """
+    import numpy as np
+
+    if factor <= 0:
+        raise InputError(f"HMR factor must be positive, got {factor}")
+    masses = np.asarray(system.masses, np.float64)
+    n = masses.shape[0]
+
+    conn = []
+    if bonds is not None:
+        conn.append(np.asarray(bonds, np.int64).reshape(-1, 2))
+    else:
+        if system.settle is not None and system.settle.size:
+            t = np.asarray(system.settle.triplets, np.int64)
+            conn.append(np.stack([t[:, 0], t[:, 1]], 1))
+            conn.append(np.stack([t[:, 0], t[:, 2]], 1))
+        if system.constraints is not None and system.constraints.size:
+            conn.append(np.asarray(system.constraints.pairs, np.int64))
+        from .forces import HarmonicBondForce
+
+        for f in system.forces:
+            if isinstance(f, HarmonicBondForce) and f.idx is not None:
+                conn.append(np.asarray(f.idx, np.int64))
+    if not conn:
+        raise InputError(
+            "HMR needs connectivity: no SETTLE/constraints/HarmonicBondForce "
+            "found and no explicit bonds given"
+        )
+    pairs = np.concatenate(conn, 0)
+
+    is_h = (masses > 0) & (masses < h_mass_cutoff)
+    heavy_of = np.full(n, -1, np.int64)
+    for a, b in np.concatenate([pairs, pairs[:, ::-1]], 0):
+        if is_h[a] and not is_h[b] and masses[b] > 0 and heavy_of[a] < 0:
+            heavy_of[a] = b
+    hs = np.where(is_h)[0]
+    orphan = hs[heavy_of[hs] < 0]
+    if orphan.size:
+        raise InputError(
+            f"HMR: hydrogens {orphan[:5].tolist()}... have no bonded heavy "
+            "partner (H-H constraint pairs do not count; pass bonds=)"
+        )
+    new = masses.copy()
+    delta = (factor - 1.0) * masses[hs]
+    new[hs] += delta
+    np.subtract.at(new, heavy_of[hs], delta)
+    bad = np.where((masses > 0) & ~is_h & (new <= 0))[0]
+    if bad.size:
+        raise InputError(
+            f"HMR factor {factor} drives heavy atoms {bad[:5].tolist()} to "
+            f"non-positive mass (worst: {new[bad].min():.4f} amu)"
+        )
+
+    settle = system.settle
+    if settle is not None and settle.size:
+        from .ops.settle import make_settle_set
+
+        ra = np.asarray(settle.ra, np.float64)
+        rb = np.asarray(settle.rb, np.float64)
+        rc = np.asarray(settle.rc, np.float64)
+        d_bc = 2.0 * rc
+        d_ab = np.sqrt(rc**2 + (ra + rb) ** 2)
+        settle = make_settle_set(
+            np.asarray(settle.triplets, np.int32), d_ab, d_bc, new,
+            dtype=settle.ra.dtype,
+        )
+    return replace(
+        system,
+        masses=jnp.asarray(new, dtype=system.masses.dtype),
+        settle=settle,
+    )
