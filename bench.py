@@ -436,10 +436,13 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
 
 
 def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
-                      tag="tip3p30k_settle_nvt"):
+                      tag="tip3p30k_settle_nvt", hmr_factor=None):
     """Config 6 (round 4): rigid TIP3P water, closed-form SETTLE constraints
     (ops/settle.py — one shot, no RATTLE sweeps), 2 fs velocity Verlet +
-    NHC NVT. The standard rigid-water MD benchmark geometry (VERDICT r3 #4)."""
+    NHC NVT. The standard rigid-water MD benchmark geometry (VERDICT r3 #4).
+    With hmr_factor (config 6b) hydrogen masses are repartitioned
+    (systems.py::HydrogenMassRepartitionedSystem), which makes dt=4 fs
+    stable — same ms/step, double the ns/day."""
     from atomsmm_tpu import (
         Context,
         GlobalThermostatIntegrator,
@@ -452,6 +455,10 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
     system, x, box = rigid_water_system(
         n_molecules=n_molecules, r_cut=0.9, r_switch=0.8, neighbors=True
     )
+    if hmr_factor:
+        from atomsmm_tpu import HydrogenMassRepartitionedSystem
+
+        system = HydrogenMassRepartitionedSystem(system, factor=hmr_factor)
     n = system.num_particles
     dof = 3 * n - system.num_constraints - 3
     integ = GlobalThermostatIntegrator(
@@ -464,6 +471,10 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
 
         system = retune_neighbor_specs(system, ex, ebox, safety=1.03)
         ctx = Context(system, integ, make_state(ex, v=ev, box=ebox))
+        if hmr_factor:
+            # eq velocities were drawn for physical masses; resample for
+            # the repartitioned ones (positions stay equilibrated)
+            ctx.set_velocities_to_temperature(300.0, seed=9)
         ctx.step(1)
         sync(ctx)
         ctx.step(250)
@@ -613,6 +624,14 @@ def main():
             extras["tip3p30k_settle_nvt_ms_step"] = round(r_ms, 3)
         except Exception as e:
             log(f"rigid water bench failed: {e}")
+        try:
+            h_ns, h_ms = bench_rigid_water(
+                dt=0.004, hmr_factor=3.0, extras=extras,
+                tag="tip3p30k_settle_hmr_4fs")
+            extras["tip3p30k_settle_hmr_4fs_ns_day"] = round(h_ns, 2)
+            extras["tip3p30k_settle_hmr_4fs_ms_step"] = round(h_ms, 3)
+        except Exception as e:
+            log(f"rigid water HMR bench failed: {e}")
         try:
             n_ns, n_ms = bench_npt_100k(extras=extras)
             extras["water100k_npt_ns_day"] = round(n_ns, 2)
