@@ -622,6 +622,9 @@ def amber_system(
     neighbors: bool = False,
     skin: float = 0.1,
     dispersion_correction: bool = False,
+    constraints: str | None = None,
+    rigid_water: bool = False,
+    hydrogen_mass: float | None = None,
 ) -> tuple:
     """Build (System, positions, box) from AMBER files — the TPU-native
     equivalent of ``AmberPrmtopFile(...).createSystem(...)`` (SURVEY.md §3.1).
@@ -631,6 +634,16 @@ def amber_system(
     a NonbondedExceptionsForce exactly like the reference moves exceptions to
     the innermost group. Returns positions from the inpcrd (required unless
     you only need the System).
+
+    ``constraints='h-bonds'`` replaces every bond involving a hydrogen by a
+    distance constraint at its equilibrium length (createSystem's HBonds).
+    ``rigid_water=True`` makes 3-site waters fully rigid — both O-H bonds
+    plus the H-H distance implied by the equilibrium angle — and removes
+    their bond/angle terms; the resulting triangles are auto-classified onto
+    the closed-form SETTLE path (ops/settle.py), everything else onto
+    SHAKE/RATTLE. ``hydrogen_mass=3.024`` applies hydrogen mass
+    repartitioning with OpenMM's target-mass semantics
+    (systems.py::HydrogenMassRepartitionedSystem).
     """
     from ..forces import (
         HarmonicAngleForce,
@@ -719,8 +732,75 @@ def amber_system(
     def _massive(idx2d):
         return ~vs_mask[np.asarray(idx2d)].any(axis=1)
 
+    # --- constraints (createSystem(constraints=HBonds, rigidWater=True)) ---
+    mass_np = np.asarray(top.mass, float)
+    is_h = (mass_np > 0) & (mass_np < 1.5)
+    constrain_bond = np.zeros(len(top.bonds), bool)
+    drop_angle = np.zeros(len(top.angles), bool)
+    con_pairs: list = []
+    con_d0: list = []
+
+    if constraints is not None:
+        if constraints.replace("-", "_").lower() not in ("h_bonds", "hbonds"):
+            raise InputError(
+                f"constraints must be None or 'h-bonds', got {constraints!r}"
+            )
+        if len(top.bonds):
+            sel = is_h[top.bonds].any(axis=1) & _massive(top.bonds)
+            constrain_bond |= sel
+            for (i, j), r0 in zip(top.bonds[sel], top.bond_r0[sel]):
+                con_pairs.append((int(i), int(j)))
+                con_d0.append(float(r0))
+
+    if rigid_water and len(top.bonds):
+        bond_row = {
+            tuple(sorted(map(int, b))): r for r, b in enumerate(top.bonds)
+        }
+        angle_row = {}
+        for r, (i, j, k) in enumerate(top.angles):
+            i, j, k = int(i), int(j), int(k)
+            angle_row[(min(i, k), j, max(i, k))] = r
+        mol_atoms: dict = {}
+        for a in range(n):
+            if not vs_mask[a] and mass_np[a] > 0:
+                mol_atoms.setdefault(int(top.molecule[a]), []).append(a)
+        for atoms in mol_atoms.values():
+            if len(atoms) != 3:
+                continue
+            h_at = [a for a in atoms if is_h[a]]
+            heavy = [a for a in atoms if not is_h[a]]
+            if len(h_at) != 2 or len(heavy) != 1:
+                continue
+            o, (h1, h2) = heavy[0], h_at
+            row1 = bond_row.get(tuple(sorted((o, h1))))
+            row2 = bond_row.get(tuple(sorted((o, h2))))
+            if row1 is None or row2 is None:
+                continue
+            r1, r2 = float(top.bond_r0[row1]), float(top.bond_r0[row2])
+            row_hh = bond_row.get(tuple(sorted((h1, h2))))
+            if row_hh is not None:  # explicit H-H bond (some water FFs)
+                if not constrain_bond[row_hh]:
+                    constrain_bond[row_hh] = True
+                    con_pairs.append((h1, h2))
+                    con_d0.append(float(top.bond_r0[row_hh]))
+            else:
+                a_row = angle_row.get((min(h1, h2), o, max(h1, h2)))
+                if a_row is None:
+                    continue
+                t0 = float(top.angle_t0[a_row])
+                drop_angle[a_row] = True
+                con_pairs.append((h1, h2))
+                con_d0.append(
+                    np.sqrt(r1 * r1 + r2 * r2 - 2 * r1 * r2 * np.cos(t0))
+                )
+            for row, pair, r0 in ((row1, (o, h1), r1), (row2, (o, h2), r2)):
+                if not constrain_bond[row]:
+                    constrain_bond[row] = True
+                    con_pairs.append(pair)
+                    con_d0.append(r0)
+
     if len(top.bonds):
-        keep = _massive(top.bonds)
+        keep = _massive(top.bonds) & ~constrain_bond
         if keep.any():
             forces.append(
                 HarmonicBondForce(
@@ -731,7 +811,7 @@ def amber_system(
                 )
             )
     if len(top.angles):
-        keep = _massive(top.angles)
+        keep = _massive(top.angles) & ~drop_angle
         if keep.any():
             forces.append(
                 HarmonicAngleForce(
@@ -823,14 +903,35 @@ def amber_system(
             weights=jnp.asarray(top.vs_weights, dtype),
             oop=jnp.zeros((len(top.vs_sites),), dtype),
         )
+    cset = sset = None
+    if con_pairs:
+        from ..ops.constraints import ConstraintSet
+        from ..ops.settle import partition_constraints
+
+        cset = ConstraintSet(
+            pairs=jnp.asarray(np.asarray(con_pairs, np.int32)),
+            d0=jnp.asarray(np.asarray(con_d0), dtype),
+        )
+        sset, cset = partition_constraints(cset, mass_np)
+        if cset is not None and cset.size == 0:
+            cset = None
     system = System(
         masses=jnp.asarray(top.mass, dtype),
         forces=tuple(forces),
         molecule=jnp.asarray(top.molecule, jnp.int32),
         default_box=jnp.asarray(box, dtype),
         virtual_sites=vsites,
+        constraints=cset,
+        settle=sset,
         num_molecules=top.num_molecules,
+        num_constraints=len(con_pairs),
     )
+    if hydrogen_mass is not None:
+        from ..systems import HydrogenMassRepartitionedSystem
+
+        system = HydrogenMassRepartitionedSystem(
+            system, target_mass=hydrogen_mass, bonds=top.bonds
+        )
     if neighbors:
         from ..ops.neighbors import make_neighbor_spec
 

@@ -300,6 +300,7 @@ def HydrogenMassRepartitionedSystem(
     factor: float = 3.0,
     bonds=None,
     h_mass_cutoff: float = 1.5,
+    target_mass: float | None = None,
 ) -> System:
     """Hydrogen mass repartitioning (HMR): scale every hydrogen's mass by
     ``factor`` and remove the added mass from its bonded heavy partner.
@@ -327,6 +328,10 @@ def HydrogenMassRepartitionedSystem(
     hydrogen has no bonded heavy partner or a heavy atom's mass would go
     non-positive.
 
+    ``target_mass`` selects OpenMM's ``hydrogenMass=`` semantics instead of
+    a multiplier: every hydrogen is set to exactly ``target_mass`` amu and
+    the difference (positive or negative) is debited from its heavy partner.
+
     >>> from atomsmm_tpu.models import rigid_water_system
     >>> import numpy as np
     >>> system, x, box = rigid_water_system(n_molecules=64, r_cut=0.55,
@@ -341,7 +346,11 @@ def HydrogenMassRepartitionedSystem(
     """
     import numpy as np
 
-    if factor <= 0:
+    if target_mass is not None:
+        if target_mass <= 0:
+            raise InputError(
+                f"HMR target_mass must be positive, got {target_mass}")
+    elif factor <= 0:
         raise InputError(f"HMR factor must be positive, got {factor}")
     masses = np.asarray(system.masses, np.float64)
     n = masses.shape[0]
@@ -381,13 +390,18 @@ def HydrogenMassRepartitionedSystem(
             "partner (H-H constraint pairs do not count; pass bonds=)"
         )
     new = masses.copy()
-    delta = (factor - 1.0) * masses[hs]
+    if target_mass is not None:
+        delta = target_mass - masses[hs]
+    else:
+        delta = (factor - 1.0) * masses[hs]
     new[hs] += delta
     np.subtract.at(new, heavy_of[hs], delta)
     bad = np.where((masses > 0) & ~is_h & (new <= 0))[0]
     if bad.size:
+        what = (f"target_mass {target_mass}" if target_mass is not None
+                else f"factor {factor}")
         raise InputError(
-            f"HMR factor {factor} drives heavy atoms {bad[:5].tolist()} to "
+            f"HMR {what} drives heavy atoms {bad[:5].tolist()} to "
             f"non-positive mass (worst: {new[bad].min():.4f} amu)"
         )
 

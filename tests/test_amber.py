@@ -800,3 +800,99 @@ def test_excluded_atoms_list_validated():
     # a custom exclusion not derivable from the bond graph: rejected
     with pytest.raises(InputError, match="EXCLUDED_ATOMS_LIST disagrees"):
         read_prmtop(_water_prmtop(2) + _exclusion_sections(2, extra_pair=(0, 3)))
+
+
+# --- createSystem(constraints=HBonds, rigidWater=True, hydrogenMass=...) ----
+
+
+def test_rigid_water_constraints_build_settle():
+    m = 27
+    _, x, box = water_system(n_molecules=m, r_cut=0.45, r_switch=0.40, seed=11)
+    sys_r, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.45, r_switch=0.40, rigid_water=True,
+    )
+    # all 27 triangles classified analytic; nothing left for SHAKE
+    assert sys_r.settle is not None and sys_r.settle.size == m
+    assert sys_r.constraints is None
+    assert sys_r.num_constraints == 3 * m
+    # bond/angle terms replaced by the constraints
+    names = {type(f).__name__ for f in sys_r.forces}
+    assert "HarmonicBondForce" not in names
+    assert "HarmonicAngleForce" not in names
+    # H-H target follows the equilibrium-angle law of cosines
+    r0, t0 = 0.1, 112.0 * np.pi / 180.0
+    d_hh = np.sqrt(2 * r0 * r0 * (1 - np.cos(t0)))
+    ra = np.asarray(sys_r.settle.ra, float)
+    rc = np.asarray(sys_r.settle.rc, float)
+    np.testing.assert_allclose(2 * rc, d_hh, rtol=1e-9)
+    # dropped energy is exactly the bond+angle split of the flexible build
+    sys_f, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.45, r_switch=0.40,
+    )
+    xp = np.asarray(x) + 0.003 * np.random.RandomState(7).normal(size=x.shape)
+    e_f = split_potential_energy(sys_f, xp, box)
+    e_r = split_potential_energy(sys_r, xp, box)
+    np.testing.assert_allclose(
+        float(e_f["Total"]) - float(e_r["Total"]),
+        float(e_f["HarmonicBondForce"]) + float(e_f["HarmonicAngleForce"]),
+        rtol=1e-10,
+    )
+
+
+def test_h_bonds_constraints_keep_angles_on_shake():
+    m = 8
+    _, x, box = water_system(n_molecules=m, r_cut=0.3, r_switch=0.25, seed=2)
+    sys_h, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.3, r_switch=0.25, constraints="h-bonds",
+    )
+    # two O-H constraints per molecule, angle still flexible -> iterative
+    assert sys_h.num_constraints == 2 * m
+    assert sys_h.settle is None
+    assert sys_h.constraints is not None and sys_h.constraints.size == 2 * m
+    names = {type(f).__name__ for f in sys_h.forces}
+    assert "HarmonicBondForce" not in names
+    assert "HarmonicAngleForce" in names
+    with pytest.raises(Exception, match="constraints"):
+        amber_system(read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+                     r_cut=0.3, r_switch=0.25, constraints="all-bonds")
+
+
+def test_hydrogen_mass_target_semantics():
+    m = 8
+    _, x, box = water_system(n_molecules=m, r_cut=0.3, r_switch=0.25, seed=2)
+    sys_m, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.3, r_switch=0.25, rigid_water=True, hydrogen_mass=3.024,
+    )
+    masses = np.asarray(sys_m.masses, np.float64)
+    np.testing.assert_allclose(masses[1::3], 3.024)
+    np.testing.assert_allclose(masses[0::3], 15.9994 - 2 * (3.024 - 1.008))
+    # SETTLE triangle rebuilt for the repartitioned COM split
+    ma = masses[0]
+    ra = np.asarray(sys_m.settle.ra, np.float64)
+    rb = np.asarray(sys_m.settle.rb, np.float64)
+    np.testing.assert_allclose(ma * ra, 2 * 3.024 * rb, rtol=1e-9)
+
+
+def test_rigid_water_trajectory_holds_geometry():
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.ops.settle import settle_residual
+
+    m = 27
+    _, x, box = water_system(n_molecules=m, r_cut=0.45, r_switch=0.40, seed=11)
+    sys_r, _, _ = amber_system(
+        read_prmtop(_water_prmtop(m)), box=np.asarray(box),
+        r_cut=0.45, r_switch=0.40, rigid_water=True, hydrogen_mass=3.024,
+    )
+    # project the flexible-geometry start onto the constraint manifold first
+    from atomsmm_tpu.ops.settle import settle_positions
+
+    x0 = settle_positions(sys_r.settle, x, x, sys_r.masses)
+    ctx = Context(sys_r, VelocityVerletIntegrator(0.004), make_state(x0, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=4)
+    ctx.step(100)
+    res = float(settle_residual(sys_r.settle, ctx.get_state().positions))
+    assert res < 1e-10
