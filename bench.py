@@ -436,13 +436,17 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
 
 
 def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
-                      tag="tip3p30k_settle_nvt", hmr_factor=None):
+                      tag="tip3p30k_settle_nvt", hmr_factor=None,
+                      respa_loops=None):
     """Config 6 (round 4): rigid TIP3P water, closed-form SETTLE constraints
     (ops/settle.py — one shot, no RATTLE sweeps), 2 fs velocity Verlet +
     NHC NVT. The standard rigid-water MD benchmark geometry (VERDICT r3 #4).
     With hmr_factor (config 6b) hydrogen masses are repartitioned
     (systems.py::HydrogenMassRepartitionedSystem), which makes dt=4 fs
-    stable — same ms/step, double the ns/day."""
+    stable — same ms/step, double the ns/day. With respa_loops (config 6c,
+    e.g. (1, 4, 1) at dt=0.016) the nonbonded force splits near/far and the
+    0.9 nm far sweep runs once per outer step — measured stable to 16 fs
+    with T/PE at the 2 fs equilibrium values (CPU f64 ladder, round 4)."""
     from atomsmm_tpu import (
         Context,
         GlobalThermostatIntegrator,
@@ -461,9 +465,18 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
         system = HydrogenMassRepartitionedSystem(system, factor=hmr_factor)
     n = system.num_particles
     dof = 3 * n - system.num_constraints - 3
-    integ = GlobalThermostatIntegrator(
-        dt, NoseHooverChainPropagator(300.0, dof, 0.1)
-    )
+    if respa_loops:
+        from atomsmm_tpu import MultipleTimeScaleIntegrator, RESPASystem
+
+        system = RESPASystem(system, rcut_in=0.6, rswitch_in=0.5)
+        integ = MultipleTimeScaleIntegrator(
+            dt, list(respa_loops), temperature=300.0, time_scale=0.1,
+            degrees_of_freedom=dof,
+        )
+    else:
+        integ = GlobalThermostatIntegrator(
+            dt, NoseHooverChainPropagator(300.0, dof, 0.1)
+        )
     eq = load_eq("eq_tip3p30k")
     if eq is not None:
         ex, ev, ebox = eq
@@ -490,7 +503,8 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
     best = _best_rate(ctx, steps)
     ms = best / steps * 1e3
     ns_day = dt * 1e-3 * steps / best * 86400.0
-    log(f"rigid TIP3P {n} SETTLE VV@{dt*1e3:.0f}fs NHC: "
+    scheme = (f"RESPA{list(respa_loops)}" if respa_loops else "VV")
+    log(f"rigid TIP3P {n} SETTLE {scheme}@{dt*1e3:.0f}fs NHC: "
         f"{ms:.2f} ms/step, {ns_day:.2f} ns/day")
     if extras is not None:
         telemetry(ctx, 2000, 250, dt, tag, extras)
@@ -632,6 +646,14 @@ def main():
             extras["tip3p30k_settle_hmr_4fs_ms_step"] = round(h_ms, 3)
         except Exception as e:
             log(f"rigid water HMR bench failed: {e}")
+        try:
+            c_ns, c_ms = bench_rigid_water(
+                dt=0.016, hmr_factor=3.0, respa_loops=(1, 4, 1),
+                extras=extras, tag="tip3p30k_settle_hmr_respa16fs")
+            extras["tip3p30k_settle_hmr_respa16fs_ns_day"] = round(c_ns, 2)
+            extras["tip3p30k_settle_hmr_respa16fs_ms_step"] = round(c_ms, 3)
+        except Exception as e:
+            log(f"rigid water HMR+RESPA bench failed: {e}")
         try:
             n_ns, n_ms = bench_npt_100k(extras=extras)
             extras["water100k_npt_ns_day"] = round(n_ns, 2)

@@ -150,3 +150,40 @@ def test_virtual_sites_untouched():
     m1 = np.asarray(hmr.masses, np.float64)
     assert np.allclose(m1[m0 == 0], 0.0)  # M sites stay massless
     assert abs(m1.sum() - m0.sum()) < 1e-9
+
+
+@pytest.mark.slow
+def test_hmr_respa_16fs_outer_stable():
+    """Bench config 6c claim: HMR 3x + RESPA [1,4,1] at 16 fs outer holds
+    the NVT ensemble (T, PE) and exact geometry (CPU f64 ladder, round 4:
+    8/12/16 fs all at the 2 fs equilibrium PE/N = -13.2 kJ/mol/atom)."""
+    from atomsmm_tpu import MultipleTimeScaleIntegrator, RESPASystem
+
+    system, x, box = rigid_water_system(n_molecules=125, r_cut=0.62,
+                                        r_switch=0.55, neighbors=True)
+    hmr = HydrogenMassRepartitionedSystem(system, factor=3.0)
+    respa = RESPASystem(hmr, rcut_in=0.45, rswitch_in=0.4)
+    n = hmr.num_particles
+    dof = 3 * n - hmr.num_constraints - 3
+    integ = MultipleTimeScaleIntegrator(0.016, [1, 4, 1], temperature=300.0,
+                                        time_scale=0.1,
+                                        degrees_of_freedom=dof)
+    ctx = Context(respa, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=9)
+    # chunked velocity-rescale melt off the lattice, then NHC settle
+    for _ in range(6):
+        ctx.step(40)
+        t_now = float(ctx.temperature())
+        ctx.set_velocities((300.0 / t_now) ** 0.5 * ctx.state.v)
+    ctx.step(150)
+    kB = 0.0083144626
+    t_s, pe_s = [], []
+    for _ in range(4):
+        ctx.step(50)
+        st = ctx.get_state()
+        t_s.append(2 * float(st.kinetic_energy) / (dof * kB))
+        pe_s.append(float(st.potential_energy) / n)
+    assert 260.0 < np.mean(t_s) < 340.0
+    assert -14.2 < np.mean(pe_s) < -12.2
+    res = float(settle_residual(hmr.settle, ctx.get_state().positions))
+    assert res < 1e-10
