@@ -16,6 +16,7 @@ from .forces import (
     MonteCarloBarostat,
     CustomNonbondedForce,
     DampedSmoothedForce,
+    DrudeForce,
     FarNonbondedForce,
     HarmonicImproperForce,
     PMEReciprocalForce,
@@ -93,6 +94,11 @@ from .integrate.sinr import (
     NHL_R_Integrator,
     SIN_R_Integrator,
     SINRThermostatPropagator,
+)
+from .integrate.drude import (
+    DrudeLangevinIntegrator,
+    DrudeOrnsteinUhlenbeckPropagator,
+    DrudeSCFIntegrator,
 )
 from .minimize import fire_minimize, minimize_energy
 from .reporters import (

@@ -1031,3 +1031,26 @@ class HarmonicImproperForce(Force):
         from .ops.bonded import harmonic_improper_energy
 
         return harmonic_improper_energy(x, self.idx, self.phi0, self.k)
+
+
+@pytree_dataclass
+class DrudeForce(Force):
+    """Drude-oscillator polarizability terms (ops/drude.py): core-Drude
+    restoring springs plus Thole-screened dipole-dipole interactions between
+    bonded-neighbor dipoles — the TPU-native counterpart of OpenMM's
+    ``DrudeForce`` on the reference's substrate (SURVEY.md §2b input
+    breadth). The Drude particles' Coulomb interactions with everything
+    else ride the regular NonbondedForce/PME path (they are ordinary
+    charged particles there); this force adds only the polarizability-
+    specific terms. Bond-like range — belongs in the innermost RESPA group.
+    """
+
+    drude: object = None  # ops.drude.DrudeSet
+
+    def energy(self, x, box, globals, aux=None):
+        from .ops.drude import drude_spring_energy, thole_screening_energy
+
+        e = drude_spring_energy(self.drude, x)
+        if self.drude.num_screened:
+            e = e + thole_screening_energy(self.drude, x, box)
+        return e

@@ -664,7 +664,10 @@ class OrnsteinUhlenbeckPropagator(Propagator):
         rng, sub = jax.random.split(state.rng)
         if self.variable is None:
             m = ctx.masses[:, None]
-            sigma = jnp.sqrt(kT / m)
+            # massless rows (virtual sites, SCF Drude particles) carry no
+            # momentum: zero noise, and the projection re-pins them
+            sigma = jnp.where(
+                m > 0, jnp.sqrt(kT / jnp.where(m > 0, m, 1.0)), 0.0)
             r = jax.random.normal(sub, state.v.shape, state.v.dtype)
             v = state.v * decay + sigma * noise * r
             # Additive noise breaks constraint tangency (d/dt|r_ij| = 0);

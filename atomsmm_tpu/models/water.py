@@ -444,3 +444,136 @@ def tip4p_water_system(
                                exclusions=nb_kwargs["exclusions"])
         )
     return system, jnp.asarray(x, dtype), box
+
+
+# --- SWM4-NDP polarizable 5-site water (Drude oscillator) -------------------
+
+SWM4_Q_H = 0.557330
+SWM4_Q_M = -1.114660
+SWM4_Q_D = -1.71636           # negative Drude particle ("NDP")
+SWM4_ALPHA_O = 9.7825e-4      # nm^3 (0.97825 A^3)
+SWM4_SIGMA_O = 0.318395       # nm  (R_min/2 = 1.78693 A)
+SWM4_EPSILON_O = 0.88257      # kJ/mol (0.21094 kcal/mol)
+SWM4_R_OH = 0.09572           # nm
+SWM4_THETA = 104.52 * np.pi / 180.0
+SWM4_D_OM = 0.024034          # nm, O -> M along the HOH bisector
+SWM4_DRUDE_MASS = 0.4         # amu, debited from O (extended Lagrangian)
+
+
+def swm4_water_system(
+    n_molecules: int = 64,
+    method: str = "cutoff",
+    r_cut: float = 0.9,
+    r_switch: float = 0.8,
+    drude_mass: float = SWM4_DRUDE_MASS,
+    seed: int = 0,
+    dtype=None,
+    neighbors: bool = False,
+    skin: float = 0.1,
+):
+    """SWM4-NDP polarizable water (Lamoureux et al., CPL 418, 245 (2006)):
+    5 sites per molecule — O core (+1.71636 e, LJ), its Drude satellite
+    (-1.71636 e on a k = ONE_4PI_EPS0 q_D^2/alpha spring, alpha = 0.97825
+    A^3), two H, and the massless M site on the HOH bisector as a virtual
+    site. Rigid (O, H1, H2) geometry by SETTLE; the reference substrate's
+    polarizable-FF capability (OpenMM DrudeForce, SURVEY.md §2b).
+
+    drude_mass > 0 (default 0.4 amu, debited from O) suits the
+    extended-Lagrangian DrudeLangevinIntegrator; drude_mass = 0 makes the
+    Drude rows massless state for DrudeSCFIntegrator. Atom order per
+    molecule: [O, D, H1, H2, M]. Returns (System, positions, box)."""
+    from ..forces import DrudeForce
+    from ..ops.drude import make_drude_set
+    from ..ops.settle import make_settle_set
+    from ..ops.virtual_sites import VirtualSiteSet, place_virtual_sites
+
+    dtype = dtype or jnp.result_type(float)
+    m = n_molecules
+    n = 5 * m
+    box_l = (m / WATER_NUMBER_DENSITY) ** (1.0 / 3.0)
+    if r_cut > 0.5 * box_l:
+        from ..utils import InputError
+
+        raise InputError(f"r_cut {r_cut} > box/2 ({box_l/2:.3f})")
+
+    r, t = SWM4_R_OH, SWM4_THETA
+    mol = np.stack([
+        np.zeros(3),                                   # O
+        np.zeros(3),                                   # D rides on O
+        [r * np.sin(t / 2), r * np.cos(t / 2), 0.0],   # H1
+        [-r * np.sin(t / 2), r * np.cos(t / 2), 0.0],  # H2
+        np.zeros(3),                                   # M — placed below
+    ])
+    rs = np.random.RandomState(seed)
+    n_side = int(np.ceil(m ** (1.0 / 3.0)))
+    spacing = box_l / n_side
+    grid = (np.arange(n_side) + 0.5) * spacing
+    centers = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), -1)
+    centers = centers.reshape(-1, 3)[:m]
+    rot = _random_rotations(m, rs)
+    x = (centers[:, None, :] + np.einsum("mij,aj->mai", rot, mol)).reshape(-1, 3)
+
+    o = 5 * np.arange(m)
+    excl_pairs = np.concatenate([
+        np.stack([o + a, o + b], 1)
+        for a in range(5) for b in range(a + 1, 5)
+    ])
+    nb_kwargs = dict(
+        group=0,
+        charge=jnp.asarray(np.tile(
+            [-SWM4_Q_D, SWM4_Q_D, SWM4_Q_H, SWM4_Q_H, SWM4_Q_M], m), dtype),
+        sigma=jnp.asarray(np.tile([SWM4_SIGMA_O, 1.0, 1.0, 1.0, 1.0], m),
+                          dtype),
+        epsilon=jnp.asarray(np.tile([SWM4_EPSILON_O, 0.0, 0.0, 0.0, 0.0], m),
+                            dtype),
+        exclusions=make_exclusions_array(n, excl_pairs),
+        r_cut=jnp.asarray(r_cut, dtype),
+        r_switch=jnp.asarray(r_switch, dtype),
+        eps_rf=jnp.asarray(1e15, dtype),
+        method=method,
+        use_switch=True,
+    )
+    if method == "pme":
+        from ..ops.pme import choose_pme_parameters
+
+        alpha, grid_shape, order = choose_pme_parameters(
+            r_cut, np.full(3, box_l))
+        nb_kwargs.update(ewald_alpha=float(alpha),
+                         grid_shape=tuple(grid_shape), spline_order=order)
+
+    masses = jnp.asarray(np.tile(
+        [MASS_O - drude_mass, drude_mass, MASS_H, MASS_H, 0.0], m), dtype)
+    d_hh = 2.0 * r * np.sin(t / 2.0)
+    sset = make_settle_set(np.stack([o, o + 2, o + 3], 1), r, d_hh, masses,
+                           dtype=dtype)
+    c = SWM4_D_OM / (2.0 * r * np.cos(t / 2.0))
+    vsites = VirtualSiteSet(
+        sites=jnp.asarray(o + 4, jnp.int32),
+        parents=jnp.asarray(np.stack([o, o + 2, o + 3], 1), jnp.int32),
+        weights=jnp.asarray(np.tile([1.0 - 2 * c, c, c], (m, 1)), dtype),
+        oop=jnp.zeros((m,), dtype),
+    )
+    x = np.asarray(place_virtual_sites(vsites, jnp.asarray(x, dtype)))
+    drude = make_drude_set(np.stack([o + 1, o], 1),
+                           np.full(m, SWM4_Q_D), np.full(m, SWM4_ALPHA_O),
+                           dtype=dtype)
+
+    box = jnp.full((3,), box_l, dtype)
+    system = System(
+        masses=masses,
+        forces=(NonbondedForce(**nb_kwargs), DrudeForce(drude=drude)),
+        molecule=jnp.asarray(np.repeat(np.arange(m), 5), jnp.int32),
+        default_box=box,
+        settle=sset,
+        virtual_sites=vsites,
+        num_molecules=m,
+        num_constraints=3 * m,
+    )
+    if neighbors:
+        from ..ops.neighbors import make_neighbor_spec
+
+        system = system.with_neighbors(
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
+                               exclusions=nb_kwargs["exclusions"])
+        )
+    return system, jnp.asarray(x, dtype), box

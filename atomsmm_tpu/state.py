@@ -103,7 +103,12 @@ def maxwell_boltzmann_velocities(rng, masses, temperature, dtype=None):
 
     dtype = dtype or jnp.result_type(float)
     n = masses.shape[0]
-    sigma = jnp.sqrt(BOLTZMANN * temperature / masses).astype(dtype)
+    # massless rows (virtual sites, SCF Drude particles) carry no momentum
+    sigma = jnp.where(
+        masses > 0,
+        jnp.sqrt(BOLTZMANN * temperature / jnp.where(masses > 0, masses, 1.0)),
+        0.0,
+    ).astype(dtype)
     return sigma[:, None] * jax.random.normal(rng, (n, 3), dtype=dtype)
 
 

@@ -13,6 +13,7 @@ import atomsmm_tpu.integrate.integrators
 import atomsmm_tpu.integrate.propagators
 import atomsmm_tpu.io.pdb
 import atomsmm_tpu.ops.cmap
+import atomsmm_tpu.ops.drude
 import atomsmm_tpu.ops.pairfuncs
 import atomsmm_tpu.ops.pbc
 import atomsmm_tpu.ops.settle
@@ -28,6 +29,7 @@ MODULES = {
     "switching": (atomsmm_tpu.ops.switching, 3),
     "pbc": (atomsmm_tpu.ops.pbc, 2),
     "cmap": (atomsmm_tpu.ops.cmap, 5),
+    "drude": (atomsmm_tpu.ops.drude, 6),
     "settle": (atomsmm_tpu.ops.settle, 8),
     "virtual_sites": (atomsmm_tpu.ops.virtual_sites, 6),
     "io_pdb": (atomsmm_tpu.io.pdb, 4),
