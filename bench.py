@@ -513,6 +513,48 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
     return ns_day, ms
 
 
+def bench_swm4_drude(n_molecules=2000, steps=150, dt=0.001, extras=None,
+                     tag="swm4_10k_drude_el"):
+    """Config 7 (round 4): SWM4-NDP polarizable water, extended-Lagrangian
+    Drude dynamics (integrate/drude.py) — 5 sites/molecule (SETTLE rigid
+    triangle + massless M virtual site + oxygen Drude on a 0.4 amu spring),
+    dual Ornstein-Uhlenbeck baths at 300 K / 1 K, 1 fs steps. The
+    polarizable-FF throughput row: one force pass per step like fixed-charge
+    water, but 5/3 the sites and the pair sweep carries the Drude charges."""
+    from atomsmm_tpu import Context, make_state
+    from atomsmm_tpu.integrate.drude import DrudeLangevinIntegrator
+    from atomsmm_tpu.models import swm4_water_system
+    from atomsmm_tpu.ops.drude import drude_temperatures
+    from atomsmm_tpu.ops.settle import settle_residual
+
+    system, x, box = swm4_water_system(
+        n_molecules=n_molecules, r_cut=0.9, r_switch=0.8, neighbors=True)
+    integ = DrudeLangevinIntegrator(dt, 300.0, system=system)
+    ctx = Context(system, integ, make_state(x, box=box))
+    ctx.set_velocities_to_temperature(300.0, seed=9)
+    ctx.step(1)
+    sync(ctx)
+    ctx.step(800)  # Langevin baths equilibrate the lattice melt directly
+    ctx.retune_neighbors()
+    ctx.step(1)
+    sync(ctx)
+    best = _best_rate(ctx, steps)
+    ms = best / steps * 1e3
+    ns_day = dt * 1e-3 * steps / best * 86400.0
+    log(f"SWM4-NDP {system.num_particles} sites Drude-EL@{dt*1e3:.0f}fs: "
+        f"{ms:.2f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None:
+        telemetry(ctx, 1000, 250, dt, tag, extras, drift=False)
+        ta, td = drude_temperatures(
+            integ.thermostat.drude, ctx.state.v, system.masses,
+            n_constraints=system.num_constraints)
+        extras[f"{tag}_T_atoms_K"] = round(float(ta), 1)
+        extras[f"{tag}_T_drude_K"] = round(float(td), 2)
+        extras[f"{tag}_geometry_residual"] = float(
+            settle_residual(system.settle, ctx.state.x))
+    return ns_day, ms
+
+
 def bench_npt_100k(steps=100, extras=None, method="cutoff",
                    tag="water100k_npt"):
     """Config 5: 100k-atom water NPT (MC barostat). method='pme' runs the
@@ -654,6 +696,12 @@ def main():
             extras["tip3p30k_settle_hmr_respa16fs_ms_step"] = round(c_ms, 3)
         except Exception as e:
             log(f"rigid water HMR+RESPA bench failed: {e}")
+        try:
+            d_ns, d_ms = bench_swm4_drude(extras=extras)
+            extras["swm4_10k_drude_el_ns_day"] = round(d_ns, 2)
+            extras["swm4_10k_drude_el_ms_step"] = round(d_ms, 3)
+        except Exception as e:
+            log(f"swm4 drude bench failed: {e}")
         try:
             n_ns, n_ms = bench_npt_100k(extras=extras)
             extras["water100k_npt_ns_day"] = round(n_ns, 2)

@@ -219,3 +219,48 @@ def test_el_dual_temperatures_and_geometry():
     np.testing.assert_allclose(roh, SWM4_R_OH, atol=1e-10)
     d = np.asarray(drude_displacements(integ.thermostat.drude, ctx.state.x))
     assert np.linalg.norm(d, axis=-1).max() < 0.05
+
+
+@pytest.mark.slow
+def test_drude_composes_with_respa():
+    """DrudeForce is a group-0 (bond-like) term: RESPASystem's near/far
+    split leaves it in the innermost level and the split energies still sum
+    to the unsplit total; r-RESPA dynamics with the dual OU bath spliced at
+    the outermost level keeps the relative motion cold and geometry exact."""
+    from atomsmm_tpu import (
+        MultipleTimeScaleIntegrator,
+        PropagatorIntegrator,
+        RESPASystem,
+        split_potential_energy,
+    )
+    from atomsmm_tpu.integrate.drude import DrudeOrnsteinUhlenbeckPropagator
+
+    system, x, box = swm4_water_system(n_molecules=32, r_cut=0.45,
+                                       r_switch=0.4)
+    e_full = float(potential_energy(system, x, box, {}))
+    rsys = RESPASystem(system, rcut_in=0.3, rswitch_in=0.25)
+    groups = sorted({f.group for f in rsys.forces})
+    e_split = sum(
+        float(potential_energy(rsys, x, box, {}, groups=[g]))
+        for g in groups
+    )
+    np.testing.assert_allclose(e_split, e_full, rtol=1e-10)
+    # DrudeForce stayed in group 0
+    assert any(type(f).__name__ == "DrudeForce" and f.group == 0
+               for f in rsys.forces)
+
+    ds = find_drude_set(system)
+    bath = DrudeOrnsteinUhlenbeckPropagator(ds, 300.0, 5.0)
+    integ = MultipleTimeScaleIntegrator(0.002, [2, 1], baths={-1: bath})
+    ctx = am.Context(rsys, integ)
+    ctx.set_positions(x)
+    ctx.set_velocities_to_temperature(300.0, seed=4)
+    ctx.step(500)
+    assert bool(jnp.all(jnp.isfinite(ctx.state.x)))
+    _, td = drude_temperatures(ds, ctx.state.v, system.masses,
+                               n_constraints=96)
+    assert float(td) < 20.0
+    o = 5 * np.arange(32)
+    xx = np.asarray(ctx.state.x)
+    roh = np.linalg.norm(xx[o + 2] - xx[o], axis=-1)
+    np.testing.assert_allclose(roh, SWM4_R_OH, atol=1e-10)
