@@ -435,6 +435,57 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
     return ns_day, ms
 
 
+def bench_water_sinr(n_molecules=10000, steps=100, dt=0.024, loops=None,
+                     extras=None, tag="water30k_sinr"):
+    """Config 2b (round 4): the headline flexible q-SPC/Fw 30k system under
+    SIN(R) — stochastic-isokinetic multiple timescales (Margul & Tuckerman
+    JCTC 2016 sustain very large outer steps on flexible water; validated
+    for this code at reduced scale in tools/sinr_water_study.py). Outer
+    (far, 0.9 nm) step 24 fs, near (0.5 nm) 2 fs, bonded 0.5 fs — 6x the
+    4 fs RESPA headline's outer step at roughly the near-sweep cost, since
+    the per-DOF isokinetic constraint suppresses the resonance wall that
+    pins deterministic NVT at ~5 fs."""
+    from atomsmm_tpu import Context, RESPASystem, SIN_R_Integrator, make_state
+    from atomsmm_tpu.models import water_system
+
+    loops = list(loops or [4, 12, 1])
+    system, x, box = water_system(
+        n_molecules=n_molecules, method="cutoff", neighbors=True)
+    respa = RESPASystem(system, rcut_in=HEADLINE_RCUT_IN,
+                        rswitch_in=HEADLINE_RCUT_IN - 0.1)
+    integ = SIN_R_Integrator(
+        dt, loops, temperature=300.0, time_scale=0.05, friction=10.0)
+    eq = load_eq("eq_water30k") if n_molecules == 10000 else None
+    if eq is not None:
+        ex, ev, ebox = eq
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=13))
+        ctx.step(1)
+        sync(ctx)
+        ctx.step(100)
+    else:
+        ctx = Context(respa, integ, make_state(x, box=box, seed=13))
+        ctx.step(1)
+        sync(ctx)
+        ctx.step(400)
+        ctx.retune_neighbors()
+        ctx.step(1)
+    sync(ctx)
+    best = _best_rate(ctx, steps, tries=2)
+    ms = best / steps * 1e3
+    ns_day = dt * 1e-3 * steps / best * 86400.0
+    log(f"water {3*n_molecules} SIN(R){loops}@{dt*1e3:.0f}fs cutoff: "
+        f"{ms:.2f} ms/step, {ns_day:.2f} ns/day")
+    if extras is not None:
+        # isokinetic T_kin expectation is kT/2 per DOF = 150 K (L = 1);
+        # configurational averages are canonical at 300 K
+        telemetry(ctx, 1000, 250, dt, tag, extras, drift=False)
+        extras[f"{tag}_T_K_isokinetic_expected"] = 150.0
+    return ns_day, ms
+
+
 def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
                       tag="tip3p30k_settle_nvt", hmr_factor=None,
                       respa_loops=None):
@@ -668,6 +719,12 @@ def main():
             bench_hrex(extras=extras)
         except Exception as e:
             log(f"hrex bench failed: {e}")
+        try:
+            w_ns, w_ms = bench_water_sinr(extras=extras)
+            extras["water30k_sinr_ns_day"] = round(w_ns, 2)
+            extras["water30k_sinr_ms_step"] = round(w_ms, 3)
+        except Exception as e:
+            log(f"water sinr bench failed: {e}")
         try:
             s_ns, s_ms = bench_sinr_ionic(extras=extras)
             extras["emim_bf4_sinr_pme_ns_day"] = round(s_ns, 2)
