@@ -48,8 +48,10 @@ BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 METRIC = ("ns/day, 30k-atom q-SPC/Fw water, 2-level RESPA "
           "+ NHC NVT (TPU v5e, 1 core)")
 # provisional OpenMM-CPU scale (see module docstring) — the single source of
-# truth for vs_baseline everywhere in the repo
-COMPARATOR_NS_DAY = 5.0
+# truth for vs_baseline everywhere in the repo. Override with a MEASURED
+# value (tools/openmm_comparator.py on an OpenMM machine; COMPARATOR.md)
+# via the env var.
+COMPARATOR_NS_DAY = float(os.environ.get("BENCH_COMPARATOR_NS_DAY", "5.0"))
 
 
 def log(*a):

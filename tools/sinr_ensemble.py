@@ -84,22 +84,84 @@ def run_config(dt, loops, n_pairs, ps, sample_ps=0.3, seed=11):
     return np.stack(xs), box_now, masses, every * dt
 
 
-def rdf(samples, box, idx_a, idx_b, r_max=1.2, nbins=120, same=False):
-    """Minimum-image site-site g(r) averaged over samples."""
+def run_config_water(dt, loops, n_molecules, ps, sample_ps=0.3, seed=11):
+    """Water analog of run_config: flexible q-SPC/Fw under the same SIN(R)
+    bath as bench config 2b (bench.py::bench_water_sinr). Returns
+    (samples, box, masses, dt_samp)."""
+    from atomsmm_tpu import Context, RESPASystem, SIN_R_Integrator, make_state
+    from atomsmm_tpu.minimize import minimize_energy
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+    system, x, box = water_system(n_molecules=n_molecules, method="cutoff",
+                                  neighbors=True)
+    respa = RESPASystem(system, rcut_in=0.5, rswitch_in=0.4)
+    integ = SIN_R_Integrator(dt, loops, temperature=300.0, time_scale=0.05,
+                             friction=10.0)
+    eq = None
+    if n_molecules == 10000:
+        path = os.path.join(os.path.dirname(__file__), "..", "bench_data",
+                            "eq_water30k.npz")
+        if os.path.exists(path):
+            d = np.load(path)
+            eq = d["x"], d["v"], d["box"]
+    if eq is not None:
+        ex, ev, ebox = eq
+        respa = retune_neighbor_specs(respa, ex, ebox)
+        ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=seed))
+        ctx.step(max(int(2.0 / dt), 50))
+    else:
+        ctx = Context(respa, integ, make_state(x, box=box, seed=seed))
+        minimize_energy(ctx, steps=200)
+        ctx.step(max(int(5.0 / dt), 200))
+        ctx.retune_neighbors()
+        ctx.step(1)
+    every = max(int(round(sample_ps / dt)), 1)
+    n_samp = int(ps / (every * dt))
+    log(f"  dt={dt*1e3:.0f}fs: {n_samp} samples x {every} steps "
+        f"({n_samp * every * dt:.0f} ps)")
+    xs, t0 = [], time.perf_counter()
+    for s in range(n_samp):
+        ctx.step(every)
+        xs.append(np.asarray(ctx.state.x, np.float32))
+        if (s + 1) % 50 == 0:
+            el = time.perf_counter() - t0
+            log(f"    {s+1}/{n_samp}  T={float(ctx.temperature()):.1f}K "
+                f"({el/(s+1)*1e3/every:.1f} ms/step)")
+    box_now = np.asarray(ctx.state.box, np.float32)
+    masses = np.asarray(ctx.system.masses)
+    return np.stack(xs), box_now, masses, every * dt
+
+
+def rdf(samples, box, idx_a, idx_b, r_max=1.2, nbins=120, same=False,
+        mol_a=None, mol_b=None):
+    """Minimum-image site-site g(r) averaged over samples. Pass mol_a/mol_b
+    (per-site molecule ids) to drop intramolecular pairs (e.g. the bonded
+    O-H at 0.1 nm, which would otherwise dwarf the intermolecular peak)."""
     edges = np.linspace(0.0, r_max, nbins + 1)
     hist = np.zeros(nbins)
     vol = float(np.prod(box))
     n_a, n_b = len(idx_a), len(idx_b)
+    intra = None
+    n_intra = 0
+    if mol_a is not None:
+        intra = np.asarray(mol_a)[:, None] == np.asarray(mol_b)[None, :]
+        n_intra = int(intra.sum())
     for x in samples:
         d = x[idx_a][:, None, :] - x[idx_b][None, :, :]
         d -= box * np.round(d / box)
         r = np.sqrt((d * d).sum(-1))
+        if intra is not None:
+            r = np.where(intra, r_max + 1.0, r)
         if same:
             iu = np.triu_indices(n_a, 1)
             r = r[iu]
         h, _ = np.histogram(r, bins=edges)
         hist += h
     pairs = (n_a * (n_a - 1) / 2) if same else n_a * n_b
+    # intra-pair correction: for same-list RDFs the intra count includes the
+    # i==j diagonal (n_a entries) and double-counts each off-diagonal pair
+    pairs -= ((n_intra - n_a) // 2) if same else n_intra
     shell = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
     ideal = pairs * shell / vol
     g = hist / len(samples) / ideal
@@ -116,12 +178,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ps", type=float, default=100.0)
     ap.add_argument("--pairs", type=int, default=400)
+    ap.add_argument("--system", choices=("emim", "water"), default="emim")
+    ap.add_argument("--molecules", type=int, default=216,
+                    help="water mode: molecule count (10000 = eq state)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.system == "water":
+        return main_water(args)
 
     n_pairs = args.pairs
     n1 = np.arange(n_pairs) * N_PER
@@ -178,6 +246,66 @@ def main():
         rel = abs(d30 - d4) / max(abs(d4), 1e-12)
         print(f"| {label} [nm²/ps] | {d4:.2e} | {d30:.2e} | "
               f"{rel * 100:.0f}% rel diff |")
+
+
+def main_water(args):
+    """Water mode: bench config 2b's 24 fs [4,12,1] SIN(R) vs the 4 fs
+    [4,2,1] reference (same bath), O-O / O-H / H-H intermolecular RDFs +
+    molecular self-diffusion."""
+    m = args.molecules
+    o_idx = np.arange(m) * 3
+    h_idx = np.concatenate([o_idx + 1, o_idx + 2])
+    mol_o = o_idx // 3
+    mol_h = h_idx // 3
+
+    configs = [
+        ("4fs ref", 0.004, [4, 2, 1]),
+        ("24fs", 0.024, [4, 12, 1]),
+    ]
+    results = {}
+    for name, dt, loops in configs:
+        log(f"config {name}")
+        xs, box, masses, dt_samp = run_config_water(dt, loops, m, args.ps)
+        out = {}
+        for tag, ia, ib, same, ma, mb in (
+            ("O-O", o_idx, o_idx, True, None, None),
+            ("O-H", o_idx, h_idx, False, mol_o, mol_h),
+            ("H-H", h_idx, h_idx, True, mol_h, mol_h),
+        ):
+            r, g = rdf(xs, box, ia, ib, same=same, mol_a=ma, mol_b=mb)
+            out[tag] = (r, g)
+        # molecular COM diffusion (system drift removed)
+        s_ = xs.shape[0]
+        mols = xs.reshape(s_, m, 3, 3)
+        m_mol = masses.reshape(m, 3)[0]
+        com_all = (xs * masses[None, :, None]).sum(1) / masses.sum()
+        coms = (mols * m_mol[None, None, :, None]).sum(2) / m_mol.sum()
+        coms = coms - com_all[:, None, :]
+        lags = np.arange(1, int(0.6 * s_))
+        msd = np.array([((coms[lag:] - coms[:-lag]) ** 2).sum(-1).mean()
+                        for lag in lags])
+        lo, hi = max(int(0.2 * s_), 1), int(0.6 * s_) - 1
+        t = lags * dt_samp
+        out["D"] = np.polyfit(t[lo:hi], msd[lo:hi], 1)[0] / 6.0
+        results[name] = out
+
+    print(f"\n# SIN(R) water ensemble validation, {m} molecules, "
+          f"{args.ps:.0f} ps per config\n")
+    print("| observable | 4 fs ref | 24 fs | agreement |")
+    print("|---|---|---|---|")
+    for tag in ("O-O", "O-H", "H-H"):
+        (r4, g4), (r24, g24) = results["4fs ref"][tag], results["24fs"][tag]
+        # skip the r=0 region (empty below first contact) for the first peak
+        sel = r4 > 0.15
+        p4, h4 = first_peak(r4[sel], g4[sel])
+        p24, h24 = first_peak(r24[sel], g24[sel])
+        rms = float(np.sqrt(np.mean((g4 - g24) ** 2)))
+        print(f"| g(r) {tag} first peak | {p4:.3f} nm / {h4:.2f} | "
+              f"{p24:.3f} nm / {h24:.2f} | RMS Δg = {rms:.3f} |")
+    d4, d24 = results["4fs ref"]["D"], results["24fs"]["D"]
+    rel = abs(d24 - d4) / max(abs(d4), 1e-12)
+    print(f"| D(H2O) [nm²/ps] | {d4:.2e} | {d24:.2e} | "
+          f"{rel * 100:.0f}% rel diff |")
 
 
 if __name__ == "__main__":
