@@ -32,6 +32,7 @@ from .forces import (
 from .integrate.integrators import (
     GlobalThermostatIntegrator,
     Integrator,
+    LangevinMiddleIntegrator,
     MultipleTimeScaleIntegrator,
     PropagatorIntegrator,
     VelocityVerletIntegrator,

@@ -40,6 +40,7 @@ from ..utils import replace
 from .propagators import (
     BoostPropagator,
     NoseHooverChainPropagator,
+    OrnsteinUhlenbeckPropagator,
     Propagator,
     RespaPropagator,
     StepContext,
@@ -172,6 +173,67 @@ class GlobalThermostatIntegrator(Integrator):
         if hasattr(self.thermostat, "conserved_extra"):
             return self.thermostat.conserved_extra(state)
         return jnp.zeros((), state.v.dtype)
+
+
+class _LangevinMiddlePropagator(Propagator):
+    """BAOAB: B(t/2) A(t/2) O(t) A(t/2) B(t/2) — kicks read/write the force
+    cache like VelocityVerletPropagator, so one force evaluation per step."""
+
+    def __init__(self, temperature, friction, groups=None):
+        self.pre = BoostPropagator(groups, cache="read")
+        self.post = BoostPropagator(groups, cache="write")
+        self.move = TranslationPropagator()
+        self.ou = OrnsteinUhlenbeckPropagator(temperature, friction)
+
+    def extra_variables(self, system, state):
+        out = self.pre.extra_variables(system, state)
+        out.update(self.post.extra_variables(system, state))
+        return out
+
+    def apply(self, ctx, state, fraction):
+        state = self.pre.apply(ctx, state, 0.5 * fraction)
+        state = self.move.apply(ctx, state, 0.5 * fraction)
+        state = self.ou.apply(ctx, state, fraction)
+        state = self.move.apply(ctx, state, 0.5 * fraction)
+        state = self.post.apply(ctx, state, 0.5 * fraction)
+        return state
+
+    def describe(self, fraction=1.0):
+        lines = ["LangevinMiddle (BAOAB):"]
+        for p, f in ((self.pre, 0.5 * fraction), (self.move, 0.5 * fraction),
+                     (self.ou, fraction), (self.move, 0.5 * fraction),
+                     (self.post, 0.5 * fraction)):
+            lines += ["  " + l for l in p.describe(f)]
+        return lines
+
+
+class LangevinMiddleIntegrator(Integrator):
+    """Leimkuhler-Matthews "middle" (BAOAB) Langevin dynamics — the OpenMM
+    substrate's default NVT integrator (openmm.LangevinMiddleIntegrator),
+    provided for users migrating reference scripts that never reach the
+    propagator algebra. friction in 1/ps.
+
+    The OU piece is exact (no first-order expansion of the friction), the
+    two kicks share one force evaluation through the force cache, and
+    constrained systems get SETTLE/SHAKE inside the moves plus RATTLE
+    tangency after the noise, matching the substrate's behavior.
+
+    >>> integ = LangevinMiddleIntegrator(0.002, 300.0, friction=1.0)
+    >>> print(integ.describe())
+    LangevinMiddleIntegrator(dt=0.002 ps)
+    LangevinMiddle (BAOAB):
+      v <- v + F[all]/m * 0.5 dt, read cache
+      x <- x + v * 0.5 dt (+SETTLE/SHAKE if constrained)
+      v <- OU(T=300.0K, gamma=1.0/ps) over 1 dt
+      x <- x + v * 0.5 dt (+SETTLE/SHAKE if constrained)
+      v <- v + F[all]/m * 0.5 dt, write cache
+    """
+
+    def __init__(self, dt, temperature, friction: float = 1.0):
+        super().__init__(dt)
+        self.temperature = float(temperature)
+        self.friction = float(friction)
+        self.propagator = _LangevinMiddlePropagator(temperature, friction)
 
 
 class MultipleTimeScaleIntegrator(Integrator):

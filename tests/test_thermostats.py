@@ -34,11 +34,11 @@ from atomsmm_tpu.units import BOLTZMANN
 T_SET = 120.0
 
 
-def _ke_samples(bath, n_samples=400, interval=20, seed=11):
+def _ke_samples(bath, n_samples=400, interval=20, seed=11, integrator=None):
     system, x, box = argon_system(n=216, jitter=0.1, seed=4, neighbors=True)
     dof = 3 * 216 - 3
-    ctx = Context(system, GlobalThermostatIntegrator(0.002, bath),
-                  make_state(x, box=box, seed=seed))
+    integ = integrator or GlobalThermostatIntegrator(0.002, bath)
+    ctx = Context(system, integ, make_state(x, box=box, seed=seed))
     ctx.set_velocities_to_temperature(T_SET, seed=seed + 1)
     # melt + thermalize (the fluid releases lattice PE early on)
     for _ in range(4):
@@ -132,3 +132,15 @@ def test_csvr_kinetic_energy_distribution():
     kes, dof = _ke_samples(
         VelocityRescalingPropagator(T_SET, 3 * 216 - 3, 0.1))
     _canonical_checks(kes, dof)
+
+
+@pytest.mark.slow
+def test_langevin_middle_kinetic_energy_distribution():
+    """BAOAB Langevin samples the same canonical KE law. Note Langevin
+    thermostats every DOF independently, so dof here is 3N (no conserved
+    COM momentum constraint once the noise acts)."""
+    from atomsmm_tpu import LangevinMiddleIntegrator
+
+    kes, _ = _ke_samples(
+        None, integrator=LangevinMiddleIntegrator(0.002, T_SET, friction=2.0))
+    _canonical_checks(kes, 3 * 216)

@@ -29,3 +29,9 @@ timeout 5400 python tools/sinr_ensemble.py --ps 100 \
     > /tmp/sinr_ensemble.md 2> /tmp/sinr_ensemble.log
 echo "ensemble rc=$?"
 cat /tmp/sinr_ensemble.md
+
+echo "=== 6. SIN(R) WATER ensemble validation (bench config 2b, full scale) ==="
+timeout 5400 python tools/sinr_ensemble.py --system water --molecules 10000 \
+    --ps 100 > /tmp/sinr_water_ensemble.md 2> /tmp/sinr_water_ensemble.log
+echo "water ensemble rc=$?"
+cat /tmp/sinr_water_ensemble.md
