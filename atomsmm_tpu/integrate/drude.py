@@ -110,7 +110,14 @@ class DrudeOrnsteinUhlenbeckPropagator(Propagator):
         r_com = jax.random.normal(k_com, v_com.shape, v.dtype)
         r_rel = jax.random.normal(k_rel, v_rel.shape, v.dtype)
         v_com = v_com * decay + jnp.sqrt(kt / m_tot) * noise * r_com
-        v_rel = v_rel * decay_d + jnp.sqrt(kt_d / mu) * noise_d * r_rel
+        # massless Drudes (SCF configuration, drude_mass=0): mu = 0, so the
+        # noise amplitude sqrt(kT_d/mu) would be inf — pin those rows to
+        # v_rel = 0 exactly (the satellite rides its core), matching the
+        # free-atom block's treatment of massless rows
+        sigma_rel = jnp.sqrt(kt_d / jnp.where(mu > 0, mu, 1.0))
+        v_rel = jnp.where(mu > 0,
+                          v_rel * decay_d + sigma_rel * noise_d * r_rel,
+                          0.0)
 
         v = v.at[ci].set(v_com - (md / m_tot) * v_rel)
         v = v.at[di].set(v_com + (mc / m_tot) * v_rel)
@@ -144,6 +151,16 @@ class DrudeLangevinIntegrator(Integrator):
                     "DrudeLangevinIntegrator needs `drude` (a DrudeSet) or "
                     "`system` (to locate its DrudeForce)")
             drude = find_drude_set(system)
+        if system is not None:
+            import numpy as _np
+
+            md = _np.asarray(system.masses)[_np.asarray(drude.pairs[:, 0])]
+            if (md <= 0).any():
+                raise InputError(
+                    "DrudeLangevinIntegrator is extended-Lagrangian dynamics "
+                    "and needs a positive drude_mass on every Drude particle "
+                    "(the builders debit it from the core); for massless "
+                    "Drudes use DrudeSCFIntegrator instead")
         self.thermostat = DrudeOrnsteinUhlenbeckPropagator(
             drude, temperature, friction, drude_temperature, drude_friction)
         from .propagators import VelocityVerletPropagator

@@ -264,3 +264,37 @@ def test_drude_composes_with_respa():
     xx = np.asarray(ctx.state.x)
     roh = np.linalg.norm(xx[o + 2] - xx[o], axis=-1)
     np.testing.assert_allclose(roh, SWM4_R_OH, atol=1e-10)
+
+
+def test_langevin_with_massless_drudes_is_rejected():
+    """Regression: DrudeLangevinIntegrator on an SCF-configured system
+    (drude_mass=0) used to inject infinite noise into the massless relative
+    coordinate (mu = 0 made sqrt(kT_d/mu) = inf) and NaN the whole
+    trajectory silently. The integrator now refuses up front, and the OU
+    propagator itself pins massless rows finite when driven directly."""
+    from atomsmm_tpu.integrate.drude import DrudeOrnsteinUhlenbeckPropagator
+    from atomsmm_tpu.integrate.propagators import StepContext
+    from atomsmm_tpu.utils import InputError
+
+    system, x, box = swm4_water_system(n_molecules=8, r_cut=0.3,
+                                       r_switch=0.25, drude_mass=0.0)
+    with pytest.raises(InputError, match="DrudeSCFIntegrator"):
+        am.DrudeLangevinIntegrator(0.001, 300.0, system=system)
+
+    # building-block robustness: direct apply with massless pairs stays
+    # finite and pins v_rel = 0 exactly (satellite rides its core). Checked
+    # on an unconstrained copy: the SETTLE velocity projection afterwards
+    # legitimately shifts core rows, which would mask the v_rel pinning.
+    import dataclasses
+
+    ds = find_drude_set(system)
+    prop = DrudeOrnsteinUhlenbeckPropagator(ds, 300.0, 5.0, 1.0, 20.0)
+    ctx = am.Context(system, am.VelocityVerletIntegrator(dt=0.001))
+    ctx.set_positions(x)
+    ctx.set_velocities_to_temperature(300.0, seed=7)
+    free = dataclasses.replace(system, constraints=None, settle=None)
+    out = prop.apply(StepContext(free, {}, 0.001), ctx.state, 1.0)
+    v = np.asarray(out.v)
+    assert np.all(np.isfinite(v))
+    di, ci = np.asarray(ds.pairs[:, 0]), np.asarray(ds.pairs[:, 1])
+    np.testing.assert_allclose(v[di], v[ci], atol=1e-12)

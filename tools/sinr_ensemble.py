@@ -142,26 +142,43 @@ def rdf(samples, box, idx_a, idx_b, r_max=1.2, nbins=120, same=False,
     hist = np.zeros(nbins)
     vol = float(np.prod(box))
     n_a, n_b = len(idx_a), len(idx_b)
-    intra = None
+    ma = mb = None
     n_intra = 0
     if mol_a is not None:
-        intra = np.asarray(mol_a)[:, None] == np.asarray(mol_b)[None, :]
-        n_intra = int(intra.sum())
+        ma, mb = np.asarray(mol_a), np.asarray(mol_b)
+        # intra count without the (n_a, n_b) boolean matrix: pairs sharing a
+        # molecule id = sum over ids of count_a * count_b
+        nmol = int(max(ma.max(), mb.max())) + 1
+        n_intra = int((np.bincount(ma, minlength=nmol)
+                       * np.bincount(mb, minlength=nmol)).sum())
+    # Row-chunked distance evaluation: the dense (n_a, n_b, 3) displacement
+    # array is ~5 GB at 20k sites — cap each block at ~5M pair entries
+    # (~60 MB of f32 temporaries) so full-scale runs fit in host RAM.
+    chunk = max(1, int(5e6) // max(n_b, 1))
+    cols = np.arange(n_b)[None, :]
     for x in samples:
-        d = x[idx_a][:, None, :] - x[idx_b][None, :, :]
-        d -= box * np.round(d / box)
-        r = np.sqrt((d * d).sum(-1))
-        if intra is not None:
-            r = np.where(intra, r_max + 1.0, r)
-        if same:
-            iu = np.triu_indices(n_a, 1)
-            r = r[iu]
-        h, _ = np.histogram(r, bins=edges)
-        hist += h
+        xa, xb = x[idx_a], x[idx_b]
+        for i0 in range(0, n_a, chunk):
+            i1 = min(i0 + chunk, n_a)
+            d = xa[i0:i1, None, :] - xb[None, :, :]
+            d -= box * np.round(d / box)
+            r = np.sqrt((d * d).sum(-1))
+            # histogram range caps at r_max, so pushing masked entries past
+            # it drops them without materializing index lists
+            if ma is not None:
+                r = np.where(ma[i0:i1, None] == mb[None, :], r_max + 1.0, r)
+            if same:  # strict upper triangle in global indices
+                r = np.where(cols > np.arange(i0, i1)[:, None], r,
+                             r_max + 1.0)
+            h, _ = np.histogram(r, bins=edges)
+            hist += h
     pairs = (n_a * (n_a - 1) / 2) if same else n_a * n_b
-    # intra-pair correction: for same-list RDFs the intra count includes the
-    # i==j diagonal (n_a entries) and double-counts each off-diagonal pair
-    pairs -= ((n_intra - n_a) // 2) if same else n_intra
+    if mol_a is not None:
+        # intra-pair correction: for same-list RDFs the intra count includes
+        # the i==j diagonal (n_a entries) and double-counts each off-diagonal
+        # pair. Guarded: with no molecule ids there is nothing to subtract
+        # (the unguarded form ADDED n_a/2 phantom pairs, deflating g(r)).
+        pairs -= ((n_intra - n_a) // 2) if same else n_intra
     shell = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
     ideal = pairs * shell / vol
     g = hist / len(samples) / ideal
@@ -181,6 +198,9 @@ def main():
     ap.add_argument("--system", choices=("emim", "water"), default="emim")
     ap.add_argument("--molecules", type=int, default=216,
                     help="water mode: molecule count (10000 = eq state)")
+    ap.add_argument("--rdf-molecules", type=int, default=2000,
+                    help="water mode: max molecules entering the RDF "
+                    "histograms (random subset; diffusion uses all)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -223,6 +243,8 @@ def main():
             msd = np.array([((coms[lag:] - coms[:-lag]) ** 2).sum(-1).mean()
                             for lag in lags])
             lo, hi = max(int(0.2 * s_), 1), int(0.6 * s_) - 1
+            if hi - lo < 2:  # too few samples for a slope (tiny --ps)
+                return float("nan")
             t = lags * dt_samp
             return np.polyfit(t[lo:hi], msd[lo:hi], 1)[0] / 6.0
 
@@ -253,7 +275,14 @@ def main_water(args):
     [4,2,1] reference (same bath), O-O / O-H / H-H intermolecular RDFs +
     molecular self-diffusion."""
     m = args.molecules
-    o_idx = np.arange(m) * 3
+    # RDF cost is quadratic in site count; above ~2000 molecules a random
+    # subset gives the same curves (2000 mols x ~300 samples ≈ 6e5
+    # independent environments) at a tiny fraction of the analysis time.
+    # Self-diffusion below still averages over ALL molecule COMs.
+    m_rdf = min(m, args.rdf_molecules)
+    sel = (np.sort(np.random.default_rng(0).choice(m, m_rdf, replace=False))
+           if m_rdf < m else np.arange(m))
+    o_idx = sel * 3
     h_idx = np.concatenate([o_idx + 1, o_idx + 2])
     mol_o = o_idx // 3
     mol_h = h_idx // 3
@@ -286,7 +315,9 @@ def main_water(args):
                         for lag in lags])
         lo, hi = max(int(0.2 * s_), 1), int(0.6 * s_) - 1
         t = lags * dt_samp
-        out["D"] = np.polyfit(t[lo:hi], msd[lo:hi], 1)[0] / 6.0
+        # too few samples for a slope (tiny --ps): report NaN, keep the RDFs
+        out["D"] = (np.polyfit(t[lo:hi], msd[lo:hi], 1)[0] / 6.0
+                    if hi - lo >= 2 else float("nan"))
         results[name] = out
 
     print(f"\n# SIN(R) water ensemble validation, {m} molecules, "
