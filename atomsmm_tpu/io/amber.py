@@ -895,14 +895,14 @@ def amber_system(
 
     vsites = None
     if top.vs_sites is not None:
-        from ..ops.virtual_sites import VirtualSiteSet
+        from ..ops.virtual_sites import VirtualSiteSet, validate_virtual_sites
 
-        vsites = VirtualSiteSet(
+        vsites = validate_virtual_sites(VirtualSiteSet(
             sites=jnp.asarray(top.vs_sites),
             parents=jnp.asarray(top.vs_parents),
             weights=jnp.asarray(top.vs_weights, dtype),
             oop=jnp.zeros((len(top.vs_sites),), dtype),
-        )
+        ))
     cset = sset = None
     if con_pairs:
         from ..ops.constraints import ConstraintSet

@@ -4,11 +4,14 @@ A CMAP term couples two consecutive backbone dihedrals phi = (i,j,k,l) and
 psi = (j,k,l,m) through a periodic 2-D correction surface tabulated on an
 n x n grid over [-180, 180)^2 (n = 24 for the CHARMM36 tables). The TPU
 evaluation is a C1 periodic bicubic patch: grid-value AND derivative
-tables are precomputed host-side (centered differences — the same
-construction OpenMM's CMAPTorsionForce uses on raw CHARMM grids), and the
-per-term evaluation is four corner gathers + the classic 16-coefficient
-bicubic, vectorized over all terms. Forces come from jax.grad straight
-through the gathers and polynomials.
+tables are precomputed host-side by fitting C2 periodic cubic splines
+along each row/column and taking their knot derivatives — the same
+construction OpenMM's CMAPTorsionForceImpl uses on raw CHARMM grids
+(centered differences, the earlier build here, systematically deviate
+from the spline interpolant wherever the surface curves). The per-term
+evaluation is four corner gathers + the classic 16-coefficient bicubic,
+vectorized over all terms. Forces come from jax.grad straight through
+the gathers and polynomials.
 
 Examples — a separable analytic surface is reproduced by its sampled
 bicubic to interpolation accuracy:
@@ -42,14 +45,32 @@ _A = np.array([
 ])
 
 
+def _periodic_spline_derivatives(y, axis) -> np.ndarray:
+    """Knot derivatives of the C2 periodic cubic spline through `y` along
+    `axis` (unit knot spacing): the cyclic tridiagonal system
+
+        m_{i-1} + 4 m_i + m_{i+1} = 3 (y_{i+1} - y_{i-1})
+
+    solved densely (n is 24 for CHARMM grids; the matrix is strictly
+    diagonally dominant, so a direct inverse is exact and stable)."""
+    n = y.shape[axis]
+    m = 4.0 * np.eye(n) + np.eye(n, k=1) + np.eye(n, k=-1)
+    m[0, -1] = m[-1, 0] = 1.0  # periodic wrap
+    rhs = 3.0 * (np.roll(y, -1, axis) - np.roll(y, 1, axis))
+    moved = np.moveaxis(rhs, axis, -1)
+    sol = moved @ np.linalg.inv(m)  # m symmetric: solves m x = b rowwise
+    return np.moveaxis(sol, -1, axis)
+
+
 def build_cmap_table(grids) -> np.ndarray:
     """(T, n, n) value grids -> (T, n, n, 4) [f, df/dphi, df/dpsi, d2f]
-    with derivatives in GRID units (per cell) by periodic centered
-    differences — host-side, once per topology."""
+    with derivatives in GRID units (per cell) from periodic cubic-spline
+    fits along each axis (cross term: psi-splines of the phi-derivative
+    grid, OpenMM's construction) — host-side, once per topology."""
     g = np.asarray(grids, np.float64)
-    gp = (np.roll(g, -1, axis=1) - np.roll(g, 1, axis=1)) / 2.0
-    gq = (np.roll(g, -1, axis=2) - np.roll(g, 1, axis=2)) / 2.0
-    gpq = (np.roll(gq, -1, axis=1) - np.roll(gq, 1, axis=1)) / 2.0
+    gp = _periodic_spline_derivatives(g, axis=1)
+    gq = _periodic_spline_derivatives(g, axis=2)
+    gpq = _periodic_spline_derivatives(gp, axis=2)
     return np.stack([g, gp, gq, gpq], axis=-1)
 
 

@@ -75,6 +75,18 @@ class SettleSet:
         return 0 if self.triplets is None else self.triplets.shape[0]
 
 
+def _settle_equal(a, b, rtol=1e-9):
+    """Shared SETTLE-eligibility equality test (leg lengths, satellite
+    masses). partition_constraints and make_settle_set must agree on it:
+    a looser check in one used to accept groups the other rejected,
+    turning a near-equal-mass topology into a hard ValueError instead of
+    the documented SHAKE fallback."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return bool(np.all(np.abs(a - b) <= rtol * np.maximum(np.abs(a),
+                                                          np.abs(b))))
+
+
 def make_settle_set(triplets, d_ab, d_bc, masses, dtype=None):
     """Geometry parameters from target distances (host-side).
 
@@ -91,10 +103,16 @@ def make_settle_set(triplets, d_ab, d_bc, masses, dtype=None):
     ma = mass[triplets[:, 0]]
     mb = mass[triplets[:, 1]]
     mc = mass[triplets[:, 2]]
-    if not np.allclose(mb, mc, rtol=1e-10):
+    if not _settle_equal(mb, mc):
         raise ValueError("SETTLE requires equal satellite masses (m_B == m_C)")
     rc = 0.5 * d_bc
-    h = np.sqrt(d_ab * d_ab - rc * rc)  # apex height above the BC line
+    h2 = d_ab * d_ab - rc * rc
+    if not np.all(h2 > 1e-6 * d_ab * d_ab):
+        raise ValueError(
+            "SETTLE requires a non-degenerate triangle (d_BC < 2 d_AB): a "
+            "linear or impossible geometry has no apex height and would "
+            "produce NaN dynamics")
+    h = np.sqrt(h2)  # apex height above the BC line
     ra = (mb + mc) * h / (ma + mb + mc)
     rb = h - ra
     return SettleSet(
@@ -153,16 +171,29 @@ def partition_constraints(cons, masses, rtol=1e-9):
                     i, j = (int(a) for a in pairs[k])
                     (v,) = set(atoms) - {i, j}
                     opp[v] = d0[k]
-                for apex in atoms:
-                    b, c = (a for a in atoms if a != apex)
-                    d_ab, d_ac, d_bc = opp[c], opp[b], opp[apex]
-                    if (abs(d_ab - d_ac) <= rtol * d_ab
-                            and abs(mass[b] - mass[c]) <= rtol * mass[b]):
-                        settle_rows.append((apex, b, c))
-                        settle_dab.append(d_ab)
-                        settle_dbc.append(d_bc)
-                        ok = True
-                        break
+                # a duplicated pair leaves opp short — not a triangle,
+                # route to the iterative path instead of KeyError
+                if len(opp) == 3:
+                    for apex in atoms:
+                        b, c = (a for a in atoms if a != apex)
+                        d_ab, d_ac, d_bc = opp[c], opp[b], opp[apex]
+                        # eligibility must imply a non-degenerate canonical
+                        # triangle: equal apex legs, equal satellite masses
+                        # (the same _settle_equal predicate make_settle_set
+                        # asserts, so acceptance here never crashes there),
+                        # and strictly positive apex height h — a linear
+                        # arrangement (d_bc == 2 d_ab, e.g. constrained CO2)
+                        # gives h = 0 and NaN dynamics, d_bc > 2 d_ab gives
+                        # sqrt(<0); both stay on SHAKE/RATTLE
+                        h2 = d_ab * d_ac - 0.25 * d_bc * d_bc
+                        if (_settle_equal(d_ab, d_ac)
+                                and _settle_equal(mass[b], mass[c])
+                                and h2 > 1e-6 * d_ab * d_ac):
+                            settle_rows.append((apex, b, c))
+                            settle_dab.append(d_ab)
+                            settle_dbc.append(d_bc)
+                            ok = True
+                            break
         if not ok:
             rest.extend(ks)
 

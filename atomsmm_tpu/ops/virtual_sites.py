@@ -73,6 +73,34 @@ class VirtualSiteSet:
         return 0 if self.sites is None else self.sites.shape[0]
 
 
+def validate_virtual_sites(vs: VirtualSiteSet):
+    """Host-side construction check: placement is a SINGLE gather-and-set
+    pass over the original coordinates, so a virtual site whose parent is
+    itself a virtual site (legal in OpenMM, which places sites in
+    dependency order) would silently read the stale stored row. Reject
+    chained sites loudly; also reject duplicate site rows.
+
+    Returns vs unchanged, for builder call-through.
+    """
+    import numpy as np
+
+    from ..utils import InputError
+
+    if vs is None or vs.size == 0:
+        return vs
+    sites = np.asarray(vs.sites)
+    if len(np.unique(sites)) != len(sites):
+        raise InputError("duplicate virtual-site indices")
+    chained = np.intersect1d(sites, np.asarray(vs.parents).ravel())
+    if chained.size:
+        raise InputError(
+            f"virtual sites {chained.tolist()} are parents of other virtual "
+            "sites; chained (dependent) virtual sites are not supported by "
+            "the single-pass placement — express the dependent site "
+            "directly in terms of real atoms")
+    return vs
+
+
 def place_virtual_sites(vs: VirtualSiteSet, x):
     """x with every virtual-site row replaced by its construction."""
     p1 = x[vs.parents[:, 0]]

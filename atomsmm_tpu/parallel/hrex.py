@@ -211,14 +211,23 @@ class HREXSampler:
                 **all_neighbor_extras(system, state.x, state.box))
         state = integ.initialize(system, state)
         states = replicate_state(state, self.k_states, seed)
-        v0 = maxwell_boltzmann_velocities(
-            jax.random.PRNGKey(seed + 1), system.masses, self.temperature,
-            x0.dtype,
-        )
-        v_rows = jnp.tile(v0, (self.k_states, 1, 1))
+        # independent Maxwell-Boltzmann draw PER REPLICA — a tiled single
+        # draw starts the ladder perfectly correlated, so short n_equil
+        # runs understate cross-replica statistical error
+        keys = jax.random.split(jax.random.PRNGKey(seed + 1), self.k_states)
+        v_rows = jax.vmap(lambda k: maxwell_boltzmann_velocities(
+            k, system.masses, self.temperature, x0.dtype))(keys)
         if self.temperatures is not None:  # per-row Maxwell temperature
             scale = jnp.sqrt(self.temperatures / self.temperature)
             v_rows = v_rows * scale[:, None, None].astype(v_rows.dtype)
+        if system.virtual_sites is not None:
+            # dummy-mass rows carry no momentum (Context's
+            # set_velocities_to_temperature does the same)
+            from ..ops.virtual_sites import zero_virtual_velocities
+
+            v_rows = jax.vmap(
+                lambda v: zero_virtual_velocities(system.virtual_sites, v)
+            )(v_rows)
         states = replace(states, v=v_rows)
         self.states = self._shard(states)
         self._run = jax.jit(make_replica_run(system, integ))
@@ -227,6 +236,7 @@ class HREXSampler:
             self.temperature if temperatures is None else self.temperatures,
         ))
         self._key = jax.random.PRNGKey(seed + 2)
+        self._last_globalss = None
         self._parity = 0
         self.swap_attempts = 0
         self.swap_accepts = 0
@@ -245,6 +255,7 @@ class HREXSampler:
 
     def run(self, n_steps: int, globalss=None):
         g = self._globals(globalss if globalss is not None else self.lambdas)
+        self._last_globalss = g
         self.states = self._run(self.system, self.states, g, n_steps)
         if self.system.neighbors is not None:
             # replicas run without Context's overflow auto-recovery: check
@@ -275,6 +286,23 @@ class HREXSampler:
             self.run(per, g)
 
     def attempt_swaps(self):
+        # Detailed balance: the Metropolis criterion below evaluates U at
+        # the LADDER globals, which is only valid if the replicas were last
+        # propagated under those same globals. Refuse a swap mid-anneal (or
+        # after a custom-globals run) instead of silently biasing the
+        # ensemble.
+        if self._last_globalss is not None:
+            target = self._globals(self.lambdas)
+            for k, v in target.items():
+                last = self._last_globalss.get(k)
+                if last is None or not np.allclose(np.asarray(last),
+                                                   np.asarray(v)):
+                    raise RuntimeError(
+                        f"attempt_swaps: replicas were last propagated "
+                        f"under globals[{k!r}] != the ladder values; "
+                        "finish the anneal (or re-run at the ladder) "
+                        "before exchanging, or the acceptance test biases "
+                        "the sampled ensemble")
         self._key, sub = jax.random.split(self._key)
         self.states, acc, att = self._swap(
             self.states, self._globals(self.lambdas), sub, self._parity)

@@ -244,3 +244,32 @@ def test_parallel_dg_matches_sequential(solvated):
         f"parallel {dg_p:.2f}+-{par['err_mbar']:.2f} "
         f"(acc {par['swap_acceptance']:.2f})"
     )
+
+
+def test_replicas_start_with_independent_velocities(solvated):
+    """Review finding (round 4): a tiled single Maxwell-Boltzmann draw
+    started the ladder perfectly correlated."""
+    solv, x, box = solvated
+    lams = {"lambda_vdw": jnp.asarray([0.0, 0.5, 1.0])}
+    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001, seed=3)
+    v = np.asarray(sampler.states.v)
+    assert np.abs(v[0] - v[1]).max() > 1e-3
+    assert np.abs(v[1] - v[2]).max() > 1e-3
+
+
+def test_attempt_swaps_refuses_mid_anneal_globals(solvated):
+    """Review finding (round 4): exchanging while replicas were last
+    propagated under non-ladder globals evaluates the Metropolis criterion
+    at the wrong Hamiltonians — must raise, not silently bias."""
+    solv, x, box = solvated
+    lams = {"lambda_vdw": jnp.asarray([0.0, 0.5, 1.0])}
+    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001, seed=4)
+    sampler.run(5, {"lambda_vdw": jnp.asarray([0.9, 0.95, 1.0])})
+    with pytest.raises(RuntimeError, match="ladder"):
+        sampler.attempt_swaps()
+    # back at the ladder -> swaps fine again
+    sampler.run(5)
+    sampler.attempt_swaps()
+    # a full anneal ends exactly at the target ladder -> swaps allowed
+    sampler.anneal(8, chunks=4)
+    sampler.attempt_swaps()

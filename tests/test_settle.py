@@ -229,3 +229,49 @@ def test_settle_and_shake_trajectories_agree():
     ci.step(20)
     np.testing.assert_allclose(np.asarray(ci.state.x), np.asarray(ca.state.x),
                                atol=5e-7)
+
+
+def test_partition_rejects_degenerate_and_malformed_groups():
+    """Review findings (round 4): eligibility must imply a non-degenerate
+    canonical triangle and never crash on malformed input — everything
+    else stays on SHAKE/RATTLE."""
+    # linear symmetric molecule (constrained CO2): d_BC == 2 d_AB, h == 0 —
+    # SETTLE would divide by ra = 0 and NaN the trajectory
+    lin = ConstraintSet(
+        pairs=jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32),
+        d0=jnp.asarray([0.116, 0.116, 0.232]),
+    )
+    ss, rest = partition_constraints(lin, jnp.asarray([12.0, 16.0, 16.0]))
+    assert ss is None and rest.size == 3
+    # impossible geometry (d_BC > 2 d_AB): sqrt of a negative at build time
+    imp = ConstraintSet(
+        pairs=jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32),
+        d0=jnp.asarray([0.116, 0.116, 0.30]),
+    )
+    ss, rest = partition_constraints(imp, jnp.asarray([12.0, 16.0, 16.0]))
+    assert ss is None and rest.size == 3
+    # duplicated pair: 3 constraints over 3 atoms but not a triangle —
+    # used to KeyError out of system construction
+    dup = ConstraintSet(
+        pairs=jnp.asarray([[0, 1], [0, 1], [1, 2]], jnp.int32),
+        d0=jnp.asarray([0.1, 0.1, 0.1]),
+    )
+    ss, rest = partition_constraints(dup, jnp.ones(3))
+    assert ss is None and rest.size == 3
+    # near-equal satellite masses right at the old tolerance mismatch:
+    # partition and make_settle_set now share one predicate, so whatever
+    # the classification, construction must not raise
+    tri = ConstraintSet(
+        pairs=jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32),
+        d0=jnp.asarray([0.09572, 0.09572, 0.15139]),
+    )
+    masses = jnp.asarray([15.999, 100.0, 100.0 + 5e-8])
+    ss, rest = partition_constraints(tri, masses)
+    assert (ss is not None and ss.size == 1) or (rest is not None
+                                                 and rest.size == 3)
+
+
+def test_make_settle_set_rejects_degenerate_triangle():
+    with pytest.raises(ValueError, match="non-degenerate"):
+        make_settle_set(np.asarray([[0, 1, 2]], np.int32), 0.116, 0.232,
+                        np.asarray([12.0, 16.0, 16.0]))

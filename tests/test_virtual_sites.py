@@ -150,3 +150,38 @@ def test_tip4p_nve_dynamics(tip4p):
     assert np.all(np.asarray(ctx.state.v)[vs_rows] == 0.0)
     t = float(ctx.temperature())
     assert 100.0 < t < 700.0, t
+
+
+def test_chained_virtual_sites_rejected():
+    """Review finding (round 4): single-pass placement cannot express a
+    virtual site whose parent is itself virtual — reject at construction
+    instead of silently reading the stale stored row."""
+    from atomsmm_tpu.ops.virtual_sites import (
+        VirtualSiteSet,
+        validate_virtual_sites,
+    )
+    from atomsmm_tpu.utils import InputError
+
+    ok = VirtualSiteSet(
+        sites=jnp.asarray([3], jnp.int32),
+        parents=jnp.asarray([[0, 1, 2]], jnp.int32),
+        weights=jnp.asarray([[0.8, 0.1, 0.1]]),
+        oop=jnp.zeros(1),
+    )
+    assert validate_virtual_sites(ok) is ok
+    chained = VirtualSiteSet(
+        sites=jnp.asarray([3, 4], jnp.int32),
+        parents=jnp.asarray([[0, 1, 2], [3, 1, 2]], jnp.int32),
+        weights=jnp.asarray([[0.8, 0.1, 0.1], [0.5, 0.25, 0.25]]),
+        oop=jnp.zeros(2),
+    )
+    with pytest.raises(InputError, match="chained"):
+        validate_virtual_sites(chained)
+    dup = VirtualSiteSet(
+        sites=jnp.asarray([3, 3], jnp.int32),
+        parents=jnp.asarray([[0, 1, 2], [0, 1, 2]], jnp.int32),
+        weights=jnp.asarray([[0.8, 0.1, 0.1], [0.5, 0.25, 0.25]]),
+        oop=jnp.zeros(2),
+    )
+    with pytest.raises(InputError, match="duplicate"):
+        validate_virtual_sites(dup)
