@@ -936,7 +936,8 @@ def amber_system(
         from ..ops.neighbors import make_neighbor_spec
 
         spec = make_neighbor_spec(
-            box, n, r_cut, skin=skin, exclusions=nb_kwargs["exclusions"]
+            box, n, r_cut, skin=skin, exclusions=nb_kwargs["exclusions"],
+            occupancy_floor_from=x,
         )
         system = system.with_neighbors(spec)
     x = jnp.asarray(x, dtype) if x is not None else None

@@ -93,6 +93,7 @@ def argon_system(
         from ..ops.neighbors import make_neighbor_spec
 
         system = system.with_neighbors(
-            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin)
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
+                               occupancy_floor_from=x)
         )
     return system, jnp.asarray(x, dtype), box

@@ -246,6 +246,7 @@ def ionic_liquid_system(
         from ..ops.neighbors import make_neighbor_spec
 
         system = system.with_neighbors(
-            make_neighbor_spec(np.full(3, box_l), n, r_cut, exclusions=exclusions)
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, exclusions=exclusions,
+                               occupancy_floor_from=x)
         )
     return system, jnp.asarray(x, dtype), box

@@ -281,7 +281,8 @@ def phenol_in_water(
         from ..ops.neighbors import make_neighbor_spec
 
         system = system.with_neighbors(
-            make_neighbor_spec(np.full(3, box_l), n, r_cut, exclusions=exclusions)
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, exclusions=exclusions,
+                               occupancy_floor_from=x)
         )
     solute_atoms = jnp.arange(n_s, dtype=jnp.int32)
     return system, jnp.asarray(x, dtype), box, solute_atoms

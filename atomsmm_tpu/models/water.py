@@ -206,6 +206,7 @@ def water_system(
             spec = make_neighbor_spec(
                 np.full(3, box_l), n, r_cut, skin=skin,
                 exclusions=nb_kwargs["exclusions"],
+                occupancy_floor_from=x,
             )
         system = system.with_neighbors(spec)
     return system, jnp.asarray(x, dtype), box
@@ -323,7 +324,8 @@ def rigid_water_system(
 
         system = system.with_neighbors(
             make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
-                               exclusions=nb_kwargs["exclusions"])
+                               exclusions=nb_kwargs["exclusions"],
+                               occupancy_floor_from=x)
         )
     return system, jnp.asarray(x, dtype), box
 
@@ -441,7 +443,8 @@ def tip4p_water_system(
 
         system = system.with_neighbors(
             make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
-                               exclusions=nb_kwargs["exclusions"])
+                               exclusions=nb_kwargs["exclusions"],
+                               occupancy_floor_from=x)
         )
     return system, jnp.asarray(x, dtype), box
 
@@ -574,6 +577,7 @@ def swm4_water_system(
 
         system = system.with_neighbors(
             make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
-                               exclusions=nb_kwargs["exclusions"])
+                               exclusions=nb_kwargs["exclusions"],
+                               occupancy_floor_from=x)
         )
     return system, jnp.asarray(x, dtype), box

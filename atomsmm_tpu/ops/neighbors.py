@@ -239,6 +239,7 @@ def make_neighbor_spec(
     backend: str = "auto",
     occupancy_from=None,
     occupancy_safety: float = 1.15,
+    occupancy_floor_from=None,
 ) -> NeighborSpec:
     """Host-side setup: pick the cell grid and capacity for a system of n
     atoms in `box` with the largest relevant cutoff r_cut_max.
@@ -258,6 +259,15 @@ def make_neighbor_spec(
     fluctuations far below Poisson (water S(0) ~ 0.06), so measured caps run
     ~40% tighter and pair-slot work scales with cap^2 — retuning after
     equilibration is a ~2x throughput lever (see retune_neighbor_specs).
+
+    `occupancy_floor_from` raises (never lowers) the density-based capacity
+    to cover the measured max occupancy of a setup configuration. Cold
+    lattice starts can alias whole crystal planes into one coarse cell —
+    measured: 750 TIP4P molecules on a 3^3 grid put ~213 sites in a cell
+    vs the 200 the 1.7x mean-density margin provisions — and while
+    Context.step auto-recovers from overflow, direct aux consumers
+    (group_energies / force_fn with a hand-built aux) would silently drop
+    pairs. Builders pass their initial coordinates here.
 
     backend: 'xla' (ops/neighbors.py scan path), 'pallas' (ops/pallas_pair.py
     kernel), or 'auto' — on TPU-like backends the measured-fastest path: the
@@ -289,6 +299,9 @@ def make_neighbor_spec(
         cap = int(math.ceil(occ_max * occupancy_safety) + 2)
     else:
         cap = int(math.ceil(rho * cell_vol * density_safety) + 4)
+    if occupancy_floor_from is not None:
+        occ_max = int(_max_cell_occupancy(occupancy_floor_from, box, grid))
+        cap = max(cap, int(math.ceil(occ_max * occupancy_safety) + 2))
     cap = ((cap + 7) // 8) * 8
     if exclusions is None:
         exclusions = jnp.full((n, 1), -1, jnp.int32)
@@ -398,6 +411,25 @@ def all_neighbor_extras(system, x, box) -> Dict[str, jnp.ndarray]:
     for name, spec in iter_specs(system):
         out.update(neighbor_list_extras(spec, x, box, name))
     return out
+
+
+def assert_neighbor_health(extras: Dict[str, jnp.ndarray]) -> None:
+    """Raise if any neighbor list in `extras` overflowed its cell capacity
+    or undercovers its build radius.
+
+    Context.step auto-recovers from these flags (restore + retune + re-run),
+    but DIRECT aux consumers — group_energies / force_fn over a hand-built
+    all_neighbor_extras, as in tpu_gate.py and diagnostic scripts — would
+    otherwise silently drop pair interactions. Call this eagerly after
+    building extras; it is host-side (forces a device sync on the flags)."""
+    bad = [k for k, v in extras.items()
+           if (k.endswith("overflow") or k.endswith("undercover")) and bool(v)]
+    if bad:
+        raise RuntimeError(
+            f"neighbor list unhealthy: {bad} — cell capacity overflow drops "
+            "pairs and undercoverage misses cells; rebuild the spec with a "
+            "larger capacity (retune_neighbor_specs / occupancy_floor_from) "
+            "or a finer grid before trusting energies")
 
 
 def make_aux(system, extra):

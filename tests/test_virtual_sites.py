@@ -185,3 +185,47 @@ def test_chained_virtual_sites_rejected():
     )
     with pytest.raises(InputError, match="duplicate"):
         validate_virtual_sites(dup)
+
+
+def test_cold_start_capacity_covers_lattice_aliasing():
+    """r4 gate regression: 750 TIP4P molecules on the default cutoff give a
+    3^3 cell grid whose coarse cells alias whole lattice planes (~213 sites
+    in one cell vs the 200 the 1.7x mean-density margin provisions). Before
+    occupancy_floor_from, the bucket overflowed at SETUP and the direct-aux
+    path (no Context auto-recovery) silently dropped pairs: the on-TPU gate
+    read dE = +194.7 kJ/mol / max|dF| = 1.7e3 vs the dense reference — a
+    path bug masquerading as an f32 precision failure. Builders now floor
+    the capacity at the measured setup occupancy, and assert_neighbor_health
+    gives direct consumers a loud check."""
+    from atomsmm_tpu.ops.neighbors import (
+        all_neighbor_extras,
+        assert_neighbor_health,
+        make_aux,
+        _max_cell_occupancy,
+    )
+    from atomsmm_tpu.potential import group_energies
+
+    system, x, box = tip4p_water_system(n_molecules=750, neighbors=True)
+    spec = system.neighbors
+    occ = _max_cell_occupancy(np.asarray(x), np.asarray(box), spec.grid)
+    assert spec.cell_capacity >= occ, (spec.cell_capacity, occ)
+
+    rng = np.random.RandomState(0)
+    xj = x + jnp.asarray(rng.normal(0.0, 0.004, np.shape(x)))
+    extras = all_neighbor_extras(system, xj, box)
+    assert_neighbor_health(extras)
+    aux = make_aux(system, extras)
+    e_cell = float(group_energies(system, xj, box, {}, aux)[0])
+    e_dense = float(group_energies(system, xj, box, {}, None)[0])
+    assert abs(e_cell - e_dense) < 1e-6 * max(abs(e_dense), 1.0)
+
+
+def test_assert_neighbor_health_raises_on_overflow():
+    from atomsmm_tpu.ops.neighbors import (
+        NBR_OVERFLOW,
+        assert_neighbor_health,
+    )
+
+    with pytest.raises(RuntimeError, match="overflow"):
+        assert_neighbor_health({NBR_OVERFLOW: jnp.asarray(True)})
+    assert_neighbor_health({NBR_OVERFLOW: jnp.asarray(False)})

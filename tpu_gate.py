@@ -53,7 +53,11 @@ def main():
 
     from atomsmm_tpu import RESPASystem
     from atomsmm_tpu.models import argon_system, water_system
-    from atomsmm_tpu.ops.neighbors import all_neighbor_extras, make_aux
+    from atomsmm_tpu.ops.neighbors import (
+        all_neighbor_extras,
+        assert_neighbor_health,
+        make_aux,
+    )
     from atomsmm_tpu.potential import force_fn, group_energies
 
     print(f"# TPU correctness gate\n")
@@ -88,6 +92,11 @@ def main():
             system32, x32, box32 = build(np.float32)
             x32 = jnp.asarray(np.asarray(x64), np.float32)
             extras = all_neighbor_extras(system32, x32, box32)
+            # fail LOUDLY on capacity overflow / undercoverage: this direct
+            # aux path has no Context auto-recovery, and a silently dropped
+            # pair list reads as a (wrong) f32-precision failure (r4: TIP4P
+            # lattice aliasing overflowed cap 200 with ~213 sites in a cell)
+            assert_neighbor_health(extras)
             aux = make_aux(system32, extras)
             e_tpu, f_tpu = {}, {}
             for g in groups:
