@@ -21,6 +21,7 @@ from .propagators import Propagator
 BARO_DV = "baro_dv"          # current volume-move size [nm^3]
 BARO_NACC = "baro_naccepted"
 BARO_NATT = "baro_nattempted"
+BARO_NBAD = "baro_nbadtrials"   # trials rejected for an invalid pair list
 
 
 def molecular_scale(x, molecule, num_molecules, masses, s):
@@ -49,6 +50,7 @@ class MonteCarloBarostatPropagator(Propagator):
             BARO_DV: (self.dv0 * v0).astype(state.x.dtype),
             BARO_NACC: jnp.zeros((), jnp.int32),
             BARO_NATT: jnp.zeros((), jnp.int32),
+            BARO_NBAD: jnp.zeros((), jnp.int32),
         }
 
     def _attempt(self, ctx, state):
@@ -58,12 +60,23 @@ class MonteCarloBarostatPropagator(Propagator):
         dv_max = state.extra[BARO_DV]
 
         def energy_of(x, box):
+            """Trial energy + a validity flag: the trial bucket is rebuilt
+            in-jit at fixed capacity, so a compressing move can overflow it
+            (or undercover the build radius) and the energy would be computed
+            on a silently truncated pair list. Flagged trials are rejected
+            below and the sticky overflow flag retunes capacity via the step
+            loop's auto-recovery, so the move re-tries fairly."""
+            bad = jnp.zeros((), bool)
             aux = None
             if system.neighbors is not None:
                 from ..ops.neighbors import all_neighbor_extras, make_aux
 
-                aux = make_aux(system, all_neighbor_extras(system, x, box))
-            return potential_energy(system, x, box, ctx.globals, aux=aux)
+                extras = all_neighbor_extras(system, x, box)
+                for k, v in extras.items():
+                    if k.endswith("overflow") or k.endswith("undercover"):
+                        bad = bad | v
+                aux = make_aux(system, extras)
+            return potential_energy(system, x, box, ctx.globals, aux=aux), bad
 
         def energy_current():
             # the step loop maintains valid neighbor structures for the
@@ -90,7 +103,7 @@ class MonteCarloBarostatPropagator(Propagator):
         box_new = state.box * s
 
         e_old = energy_current()
-        e_new = energy_of(x_new, box_new)
+        e_new, trial_bad = energy_of(x_new, box_new)
         n_mol = system.num_molecules
         w = (
             e_new - e_old
@@ -100,6 +113,7 @@ class MonteCarloBarostatPropagator(Propagator):
         accept = jax.random.uniform(k_acc, (), state.x.dtype) < jnp.exp(
             jnp.minimum(-w / kT, 0.0)
         )
+        accept = accept & ~trial_bad
 
         x = jnp.where(accept, x_new, state.x)
         box = jnp.where(accept, box_new, state.box)
@@ -116,15 +130,28 @@ class MonteCarloBarostatPropagator(Propagator):
         dv_max = jnp.minimum(dv_max, 0.3 * v_old)
 
         state = replace(state, x=x, box=box, rng=rng).with_extra(
-            **{BARO_DV: dv_max, BARO_NACC: n_acc, BARO_NATT: n_att}
+            **{BARO_DV: dv_max, BARO_NACC: n_acc, BARO_NATT: n_att,
+               BARO_NBAD: state.extra[BARO_NBAD]
+               + trial_bad.astype(jnp.int32)}
         )
         # rebuild neighbor structures + force caches for the (possibly) new box
         if system.neighbors is not None:
             from ..ops.neighbors import update_all_neighbors
 
-            state = state.with_extra(
-                **update_all_neighbors(system, state.extra, state.x, state.box)
+            updated = update_all_neighbors(
+                system, state.extra, state.x, state.box
             )
+            # a trial rejected for bucket overflow marks the sticky overflow
+            # flags: the step loop's auto-recovery then retunes capacity and
+            # re-runs the chunk, giving the move a fair re-try instead of an
+            # invisible density wall at the capacity limit. (Undercoverage
+            # trials are only rejected — the PERSISTENT state still covers,
+            # and Context treats a sticky undercover flag as fatal; the
+            # BARO_NBAD counter keeps the rejection observable.)
+            for k in updated:
+                if k.endswith("overflow"):
+                    updated[k] = updated[k] | trial_bad
+            state = state.with_extra(**updated)
         from ..context import refresh_force_caches
 
         return refresh_force_caches(system, state, ctx.globals)

@@ -105,3 +105,50 @@ def test_npt_water_stays_finite():
     assert np.isfinite(np.asarray(ctx.state.x)).all()
     assert 0.5 * v0 < v1 < 2.0 * v0, (v0, v1)
     assert int(ctx.state.extra[BARO_NATT]) == 100
+
+
+def test_overflowing_trial_is_rejected_not_mispriced():
+    """r4: a volume-move trial rebuilds the pair list in-jit at fixed
+    capacity; a compressing trial can overflow it and the trial energy
+    would be computed on a truncated pair list. Such trials must be
+    rejected (accept &= ~trial_bad) and counted in BARO_NBAD, and the
+    sticky overflow flag must hand the chunk to Context's retune
+    auto-recovery — never silently accepted on a wrong energy."""
+    import dataclasses
+
+    from atomsmm_tpu.integrate.barostat import BARO_NBAD
+    from atomsmm_tpu.models import argon_system
+    from atomsmm_tpu.ops.neighbors import _max_cell_occupancy
+
+    system, x, box = argon_system(n=256, jitter=0.05, seed=1, neighbors=True)
+    # squeeze the capacity to the exact current occupancy: ANY compression
+    # that shifts one atom across a cell boundary overflows the trial bucket
+    occ = _max_cell_occupancy(np.asarray(x), np.asarray(box),
+                              system.neighbors.grid)
+    tight = dataclasses.replace(system.neighbors, cell_capacity=int(occ))
+    system = system.with_neighbors(tight)
+    system = dataclasses.replace(
+        system,
+        forces=tuple(system.forces)
+        + (MonteCarloBarostat(pressure=5000.0, temperature=120.0,
+                              frequency=1),),
+    )
+
+    ctx = Context(
+        system,
+        VelocityVerletIntegrator(dt=0.002),
+        make_state(x, box=box, seed=7),
+    )
+    ctx.set_velocities_to_temperature(120.0, seed=3)
+    ctx.step(30)
+    st = ctx.state
+    # the run survived (auto-recovery retuned instead of wedging), positions
+    # finite, and the persistent pair list is healthy again
+    assert np.isfinite(np.asarray(st.x)).all()
+    n_att = int(st.extra[BARO_NATT])
+    n_bad = int(st.extra[BARO_NBAD])
+    assert n_att >= 30
+    assert 0 <= n_bad <= n_att
+    for key, val in st.extra.items():
+        if key.startswith("nbr") and key.endswith("overflow"):
+            assert not bool(val), key
