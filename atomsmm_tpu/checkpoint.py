@@ -43,18 +43,41 @@ def load_checkpoint(path: str, like: State) -> State:
         schema = str(data["__schema__"])
         if schema != _SCHEMA:
             raise ValueError(f"unknown checkpoint schema {schema!r}")
-        saved_keys = list(data["__extra_keys__"])
-        if saved_keys != sorted(like.extra):
-            raise ValueError(
-                "checkpoint extended variables do not match the current "
-                f"integrator: saved {saved_keys}, expected {sorted(like.extra)}"
+        saved_keys = [str(k) for k in data["__extra_keys__"]]
+        cur_keys = sorted(like.extra)
+        fresh = {}
+        if saved_keys != cur_keys:
+            missing = [k for k in cur_keys if k not in saved_keys]
+            unknown = [k for k in saved_keys if k not in cur_keys]
+            if unknown or not missing:
+                raise ValueError(
+                    "checkpoint extended variables do not match the current "
+                    f"integrator: saved {saved_keys}, expected {cur_keys}"
+                )
+            # Forward compatibility: extended variables ADDED since the
+            # checkpoint was written (e.g. a new zero-initialized counter
+            # like baro_nbadtrials) restore from `like`'s freshly
+            # initialized values instead of refusing to resume. Unknown
+            # saved keys still raise — dropping saved dynamics state would
+            # not be an exact resume.
+            import warnings
+
+            warnings.warn(
+                f"checkpoint predates extended variables {missing}; "
+                "initializing them fresh (everything else resumes exactly)",
+                stacklevel=2,
+            )
+            fresh = {k: like.extra[k] for k in missing}
+            like = replace(
+                like, extra={k: like.extra[k] for k in saved_keys}
             )
         leaves_like, treedef = jax.tree.flatten(like)
         leaves = [
             jnp.asarray(data[f"leaf_{i}"], leaves_like[i].dtype)
             for i in range(len(leaves_like))
         ]
-    return jax.tree.unflatten(treedef, leaves)
+    restored = jax.tree.unflatten(treedef, leaves)
+    return restored.with_extra(**fresh) if fresh else restored
 
 
 # ---------------------------------------------------------------------------

@@ -406,6 +406,30 @@ class Context:
                         "full skin between grouped neighbor updates — reduce "
                         "Context(neighbor_update_every=...) or enlarge the skin"
                     )
+        if self.check_overflow:
+            from .integrate.barostat import BARO_NATT, BARO_NBAD
+
+            natt = self.state.extra.get(BARO_NATT)
+            nbad = self.state.extra.get(BARO_NBAD)
+            if (natt is not None and nbad is not None
+                    and int(natt) >= 20 and int(nbad) > 0.1 * int(natt)
+                    and not getattr(self, "_warned_baro_nbad", False)):
+                # an undercovering trial is rejected (never priced on a
+                # truncated pair list) but capacity retune cannot fix
+                # coverage — a persistently vetoed compression is a silent
+                # reflecting wall that would bias <V>. Surface it once.
+                import warnings
+
+                self._warned_baro_nbad = True
+                warnings.warn(
+                    f"MC barostat: {int(nbad)}/{int(natt)} volume-move "
+                    "trials were rejected because the trial pair list was "
+                    "invalid (bucket overflow/coverage loss at the trial "
+                    "box). If this persists the volume distribution is "
+                    "biased at the coverage boundary — rebuild the "
+                    "NeighborSpec with a larger min_skin for NPT headroom",
+                    stacklevel=2,
+                )
         if getattr(self, "_has_pme_guard", False):
             for key, flag in self.state.extra.items():
                 if key.startswith("pme") and key.endswith("undercover") and bool(flag):

@@ -60,23 +60,30 @@ class MonteCarloBarostatPropagator(Propagator):
         dv_max = state.extra[BARO_DV]
 
         def energy_of(x, box):
-            """Trial energy + a validity flag: the trial bucket is rebuilt
-            in-jit at fixed capacity, so a compressing move can overflow it
-            (or undercover the build radius) and the energy would be computed
-            on a silently truncated pair list. Flagged trials are rejected
-            below and the sticky overflow flag retunes capacity via the step
-            loop's auto-recovery, so the move re-tries fairly."""
-            bad = jnp.zeros((), bool)
+            """Trial energy + per-kind validity flags: the trial bucket is
+            rebuilt in-jit at fixed capacity, so a compressing move can
+            overflow it (or undercover the build radius) and the energy
+            would be computed on a silently truncated pair list. Flagged
+            trials are rejected below; overflow additionally marks the
+            sticky flag so the step loop's capacity retune gives the move a
+            fair re-try. The two kinds stay separate — capacity retune
+            cannot fix undercoverage, so marking overflow for an
+            undercovering trial would send auto-recovery into a futile
+            restore/retune loop ending in a misdiagnosed abort."""
+            overflow = undercover = jnp.zeros((), bool)
             aux = None
             if system.neighbors is not None:
-                from ..ops.neighbors import all_neighbor_extras, make_aux
+                from ..ops.neighbors import (
+                    all_neighbor_extras,
+                    make_aux,
+                    unhealthy_flags,
+                )
 
                 extras = all_neighbor_extras(system, x, box)
-                for k, v in extras.items():
-                    if k.endswith("overflow") or k.endswith("undercover"):
-                        bad = bad | v
+                overflow, undercover = unhealthy_flags(extras)
                 aux = make_aux(system, extras)
-            return potential_energy(system, x, box, ctx.globals, aux=aux), bad
+            return (potential_energy(system, x, box, ctx.globals, aux=aux),
+                    overflow, undercover)
 
         def energy_current():
             # the step loop maintains valid neighbor structures for the
@@ -103,7 +110,8 @@ class MonteCarloBarostatPropagator(Propagator):
         box_new = state.box * s
 
         e_old = energy_current()
-        e_new, trial_bad = energy_of(x_new, box_new)
+        e_new, trial_overflow, trial_undercover = energy_of(x_new, box_new)
+        trial_bad = trial_overflow | trial_undercover
         n_mol = system.num_molecules
         w = (
             e_new - e_old
@@ -141,16 +149,16 @@ class MonteCarloBarostatPropagator(Propagator):
             updated = update_all_neighbors(
                 system, state.extra, state.x, state.box
             )
-            # a trial rejected for bucket overflow marks the sticky overflow
+            # a trial rejected for bucket OVERFLOW marks the sticky overflow
             # flags: the step loop's auto-recovery then retunes capacity and
             # re-runs the chunk, giving the move a fair re-try instead of an
-            # invisible density wall at the capacity limit. (Undercoverage
-            # trials are only rejected — the PERSISTENT state still covers,
-            # and Context treats a sticky undercover flag as fatal; the
-            # BARO_NBAD counter keeps the rejection observable.)
+            # invisible density wall at the capacity limit. Undercoverage
+            # trials are only rejected — retune cannot fix coverage, the
+            # PERSISTENT state still covers, and Context treats a sticky
+            # undercover flag as fatal; Context warns when BARO_NBAD grows.
             for k in updated:
                 if k.endswith("overflow"):
-                    updated[k] = updated[k] | trial_bad
+                    updated[k] = updated[k] | trial_overflow
             state = state.with_extra(**updated)
         from ..context import refresh_force_caches
 

@@ -413,6 +413,23 @@ def all_neighbor_extras(system, x, box) -> Dict[str, jnp.ndarray]:
     return out
 
 
+def unhealthy_flags(extras: Dict[str, jnp.ndarray],
+                    kinds=("overflow", "undercover")):
+    """OR of the named health-flag kinds in an extras dict, one traced
+    boolean per kind (False where a kind has no flags). Owns the
+    '*_overflow' / '*_undercover' key convention so consumers (the MC
+    barostat's trial validation, assert_neighbor_health, diagnostics)
+    don't each re-implement the string match."""
+    out = []
+    for kind in kinds:
+        flag = jnp.zeros((), bool)
+        for k, v in extras.items():
+            if k.endswith(kind):
+                flag = flag | v
+        out.append(flag)
+    return tuple(out)
+
+
 def assert_neighbor_health(extras: Dict[str, jnp.ndarray]) -> None:
     """Raise if any neighbor list in `extras` overflowed its cell capacity
     or undercovers its build radius.

@@ -152,3 +152,88 @@ def test_overflowing_trial_is_rejected_not_mispriced():
     for key, val in st.extra.items():
         if key.startswith("nbr") and key.endswith("overflow"):
             assert not bool(val), key
+
+
+def test_attempt_rejects_overflowing_trial_directly():
+    """Pin the trial-validity semantics at the unit level (the integration
+    test above can pass on auto-recovery alone): find a volume move whose
+    compressed configuration overflows the trial bucket, call _attempt
+    directly, and assert the move is REJECTED and counted in BARO_NBAD —
+    never accepted on the truncated-pair-list energy."""
+    import dataclasses
+    import types
+
+    import jax
+    import jax.random as jr
+
+    from atomsmm_tpu.context import refresh_force_caches
+    from atomsmm_tpu.integrate.barostat import (
+        BARO_NBAD,
+        MonteCarloBarostatPropagator,
+        box_volume,
+        molecular_scale,
+    )
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import (
+        _max_cell_occupancy,
+        all_neighbor_extras,
+    )
+
+    # r_cut chosen so the cell grid is 4+ per dim: with a 2-3 cell grid the
+    # stencil wraps the whole box and coverage can never be deficient
+    system, x, box = water_system(n_molecules=216, r_cut=0.35,
+                                  r_switch=0.3, neighbors=True)
+    assert min(system.neighbors.grid) >= 4
+    occ = _max_cell_occupancy(np.asarray(x), np.asarray(box),
+                              system.neighbors.grid)
+    system = system.with_neighbors(
+        dataclasses.replace(system.neighbors, cell_capacity=int(occ))
+    )
+    # dv_max large enough that some seed compresses past the coverage
+    # boundary (reach*w < r_cut needs s < r_cut/w ~ 0.75 here)
+    baro = MonteCarloBarostatPropagator(pressure_bar=1.0, temperature=300.0,
+                                        frequency=1,
+                                        initial_dv_fraction=0.75)
+    ctx = types.SimpleNamespace(system=system, globals={})
+
+    def make_state_for(seed):
+        st = make_state(x, box=box, seed=seed)
+        st = st.with_extra(**all_neighbor_extras(system, st.x, st.box))
+        st = st.with_extra(**baro.extra_variables(system, st))
+        return refresh_force_caches(system, st, {})
+
+    from atomsmm_tpu.ops.neighbors import coverage_deficient
+
+    grid = system.neighbors.grid
+    cap = system.neighbors.cell_capacity
+    hit = None
+    for seed in range(200):
+        st = make_state_for(seed)
+        # replicate _attempt's RNG stream to predict the trial box
+        _, k_dv, _ = jr.split(st.rng, 3)
+        dv = jr.uniform(k_dv, (), st.x.dtype, minval=-1.0, maxval=1.0) \
+            * st.extra["baro_dv"]
+        s = ((box_volume(st.box) + dv) / box_volume(st.box)) ** (1.0 / 3.0)
+        x_new = molecular_scale(st.x, system.molecule, system.num_molecules,
+                                system.masses, s)
+        box_new = st.box * s
+        over = _max_cell_occupancy(np.asarray(x_new), np.asarray(box_new),
+                                   grid) > cap
+        under = bool(coverage_deficient(system.neighbors, box_new))
+        if over or under:
+            hit = (st, over, under)
+            break
+    assert hit is not None, "no invalid trial found in 200 seeds"
+    st, over, under = hit
+
+    out = baro._attempt(ctx, st)
+    np.testing.assert_allclose(np.asarray(out.box), np.asarray(st.box),
+                               atol=0)  # rejected: box unchanged
+    assert int(out.extra[BARO_NBAD]) == 1
+    if under and not over:
+        # an undercover-only rejection must NOT contaminate the sticky
+        # overflow flags (capacity retune cannot fix coverage; Context
+        # would loop restore/retune and abort with a wrong diagnosis)
+        for key, val in out.extra.items():
+            if key.startswith("nbr") and key.endswith("overflow"):
+                assert not bool(val), key

@@ -199,14 +199,35 @@ def test_checkpoint_exact_resume(tmp_path, argon_sim):
     )
 
 
-def test_checkpoint_rejects_mismatched_extras(tmp_path, argon_sim):
+def test_checkpoint_extra_key_compatibility(tmp_path, argon_sim):
+    """Two directions (r4): a NEWER build may add zero-initialized extended
+    variables (e.g. baro_nbadtrials) — old checkpoints must still resume,
+    with the added keys initialized fresh from `like`. The reverse (the
+    checkpoint carries keys the current integrator lacks) still raises:
+    dropping saved dynamics state would not be an exact resume."""
     path = str(tmp_path / "ckpt.npz")
     argon_sim.save_checkpoint(path)
     from atomsmm_tpu.checkpoint import load_checkpoint
 
-    bad = argon_sim.context.state.with_extra(bogus=jnp.zeros(3))
+    newer = argon_sim.context.state.with_extra(
+        new_counter=jnp.zeros((), jnp.int32)
+    )
+    with pytest.warns(UserWarning, match="predates"):
+        restored = load_checkpoint(path, like=newer)
+    assert int(restored.extra["new_counter"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(restored.x), np.asarray(argon_sim.context.state.x)
+    )
+
+    import dataclasses
+
+    stripped = dataclasses.replace(
+        argon_sim.context.state,
+        extra={k: v for k, v in argon_sim.context.state.extra.items()
+               if k != sorted(argon_sim.context.state.extra)[0]},
+    )
     with pytest.raises(ValueError, match="extended variables"):
-        load_checkpoint(path, like=bad)
+        load_checkpoint(path, like=stripped)
 
 
 def test_coulomb_energy_column():

@@ -92,10 +92,19 @@ def main():
             system32, x32, box32 = build(np.float32)
             x32 = jnp.asarray(np.asarray(x64), np.float32)
             extras = all_neighbor_extras(system32, x32, box32)
-            # fail LOUDLY on capacity overflow / undercoverage: this direct
-            # aux path has no Context auto-recovery, and a silently dropped
-            # pair list reads as a (wrong) f32-precision failure (r4: TIP4P
-            # lattice aliasing overflowed cap 200 with ~213 sites in a cell)
+            # Never evaluate on an unhealthy pair list: this direct aux path
+            # has no Context auto-recovery, and a silently dropped pair list
+            # reads as a (wrong) f32-precision failure (r4: TIP4P lattice
+            # aliasing overflowed cap 200 with ~213 sites in a cell). Give
+            # it the same treatment Context.__init__ applies — retune to the
+            # measured configuration, then fail LOUDLY if still unhealthy.
+            from atomsmm_tpu.ops.neighbors import unhealthy_flags
+
+            if any(bool(f) for f in unhealthy_flags(extras)):
+                from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+                system32 = retune_neighbor_specs(system32, x32, box32)
+                extras = all_neighbor_extras(system32, x32, box32)
             assert_neighbor_health(extras)
             aux = make_aux(system32, extras)
             e_tpu, f_tpu = {}, {}
