@@ -60,15 +60,51 @@ def _cover_key(name: str) -> str:
     return "nbr_undercover" if name == "default" else f"nbr_{name}_undercover"
 
 
+def _constrained_dims(spec: "NeighborSpec"):
+    """Dims where the stencil does NOT wrap the whole (periodic) grid.
+    Along a wrapping dim (2*reach+1 >= grid cells) every cell pair is a
+    candidate regardless of the cell width, so coverage can never be lost
+    there — without this mask a small-grid NPT compression would raise a
+    FALSE fatal coverage error (grid 2-3 systems are common in tests)."""
+    return np.asarray([2 * r + 1 < g
+                       for r, g in zip(spec.reach, spec.grid)])
+
+
 def coverage_deficient(spec: "NeighborSpec", box):
     """True when the stencil reach (fixed at setup) no longer covers the
     cutoff at the *current* box — e.g. after an NPT shrink. Silently dropping
     pairs is the failure mode this guards (ADVICE r01 medium): overflow is
     flagged elsewhere, under-coverage was not."""
+    cd = _constrained_dims(spec)
+    if not cd.any():
+        return jnp.zeros((), bool)
+    idx = jnp.asarray(np.nonzero(cd)[0])  # static size (jit-safe indexing)
     grid = jnp.asarray(spec.grid, box.dtype)
     reach = jnp.asarray(spec.reach, box.dtype)
     r_cut = spec.r_build - spec.skin
-    return jnp.any(box / grid * reach < r_cut.astype(box.dtype))
+    covered = box / grid * reach
+    return jnp.any(covered[idx] < r_cut.astype(box.dtype))
+
+
+def effective_skin(spec: "NeighborSpec", box):
+    """Displacement margin actually available at the CURRENT box.
+
+    spec.skin is the geometric margin at the SETUP box (reach*w - r_cut,
+    capped). After an NPT shrink the margin is smaller; gating rebuilds or
+    the staleness guard on the setup skin would then under-trigger and
+    silently miss pairs in the shrunken-margin band between spec.skin and
+    coverage loss. Along wrapping dims coverage is unconditional, so only
+    constrained dims bound the margin."""
+    cd = _constrained_dims(spec)
+    skin = spec.skin.astype(box.dtype)
+    if not cd.any():
+        return skin
+    idx = jnp.asarray(np.nonzero(cd)[0])  # static size (jit-safe indexing)
+    grid = jnp.asarray(spec.grid, box.dtype)
+    reach = jnp.asarray(spec.reach, box.dtype)
+    r_cut = (spec.r_build - spec.skin).astype(box.dtype)
+    margin = jnp.min((box / grid * reach)[idx]) - r_cut
+    return jnp.minimum(skin, jnp.maximum(margin, 0.0))
 
 
 def iter_specs(system):
@@ -511,18 +547,19 @@ def staleness_flags(system, extra, x, box):
             # N == 1: no pair bound exists (top_k(k=2) would fail, ADVICE
             # r3); fall back to the conservative single-atom 2*max bound
             pair_close = 2.0 * jnp.sqrt(jnp.max(d2))
-        stale = (pair_close > spec.skin.astype(x.dtype)) | jnp.any(
-            box != extra[kbox]
-        )
+        stale = (pair_close > effective_skin(spec, box).astype(x.dtype)
+                 ) | jnp.any(box != extra[kbox])
         out[key] = prev | stale
     return out
 
 
 def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):
     """True when any atom moved more than skin/2 since the reference build
-    (or the box changed)."""
+    (or the box changed). The margin is the box-dependent effective skin so
+    an NPT shrink tightens the rebuild cadence with it."""
     _, kx, kbox, _ = _keys(name)
-    return moved_beyond_half_skin(spec.skin, extra[kx], extra[kbox], x, box)
+    return moved_beyond_half_skin(effective_skin(spec, box), extra[kx],
+                                  extra[kbox], x, box)
 
 
 def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):

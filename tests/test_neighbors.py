@@ -153,11 +153,22 @@ def test_half_stencil_matches_full_and_dense():
 
 def test_coverage_loss_detection():
     """ADVICE r01 (medium): an NPT box shrink can make reach*cell_width <
-    r_cut, silently dropping pairs. The rebuild must flag under-coverage."""
-    from atomsmm_tpu.ops.neighbors import coverage_deficient, update_neighbors
+    r_cut, silently dropping pairs. The rebuild must flag under-coverage —
+    but ONLY along dims where the stencil does not wrap the whole grid
+    (r4: on a wrapping dim every cell pair is a candidate, so nothing can
+    be dropped and flagging would be a false fatal error)."""
+    from atomsmm_tpu.ops.neighbors import (
+        coverage_deficient,
+        make_aux,
+        update_neighbors,
+    )
+    from atomsmm_tpu.potential import potential_energy
 
-    system, x, box = argon_system(n=512, jitter=0.05, seed=2, neighbors=True)
+    # constrained grid (needs 2*reach+1 < grid): 4096 atoms -> grid >= 4
+    system, x, box = argon_system(n=4096, jitter=0.05, seed=2,
+                                  neighbors=True)
     spec = system.neighbors
+    assert min(spec.grid) > 2 * max(spec.reach) + 1
     assert not bool(coverage_deficient(spec, box))
     extra = neighbor_list_extras(spec, x, box)
     assert not bool(extra["nbr_undercover"])
@@ -170,6 +181,23 @@ def test_coverage_loss_detection():
     assert bool(coverage_deficient(spec, small))
     out = update_neighbors(spec, extra, x * factor, small)
     assert bool(out["nbr_undercover"])
+
+    # wrapping grid (512 atoms -> 3^3 cells, stencil spans all 3 per dim):
+    # the same relative shrink loses nothing — prove it by energy parity
+    # with the dense path at the shrunken box, and the flag stays quiet
+    system3, x3, box3 = argon_system(n=512, jitter=0.05, seed=2,
+                                     neighbors=True)
+    spec3 = system3.neighbors
+    assert max(spec3.grid) <= 2 * max(spec3.reach) + 1
+    r_cut3 = float(spec3.r_build - spec3.skin)
+    w3 = float(np.min(np.asarray(box3) / np.asarray(spec3.grid)))
+    f3 = 0.95 * r_cut3 / (w3 * max(spec3.reach))
+    small3, xs3 = box3 * f3, x3 * f3
+    assert not bool(coverage_deficient(spec3, small3))
+    aux = make_aux(system3, neighbor_list_extras(spec3, xs3, small3))
+    e_cell = float(potential_energy(system3, xs3, small3, aux=aux))
+    e_dense = float(potential_energy(system3, xs3, small3))
+    np.testing.assert_allclose(e_cell, e_dense, rtol=1e-10)
 
 
 def test_grouped_neighbor_updates_match_per_step():
@@ -227,3 +255,43 @@ def test_staleness_guard_raises():
     ctx.set_velocities(jnp.full_like(ctx.state.v, 100.0))
     with pytest.raises(RuntimeError, match="staleness"):
         ctx.step(8)
+
+
+def test_coverage_wrap_aware_and_effective_skin():
+    """r4: along dims where the stencil wraps the whole periodic grid
+    (2*reach+1 >= grid) EVERY cell pair is a candidate, so coverage can
+    never be lost there — a small-grid NPT compression must not raise the
+    fatal coverage error. And the displacement margin (effective skin)
+    must tighten with the box: after a shrink the geometric margin above
+    the cutoff is smaller than the setup-time spec.skin."""
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import (
+        coverage_deficient,
+        effective_skin,
+    )
+
+    # grid 2^3 -> full wrap: no compression can lose coverage
+    system, x, box = water_system(n_molecules=64, r_cut=0.5, r_switch=0.4,
+                                  neighbors=True)
+    spec = system.neighbors
+    assert max(spec.grid) <= 3  # premise: wrapping stencil
+    assert not bool(coverage_deficient(spec, box * 0.7))
+    np.testing.assert_allclose(float(effective_skin(spec, box * 0.7)),
+                               float(spec.skin), rtol=1e-12)
+
+    # constrained grid: effective skin == spec.skin at the setup box,
+    # shrinks linearly with compression, hits 0 at the coverage boundary
+    system2, x2, box2 = argon_system(n=4096, jitter=0.05, seed=2,
+                                     neighbors=True)
+    spec2 = system2.neighbors
+    assert min(spec2.grid) >= 4
+    np.testing.assert_allclose(float(effective_skin(spec2, box2)),
+                               float(spec2.skin), rtol=1e-10)
+    r_cut = float(spec2.r_build - spec2.skin)
+    w_min = float(np.min(np.asarray(box2) / np.asarray(spec2.grid)))
+    s_half = (r_cut + 0.5 * float(spec2.skin)) / (w_min * max(spec2.reach))
+    eff = float(effective_skin(spec2, box2 * s_half))
+    assert 0.0 < eff < float(spec2.skin)
+    s_edge = 0.95 * r_cut / (w_min * max(spec2.reach))
+    assert float(effective_skin(spec2, box2 * s_edge)) == 0.0
+    assert bool(coverage_deficient(spec2, box2 * s_edge))
