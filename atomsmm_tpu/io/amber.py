@@ -569,8 +569,8 @@ def read_prmtop(path_or_text) -> AmberPrmtop:
 def read_inpcrd(path_or_text):
     """Parse an AMBER restart (.inpcrd/.rst7): returns (x, v, box) in
     nm / nm/ps / nm; v and box are None when absent. An angled box record
-    returns the reduced (3, 3) cell matrix (ops/pbc.py); cell lists remain
-    orthorhombic-only."""
+    returns the reduced (3, 3) cell matrix (ops/pbc.py); both box forms run
+    on the cell-list path (r4: fractional binning + triclinic images)."""
     text = str(path_or_text)
     if "\n" not in text:
         with open(path_or_text) as fh:

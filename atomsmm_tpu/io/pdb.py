@@ -8,7 +8,7 @@ the CRYST1 box; write configurations back out for visualization tools.
 Units: PDB is in Å; everything returned/accepted here is nm (units.py).
 Orthorhombic CRYST1 records return (3,) box lengths; triclinic records
 return the reduced (3, 3) cell matrix (rows = lattice vectors, ops/pbc.py)
-— supported on the dense pair path (cell lists stay orthorhombic).
+— both forms run on the dense AND cell-list pair paths.
 
 >>> import io, numpy as np
 >>> buf = io.StringIO()

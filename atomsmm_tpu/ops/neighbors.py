@@ -78,12 +78,15 @@ def coverage_deficient(spec: "NeighborSpec", box):
     cd = _constrained_dims(spec)
     if not cd.any():
         return jnp.zeros((), bool)
+    from .pbc import perp_widths
+
+    dtype = jnp.asarray(box).dtype
     idx = jnp.asarray(np.nonzero(cd)[0])  # static size (jit-safe indexing)
-    grid = jnp.asarray(spec.grid, box.dtype)
-    reach = jnp.asarray(spec.reach, box.dtype)
+    grid = jnp.asarray(spec.grid, dtype)
+    reach = jnp.asarray(spec.reach, dtype)
     r_cut = spec.r_build - spec.skin
-    covered = box / grid * reach
-    return jnp.any(covered[idx] < r_cut.astype(box.dtype))
+    covered = perp_widths(box) / grid * reach
+    return jnp.any(covered[idx] < r_cut.astype(dtype))
 
 
 def effective_skin(spec: "NeighborSpec", box):
@@ -96,14 +99,17 @@ def effective_skin(spec: "NeighborSpec", box):
     coverage loss. Along wrapping dims coverage is unconditional, so only
     constrained dims bound the margin."""
     cd = _constrained_dims(spec)
-    skin = spec.skin.astype(box.dtype)
+    dtype = jnp.asarray(box).dtype
+    skin = spec.skin.astype(dtype)
     if not cd.any():
         return skin
+    from .pbc import perp_widths
+
     idx = jnp.asarray(np.nonzero(cd)[0])  # static size (jit-safe indexing)
-    grid = jnp.asarray(spec.grid, box.dtype)
-    reach = jnp.asarray(spec.reach, box.dtype)
-    r_cut = (spec.r_build - spec.skin).astype(box.dtype)
-    margin = jnp.min((box / grid * reach)[idx]) - r_cut
+    grid = jnp.asarray(spec.grid, dtype)
+    reach = jnp.asarray(spec.reach, dtype)
+    r_cut = (spec.r_build - spec.skin).astype(dtype)
+    margin = jnp.min((perp_widths(box) / grid * reach)[idx]) - r_cut
     return jnp.minimum(skin, jnp.maximum(margin, 0.0))
 
 
@@ -207,13 +213,20 @@ def _half_stencil_maps(grid, reach):
 
 
 def _max_cell_occupancy(x, box, grid) -> int:
-    """Host-side: max atoms in any cell of `grid` for configuration x."""
+    """Host-side: max atoms in any cell of `grid` for configuration x
+    (either box form; matrix boxes bin fractionally, matching
+    build_cell_buckets)."""
     x = np.asarray(x)
     box = np.asarray(box, np.float64)
     grid_a = np.asarray(grid)
-    w = box / grid_a
-    xw = x - box * np.floor(x / box)
-    c3 = np.clip((xw / w).astype(np.int64), 0, grid_a - 1)
+    if box.ndim == 2:
+        s = x @ np.linalg.inv(box)
+        s -= np.floor(s)
+        c3 = np.clip((s * grid_a).astype(np.int64), 0, grid_a - 1)
+    else:
+        w = box / grid_a
+        xw = x - box * np.floor(x / box)
+        c3 = np.clip((xw / w).astype(np.int64), 0, grid_a - 1)
     cid = (c3[:, 0] * grid[1] + c3[:, 1]) * grid[2] + c3[:, 2]
     return int(np.bincount(cid, minlength=int(np.prod(grid_a))).max())
 
@@ -311,25 +324,35 @@ def make_neighbor_spec(
     kernel otherwise; plain 'xla' elsewhere.
     """
     box = np.asarray(box, np.float64)
-    if box.ndim == 2:
-        from ..utils import InputError
-
-        raise InputError(
-            "cell lists support orthorhombic boxes only — triclinic cells "
-            "run on the dense pair path (build the System with "
-            "neighbors=False; ops/pbc.py documents the box forms)"
-        )
+    triclinic = box.ndim == 2
+    if triclinic:
+        # grid/reach sizing runs on PERPENDICULAR widths (a sheared cell's
+        # faces are closer than its edge lengths suggest); binning is
+        # fractional (build_cell_buckets) and pair displacements go through
+        # the triclinic minimum image the sweep already calls, so the same
+        # periodic stencil topology applies unchanged. The Pallas kernel
+        # inlines orthorhombic images -> the XLA sweep is pinned below.
+        vol = abs(float(np.linalg.det(box)))
+        b_eff = np.asarray([
+            vol / np.linalg.norm(np.cross(box[(i + 1) % 3],
+                                          box[(i + 2) % 3]))
+            for i in range(3)
+        ])
+    else:
+        b_eff = box
     target_w = (float(r_cut_max) + float(min_skin)) / cells_per_cutoff
-    grid = tuple(max(1, int(np.floor(b / target_w))) for b in box)
-    w = box / np.array(grid)
+    grid = tuple(max(1, int(np.floor(b / target_w))) for b in b_eff)
+    w = b_eff / np.array(grid)
     # effective build radius = what the grid actually covers (per stencil reach)
     skin_eff = min(float(np.min(w)) * cells_per_cutoff - float(r_cut_max),
                    float(skin))
     skin_eff = max(skin_eff, float(min_skin))
     r_build = float(r_cut_max) + skin_eff
     reach = tuple(int(np.ceil(r_build / wi)) for wi in w)
-    rho = n / float(np.prod(box))
-    cell_vol = float(np.prod(w))
+    vol = abs(float(np.linalg.det(box))) if triclinic else float(
+        np.prod(box))
+    rho = n / vol
+    cell_vol = vol / float(np.prod(grid))
     if occupancy_from is not None:
         occ_max = int(_max_cell_occupancy(occupancy_from, box, grid))
         cap = int(math.ceil(occ_max * occupancy_safety) + 2)
@@ -358,13 +381,21 @@ def make_neighbor_spec(
         )
     except ValueError:  # excluded pair outside the +-14 index window
         excbits = None
+    if triclinic and backend == "pallas":
+        from ..utils import InputError
+
+        raise InputError(
+            "the Pallas pair kernel inlines orthorhombic minimum images; "
+            "triclinic cells run on the XLA sweep (backend='xla'/'auto')"
+        )
     if backend == "auto":
         import jax
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # measured on v5e (30k water): XLA half-stencil 4.0 ms vs Pallas half
         # 4.8 ms at cap 56 — the scan path wins when Newton maps exist
-        backend = "xla" if (not on_tpu or nbr_half is not None) else "pallas"
+        backend = "xla" if (triclinic or not on_tpu
+                            or nbr_half is not None) else "pallas"
     return NeighborSpec(
         nbr_cells=jnp.asarray(_neighbor_cell_map(grid, reach)),
         exclusions=jnp.asarray(exclusions),
@@ -396,9 +427,19 @@ def build_cell_buckets(spec: NeighborSpec, x, box):
     ncells = spec.ncells
     cap = spec.cell_capacity
 
-    w = box / grid.astype(box.dtype)
-    xw = x - box * jnp.floor(x / box)
-    c3 = jnp.clip((xw / w).astype(jnp.int32), 0, grid - 1)
+    if jnp.asarray(box).ndim == 2:
+        # triclinic: bin in fractional coordinates (cells are parallelepiped
+        # slabs of the lattice); Precision.HIGHEST — the TPU default rounds
+        # matmul inputs to bf16, which mis-bins atoms near cell planes
+        inv_h = jnp.linalg.inv(box)
+        s_frac = jnp.matmul(x, inv_h, precision=jax.lax.Precision.HIGHEST)
+        s_frac = s_frac - jnp.floor(s_frac)
+        c3 = jnp.clip((s_frac * grid.astype(s_frac.dtype)).astype(jnp.int32),
+                      0, grid - 1)
+    else:
+        w = box / grid.astype(box.dtype)
+        xw = x - box * jnp.floor(x / box)
+        c3 = jnp.clip((xw / w).astype(jnp.int32), 0, grid - 1)
     cid = (c3[:, 0] * spec.grid[1] + c3[:, 1]) * spec.grid[2] + c3[:, 2]
 
     idx_bits = max(n - 1, 1).bit_length()

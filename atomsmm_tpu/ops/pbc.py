@@ -11,10 +11,12 @@ Box representation is shape-polymorphic, resolved at trace time:
   exact for reduced cells whenever the cutoff is at most half the smallest
   perpendicular width (``max_cutoff``).
 
-All benchmark systems of the reference use rectangular boxes (SURVEY.md §4),
-so the production cell-list path stays orthorhombic-only
-(ops/neighbors.make_neighbor_spec raises on a matrix box); the dense pair
-path, bonded terms, PME, virials, and the MC barostat accept both forms.
+Every subsystem accepts both forms: the dense pair path, bonded terms, PME,
+virials, the MC barostat, and (since r4) the production cell-list path —
+make_neighbor_spec sizes the grid/stencil from PERPENDICULAR widths,
+build_cell_buckets bins in fractional coordinates, and the pair sweep's
+displacements go through this module's triclinic minimum image (the Pallas
+kernel inlines orthorhombic images, so matrix boxes pin the XLA sweep).
 
 Examples:
 
@@ -95,6 +97,25 @@ def wrap_positions(x: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
 def pair_displacement(xi: jnp.ndarray, xj: jnp.ndarray, box: jnp.ndarray):
     """Minimum-image displacement xi - xj, any broadcastable shapes (...,3)."""
     return minimum_image(xi - xj, box)
+
+
+def perp_widths(box) -> jnp.ndarray:
+    """(3,) perpendicular widths of the cell along each lattice direction
+    (traced; either box form). For a vector box these ARE the edge lengths;
+    for a matrix box, d_i = V / |a_j x a_k| — the distance between the two
+    cell faces spanned by the other two lattice vectors. Cell-list sizing
+    and coverage guards must use these, not edge lengths: a sheared cell's
+    perpendicular widths are smaller than its edges."""
+    box = jnp.asarray(box)
+    if box.ndim == 1:
+        return box
+    vol = jnp.abs(jnp.linalg.det(box))
+    areas = jnp.stack([
+        jnp.linalg.norm(jnp.cross(box[1], box[2])),
+        jnp.linalg.norm(jnp.cross(box[2], box[0])),
+        jnp.linalg.norm(jnp.cross(box[0], box[1])),
+    ])
+    return vol / areas
 
 
 def max_cutoff(box) -> float:

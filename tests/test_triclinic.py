@@ -3,8 +3,8 @@ the reference's OpenMM substrate).
 
 Box (3, 3) REDUCED cell matrices (rows = lattice vectors; a along x, b in
 the xy plane, off-diagonals at most half the diagonals — the OpenMM
-convention) run on the dense pair path, bonded terms, PME, virials and the
-MC barostat; cell lists stay orthorhombic (guarded).
+convention) run on the dense pair path, bonded terms, PME, virials, the
+MC barostat, and (round 4) the production cell-list path.
 
 Oracles:
   * minimum image vs a brute-force 125-image search (valid wherever the
@@ -198,9 +198,94 @@ def test_md_and_virial_on_triclinic_cell():
     assert np.isfinite(float(atomic_pressure(system, ctx.state)))
 
 
-def test_neighbor_spec_builder_rejects_triclinic():
+def test_triclinic_cell_list_matches_dense():
+    """r4: cell lists on a genuinely sheared (3, 3) cell — grid/stencil
+    sized from PERPENDICULAR widths, fractional binning, triclinic minimum
+    image in the sweep. Oracle: the dense triclinic path (itself validated
+    against brute-force images and the supercell identity above)."""
+    from atomsmm_tpu.ops.neighbors import (
+        all_neighbor_extras,
+        assert_neighbor_health,
+        make_aux,
+        make_neighbor_spec,
+    )
+    from atomsmm_tpu.ops.pbc import perp_widths
+    from atomsmm_tpu.potential import force_fn
+
+    h = 3.0 * _reduced_cell()
+    rs = np.random.RandomState(7)
+    g = 12
+    frac = np.stack(np.meshgrid(*[np.arange(g)] * 3,
+                                indexing="ij"), -1).reshape(-1, 3) / g
+    frac = frac + rs.uniform(-0.015, 0.015, frac.shape)
+    x = jnp.asarray(frac @ np.asarray(h))
+    n = x.shape[0]
+
+    system, _, _ = argon_system(n=n, jitter=0.0, seed=2, r_cut=0.7,
+                                r_switch=0.6)
+    system = replace(system, default_box=h)
+    spec = make_neighbor_spec(np.asarray(h), n, 0.7,
+                              occupancy_floor_from=x)
+    assert spec.backend == "xla"  # Pallas inlines orthorhombic images
+    # grid sized from perpendicular widths: each covered span >= r_build
+    w_perp = np.asarray(perp_widths(h)) / np.asarray(spec.grid)
+    assert (w_perp * np.asarray(spec.reach) >= float(spec.r_build) - 1e-12
+            ).all()
+    assert min(spec.grid) >= 3
+    system = system.with_neighbors(spec)
+
+    extras = all_neighbor_extras(system, x, h)
+    assert_neighbor_health(extras)
+    aux = make_aux(system, extras)
+    e_cell = float(potential_energy(system, x, h, aux=aux))
+    e_dense = float(potential_energy(system, x, h))
+    np.testing.assert_allclose(e_cell, e_dense, rtol=1e-10)
+    _, f_cell = force_fn(system)(x, h, {}, aux)
+    _, f_dense = force_fn(system)(x, h, {}, None)
+    scale = np.abs(np.asarray(f_dense)).max()
+    np.testing.assert_allclose(np.asarray(f_cell), np.asarray(f_dense),
+                               atol=1e-9 * scale)
+
+
+def test_triclinic_cell_list_nve_runs():
+    """Short NVE on the triclinic cell-list path through the full Context
+    machinery (rebuild gating, staleness, coverage guards on a matrix
+    box)."""
     from atomsmm_tpu.ops.neighbors import make_neighbor_spec
 
-    h = triclinic_from_lengths_angles(2.0, 2.0, 2.0, 90.0, 100.0, 90.0)
-    with pytest.raises(InputError, match="orthorhombic"):
-        make_neighbor_spec(h, 100, 0.5)
+    h = 2.0 * _reduced_cell()
+    rs = np.random.RandomState(9)
+    g = 8
+    frac = np.stack(np.meshgrid(*[np.arange(g)] * 3,
+                                indexing="ij"), -1).reshape(-1, 3) / g
+    frac = frac + rs.uniform(-0.01, 0.01, frac.shape)
+    x = jnp.asarray(frac @ np.asarray(h))
+    n = x.shape[0]
+
+    system, _, _ = argon_system(n=n, jitter=0.0, seed=2, r_cut=0.6,
+                                r_switch=0.5)
+    system = replace(system, default_box=h)
+    system = system.with_neighbors(
+        make_neighbor_spec(np.asarray(h), n, 0.6, occupancy_floor_from=x)
+    )
+    from atomsmm_tpu.minimize import minimize_energy
+
+    ctx = Context(system, VelocityVerletIntegrator(0.002),
+                  make_state(x, box=h))
+    minimize_energy(ctx, steps=100)
+    ctx.set_velocities_to_temperature(120.0, seed=1)
+    e0 = float(ctx.conserved_energy())
+    ctx.step(100)
+    e1 = float(ctx.conserved_energy())
+    assert np.isfinite(np.asarray(ctx.state.x)).all()
+    assert abs(e1 - e0) / n < 1e-3
+    # and the cell path keeps matching dense at the evolved configuration
+    e_cell = float(potential_energy(system, ctx.state.x, ctx.state.box,
+                                    aux=None))
+    from atomsmm_tpu.ops.neighbors import all_neighbor_extras, make_aux
+
+    aux = make_aux(system, all_neighbor_extras(system, ctx.state.x,
+                                               ctx.state.box))
+    e2 = float(potential_energy(system, ctx.state.x, ctx.state.box,
+                                aux=aux))
+    np.testing.assert_allclose(e2, e_cell, rtol=1e-10)
