@@ -156,6 +156,32 @@ def main():
         return tip4p_water_system(n_molecules=750, neighbors=True,
                                   dtype=dtype)
 
+    def triclinic_argon(dtype):
+        # r4: cell lists on a sheared (3,3) cell — fractional binning +
+        # triclinic minimum image; CPU reference runs the dense path
+        from atomsmm_tpu.models import argon_system
+        from atomsmm_tpu.ops.neighbors import make_neighbor_spec
+        from atomsmm_tpu.ops.pbc import triclinic_from_lengths_angles
+        from atomsmm_tpu.utils import replace as dreplace
+
+        h64 = 3.0 * np.asarray(triclinic_from_lengths_angles(
+            2.2, 2.0, 2.4, 90.0, 105.0, 80.0))
+        rs = np.random.RandomState(7)
+        g = 12
+        frac = np.stack(np.meshgrid(*[np.arange(g)] * 3,
+                                    indexing="ij"), -1).reshape(-1, 3) / g
+        frac = frac + rs.uniform(-0.015, 0.015, frac.shape)
+        x = jnp.asarray(frac @ h64, dtype)
+        n = x.shape[0]
+        system, _, _ = argon_system(n=n, jitter=0.0, seed=2, r_cut=0.7,
+                                    r_switch=0.6, dtype=dtype)
+        h = jnp.asarray(h64, dtype)
+        system = dreplace(system, default_box=h)
+        system = system.with_neighbors(
+            make_neighbor_spec(h64, n, 0.7, occupancy_floor_from=frac @ h64)
+        )
+        return system, x, h
+
     check("argon 4096, LJ cutoff+switch (config 1)", argon)
     # thermal jitter: at the pristine lattice the bonded reference forces
     # are ~0 and stiff-spring position roundoff swamps any relative measure
@@ -163,6 +189,7 @@ def main():
           jitter=0.004)
     check("water 3000, PME (order-6 reciprocal)", water_pme, jitter=0.004)
     check("rigid TIP4P/Ew 3000, virtual sites (r4)", tip4p, jitter=0.004)
+    check("triclinic argon 1728, sheared-cell lists (r4)", triclinic_argon)
 
     # NVE drift on the TPU production path (config 1, 1000 steps x 2 fs)
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
