@@ -115,7 +115,12 @@ def build_verlet_np(spec, bucket_np, x_np, box_np, r_build, k_cap):
 
 
 def main():
+    # usage: verlet_study.py [method] [variants]  — variants is any subset
+    # of "abc" (default all); the host-built list is cached in /tmp so a
+    # follow-up run (e.g. B/C after A hit a wall-clock budget) skips the
+    # ~2-minute rebuild.
     method = sys.argv[1] if len(sys.argv) > 1 else "cutoff"
+    variants = sys.argv[2] if len(sys.argv) > 2 else "abc"
     import jax
     import jax.numpy as jnp
 
@@ -163,10 +168,17 @@ def main():
     hid = bucket.reshape(-1)  # atoms in cell-scan order (for variant C)
 
     # --- Verlet list (host build; see build_verlet_np docstring) --------
+    cache = f"/tmp/verlet_cache_{method}.npz"
     t0 = time.perf_counter()
-    bucket_np = np.asarray(bucket)
-    nbr_np, max_cnt = build_verlet_np(
-        spec, bucket_np, np.asarray(x), np.asarray(box), r_build, 512)
+    if os.path.exists(cache):
+        dat = np.load(cache)
+        nbr_np, max_cnt = dat["nbr"], int(dat["max_cnt"])
+        log(f"loaded cached list from {cache}")
+    else:
+        bucket_np = np.asarray(bucket)
+        nbr_np, max_cnt = build_verlet_np(
+            spec, bucket_np, np.asarray(x), np.asarray(box), r_build, 512)
+        np.savez(cache, nbr=nbr_np, max_cnt=max_cnt)
     host_s = time.perf_counter() - t0
     k_cap = -(-int(max_cnt * 1.05 + 2) // 8) * 8
     nbr = jnp.asarray(nbr_np[:, :k_cap])
@@ -180,7 +192,7 @@ def main():
     pp_keys = list(pp.keys())
 
     # variant A: gather positions + params per step from one fused table
-    def f_verlet_all(xx):
+    def f_verlet_all(xx):  # noqa: E306
         tab = jnp.concatenate(
             [xx] + [pp[k][:, None] for k in pp_keys], axis=1)
         tab = jnp.concatenate([tab, jnp.zeros((1, tab.shape[1]), tab.dtype)])
@@ -195,9 +207,10 @@ def main():
         fmag = jnp.where(mask, 2.0 * dudr2, 0.0)
         return -jnp.sum(fmag[..., None] * dx, axis=1)
 
-    ms = timeit(f_verlet_all, x)
-    results["verlet_gather_all_ms"] = round(ms, 3)
-    log(f"verlet gather pos+params: {ms:.3f} ms")
+    if "a" in variants:
+        ms = timeit(f_verlet_all, x)
+        results["verlet_gather_all_ms"] = round(ms, 3)
+        log(f"verlet gather pos+params: {ms:.3f} ms")
 
     # variant B: params pre-gathered at build (static between rebuilds);
     # per-step gather is positions only
@@ -219,22 +232,23 @@ def main():
         fmag = jnp.where(mask, 2.0 * dudr2, 0.0)
         return -jnp.sum(fmag[..., None] * dx, axis=1)
 
-    ms = timeit(f_verlet_pos, x)
-    results["verlet_gather_pos_ms"] = round(ms, 3)
-    log(f"verlet gather pos only: {ms:.3f} ms")
+    if "b" in variants:
+        ms = timeit(f_verlet_pos, x)
+        results["verlet_gather_pos_ms"] = round(ms, 3)
+        log(f"verlet gather pos only: {ms:.3f} ms")
 
-    # parity: Verlet force vs production bucket force, atom order
-    fv = f_verlet_pos(x)
-    err = float(jnp.max(jnp.abs(fv - f_ref_atoms)))
-    scale = float(jnp.max(jnp.abs(f_ref_atoms)))
-    results["force_maxabs_diff"] = err
-    results["force_scale"] = scale
-    log(f"force parity |dF|max = {err:.3e} (scale {scale:.3e})")
+        # parity: Verlet force vs production bucket force, atom order
+        fv = f_verlet_pos(x)
+        err = float(jnp.max(jnp.abs(fv - f_ref_atoms)))
+        scale = float(jnp.max(jnp.abs(f_ref_atoms)))
+        results["force_maxabs_diff"] = err
+        results["force_scale"] = scale
+        log(f"force parity |dF|max = {err:.3e} (scale {scale:.3e})")
 
     # variant C: atoms relabeled in cell-scan order (gather locality —
     # neighbors of nearby atoms then live in nearby table rows)
     order = hid[hid < n]  # atom ids in bucket/cell order (eager, host-side)
-    if order.shape[0] == n:
+    if "c" in variants and order.shape[0] == n:
         perm = order  # new index -> old atom id
         inv = jnp.zeros((n,), jnp.int32).at[perm].set(
             jnp.arange(n, dtype=jnp.int32))
