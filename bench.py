@@ -697,6 +697,20 @@ def main():
     deadline = int(os.environ.get("BENCH_DEADLINE_S", "3300"))
     watchdog = arm_watchdog(deadline)
     err = probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300")))
+    # Patient mode (r4): the axon tunnel FLAPS — observed up at 09:48 and
+    # down again by 09:56 within one session. When the wall-clock deadline
+    # leaves more budget than the headline needs, keep re-probing for a live
+    # window instead of forfeiting the round's bench to a transient outage.
+    # `reserve` is what a cold headline run costs (compile + equilibrated
+    # state + 250 steps ≈ 6-7 min) plus margin for the top secondary rows.
+    reserve = 600 if os.environ.get("BENCH_HEADLINE_ONLY") else 1500
+    while err is not None and \
+            deadline - (time.perf_counter() - t_main0) > reserve + 180:
+        patience = deadline - (time.perf_counter() - t_main0) - reserve
+        log(f"chip down; waiting for a live window ({patience:.0f}s of "
+            "patience left before giving up)")
+        time.sleep(45)
+        err = probe_backend(120)
     if err is not None:
         log(f"FATAL: {err}")
         # Chip-down provenance: point at the most recent numbers on record so
