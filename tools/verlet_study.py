@@ -23,17 +23,23 @@ Run on the real chip from the frozen state:  python tools/verlet_study.py
 Writes ms/eval for the production far sweep vs the Verlet variants plus the
 list build cost, and checks force parity between the formulations.
 
-MEASURED (v5e, 30k water, cutoff far force, frozen eq state): production
-far sweep 8.765 ms; variant A (gather pos+params, K=424, max true count
-401) **39.146 ms — 4.5x SLOWER**; host list build 121 s. The run hit its
-wall-clock budget before variants B/C, but the verdict is already forced:
-variant B removes only the param columns from the gather (3 of 3+P
-floats remain), so its ceiling is ~2x over A — still >=2x behind the
-production sweep. Row-gather of irregular (N, K) neighbor tables runs far
-below streaming HBM speed on TPU, exactly the risk this study existed to
-price. Conclusion recorded in KERNELS.md: the cell-pair formulation's 7%
-slot occupancy is NOT recoverable via gather-based Verlet lists; padding
-waste on the VPU is cheaper than irregular gathers.
+MEASURED (v5e, 30k water, cutoff far force, frozen eq state; K=424, max
+true count 401, ~80% in-row occupancy):
+
+  production cell-pair far sweep   8.77 / 8.84 ms   (two runs)
+  A: gather pos+params             39.15 ms         4.5x slower
+  B: gather pos only               28.35 ms         3.2x slower
+  C: B + cell-sorted atom order    28.30 ms         locality buys nothing
+  force parity B vs production     |dF|max 8.5e-4 on scale 449 (rel 2e-6)
+  host list build                  121 s cold / 20 s warm cache
+
+Row-gather of irregular (N, K) neighbor tables runs far below streaming
+HBM speed on TPU, exactly the risk this study existed to price; sorting
+atoms into cell order (variant C) moves nothing, so the cost is the
+gather's irregularity itself, not cache locality. Conclusion recorded in
+KERNELS.md: the cell-pair formulation's 7% slot occupancy is NOT
+recoverable via gather-based Verlet lists; padding waste on the VPU is
+cheaper than irregular gathers.
 """
 from __future__ import annotations
 
