@@ -166,10 +166,14 @@ class Context:
         # an already-oversized box still trips on its first step().
         from .forces import _pme_carrier as _pme_c
 
-        pme_seed = {
-            f"pme_{i}_undercover": jnp.zeros((), bool)
-            for i, f in enumerate(system.forces) if _pme_c(f) is not None
-        }
+        pme_seed = {}
+        for i, f in enumerate(system.forces):
+            g = _pme_c(f)
+            if g is None:
+                continue
+            pme_seed[f"pme_{i}_undercover"] = jnp.zeros((), bool)
+            if g.spread_block:
+                pme_seed[f"pme_{i}_spread_overflow"] = jnp.zeros((), bool)
         if pme_seed:
             self.state = self.state.with_extra(**pme_seed)
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
@@ -206,7 +210,8 @@ class Context:
                 return s
             from .forces import pme_coverage_flags
 
-            return s.with_extra(**pme_coverage_flags(system, s.extra, s.box))
+            return s.with_extra(
+                **pme_coverage_flags(system, s.extra, s.x, s.box))
 
         def one_step(system, s, globals):
             s = step_fn(system, s, globals)
@@ -442,6 +447,16 @@ class Context:
                         "with NPT headroom (choose_pme_parameters on a "
                         "volume-inflated box)"
                     )
+                if (key.startswith("pme") and key.endswith("spread_overflow")
+                        and bool(flag)):
+                    raise RuntimeError(
+                        f"PME spreading-block overflow ({key}): a spreading "
+                        "block held more atoms than its capacity, so charges "
+                        "were dropped from the reciprocal sum. Re-run "
+                        "forces.retune_pme_spread at the current "
+                        "configuration (larger safety), or clear spread_block "
+                        "to fall back to the dense spreading path"
+                    )
         return self
 
     def get_state(self, lite: bool = False) -> StateSnapshot:
@@ -507,15 +522,27 @@ class Context:
             # keep the LARGER grid per dimension: shrinking on a small box
             # is allowed but never required for correctness
             grid = tuple(max(a, b) for a, b in zip(grid, g.grid_shape))
-            regrids[float(g.ewald_alpha)] = grid
+            changes = {"grid_shape": grid}
+            if g.spread_block:
+                # the old blocks need not divide the new grid; re-choose at
+                # the current configuration (or fall back to dense)
+                from .ops.pme import choose_spread_blocks
+
+                block, cap = choose_spread_blocks(
+                    grid, int(g.spline_order), int(self.state.x.shape[0]),
+                    x=np.asarray(self.state.x), box=np.asarray(self.state.box))
+                changes["spread_block"] = block or ()
+                changes["spread_cap"] = cap
+            regrids[float(g.ewald_alpha)] = changes
             if g is f:
-                new_forces.append(replace(f, grid_shape=grid))
+                new_forces.append(replace(f, **changes))
             else:  # Far wrapper: regrid the inner full force
-                new_forces.append(replace(f, full=replace(f.full,
-                                                          grid_shape=grid)))
-        # PMEReciprocalForce (triple split) shares its companion's alpha/grid
+                new_forces.append(replace(f, full=replace(f.full, **changes)))
+        # PMEReciprocalForce (triple split) shares its companion's
+        # alpha/grid (and spreading layout — overflow is checked once, on
+        # the carrier, so the two must stay identical)
         new_forces = [
-            replace(f, grid_shape=regrids[float(f.ewald_alpha)])
+            replace(f, **regrids[float(f.ewald_alpha)])
             if isinstance(f, PMEReciprocalForce)
             and float(f.ewald_alpha) in regrids else f
             for f in new_forces
@@ -524,7 +551,7 @@ class Context:
         cleared = {
             k: jnp.zeros((), bool)
             for k in self.state.extra if k.startswith("pme")
-            and k.endswith("undercover")
+            and (k.endswith("undercover") or k.endswith("spread_overflow"))
         }
         if cleared:
             self.state = self.state.with_extra(**cleared)

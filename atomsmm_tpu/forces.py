@@ -122,7 +122,7 @@ from .ops.neighbors import cell_pair_energy, cell_pair_energy_forces
 from .ops.pbc import box_volume
 from .ops.pairs import dense_pair_energy, pairlist_energy
 from .units import ONE_4PI_EPS0
-from .utils import pytree_dataclass, static_field
+from .utils import pytree_dataclass, replace, static_field
 
 
 def _resolve_neighbors(aux, key: str):
@@ -141,13 +141,15 @@ def _spatial_mesh():
     return active_spatial_mesh()
 
 
-def _pme_reciprocal(x, box, q, alpha, grid_shape, order):
+def _pme_reciprocal(x, box, q, alpha, grid_shape, order,
+                    spread_block=(), spread_cap=0):
     """Reciprocal PME sum, sharded over the active spatial mesh when one is
     set (parallel/spatial.py), else single-device (ops/pme.py). On a mesh
     the slab-decomposed FFT path is used whenever the grid divides the
     device count (spreading reduce-scatter + distributed FFT + sharded
     convolution); otherwise spreading is atom-sharded with a grid psum and
-    the FFT runs replicated."""
+    the FFT runs replicated. spread_block/spread_cap (single-device only)
+    select block-binned spreading (ops/pme.py::spread_charges_blocked)."""
     mesh = _spatial_mesh()
     if mesh is not None:
         ndev = mesh[0].shape[mesh[1]]
@@ -164,7 +166,9 @@ def _pme_reciprocal(x, box, q, alpha, grid_shape, order):
         )
     from .ops.pme import pme_reciprocal_energy
 
-    return pme_reciprocal_energy(x, box, q, alpha, grid_shape, order)
+    return pme_reciprocal_energy(x, box, q, alpha, grid_shape, order,
+                                 spread_block=spread_block,
+                                 spread_cap=spread_cap)
 
 
 def _lj_combiner(pair_sigma, pair_epsilon):
@@ -327,6 +331,10 @@ class NonbondedForce(_PairForceMixin, Force):
     grid_shape: Tuple[int, int, int] = static_field(default=(0, 0, 0))
     spline_order: int = static_field(default=4)
     chunk: int = static_field(default=256)
+    # block-binned spreading (ops/pme.py::spread_charges_blocked): () = the
+    # dense one-hot path; set via forces.retune_pme_spread at setup
+    spread_block: Tuple[int, ...] = static_field(default=())
+    spread_cap: int = static_field(default=0)
 
     def _effective_charge(self, globals):
         """Per-particle charge, with SolvationSystem's lambda_coul scaling of
@@ -394,7 +402,7 @@ class NonbondedForce(_PairForceMixin, Force):
         if include_reciprocal:
             e = e + _pme_reciprocal(
                 x, box, q, self.ewald_alpha, self.grid_shape,
-                self.spline_order,
+                self.spline_order, self.spread_block, self.spread_cap,
             )
         return e
 
@@ -644,6 +652,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
                     lambda xx: _pme_reciprocal(
                         xx, box, q, self.full.ewald_alpha,
                         self.full.grid_shape, self.full.spline_order,
+                        self.full.spread_block, self.full.spread_cap,
                     )
                 )(x)
                 e1, f1 = e1 - er, f1 + gr
@@ -679,6 +688,8 @@ class PMEReciprocalForce(Force):
     grid_shape: Tuple[int, int, int] = static_field(default=(0, 0, 0))
     spline_order: int = static_field(default=4)
     charge_scale_name: str = static_field(default="lambda_coul")
+    spread_block: Tuple[int, ...] = static_field(default=())
+    spread_cap: int = static_field(default=0)
 
     def _effective_charge(self, globals):
         q = self.charge
@@ -691,6 +702,7 @@ class PMEReciprocalForce(Force):
         return _pme_reciprocal(
             x, box, self._effective_charge(globals), self.ewald_alpha,
             self.grid_shape, self.spline_order,
+            self.spread_block, self.spread_cap,
         )
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -714,7 +726,7 @@ def _pme_carrier(force):
     return g
 
 
-def pme_coverage_flags(system, extra, box):
+def pme_coverage_flags(system, extra, x, box):
     """Sticky per-force flags: the box has grown past the validity bound of
     a PME force's STATIC (alpha, grid) — the reciprocal analog of the cell
     list's coverage_deficient guard (VERDICT r3 #7).
@@ -750,7 +762,56 @@ def pme_coverage_flags(system, extra, box):
         key = f"pme_{idx}_undercover"
         prev = extra.get(key, jnp.zeros((), bool))
         out[key] = prev | jnp.any(lengths > 1.05 * bounds)
+        if g.spread_block:
+            # block-binned spreading drops atoms beyond the per-block
+            # capacity; flagged-never-silent (one bincount per step)
+            from .ops.pme import spread_block_overflow
+
+            okey = f"pme_{idx}_spread_overflow"
+            oprev = extra.get(okey, jnp.zeros((), bool))
+            out[okey] = oprev | spread_block_overflow(
+                x, box, g.grid_shape, order, g.spread_block, g.spread_cap)
     return out
+
+
+def retune_pme_spread(system, x, box, safety: float = 1.3):
+    """Enable/retune block-binned PME charge spreading
+    (ops/pme.py::spread_charges_blocked) from measured block occupancy at
+    the given configuration — the PME analog of retune_neighbor_specs.
+    Returns a system with every PME carrier (and any companion
+    PMEReciprocalForce sharing its alpha) switched to the cheapest blocked
+    layout, or unchanged forces where blocking cannot beat the dense
+    one-hot path (small grids)."""
+    from .ops.pme import choose_spread_blocks
+
+    chosen = {}  # alpha -> (block, cap)
+    new_forces = []
+    for f in system.forces:
+        g = _pme_carrier(f)
+        if g is None:
+            new_forces.append(f)
+            continue
+        block, cap = choose_spread_blocks(
+            g.grid_shape, int(g.spline_order), int(x.shape[0]),
+            x=x, box=box, safety=safety)
+        if block is None:
+            new_forces.append(f)
+            continue
+        chosen[float(g.ewald_alpha)] = (block, cap)
+        if g is f:
+            new_forces.append(replace(f, spread_block=block,
+                                      spread_cap=cap))
+        else:  # Far wrapper: the carrier is the nested full force
+            new_forces.append(replace(f, full=replace(
+                f.full, spread_block=block, spread_cap=cap)))
+    new_forces = [
+        replace(f, spread_block=chosen[float(f.ewald_alpha)][0],
+                spread_cap=chosen[float(f.ewald_alpha)][1])
+        if isinstance(f, PMEReciprocalForce)
+        and float(f.ewald_alpha) in chosen else f
+        for f in new_forces
+    ]
+    return system.replace_forces(new_forces)
 
 
 @pytree_dataclass

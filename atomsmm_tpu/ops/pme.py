@@ -183,10 +183,224 @@ def spread_charges(x, box, q, grid_shape: Tuple[int, int, int],
     return Q.reshape(k1, k2, k3)
 
 
+def _frac_grid_coords(x, box, kvec):
+    """Fractional grid coordinates u in [0, K) per dimension.
+
+    HIGHEST precision on the triclinic transform — the TPU default rounds
+    matmul INPUTS to bf16, which would quantize positions to 8-bit mantissa.
+    """
+    if box.ndim == 1:
+        return x / box * kvec
+    return jnp.matmul(x, jnp.linalg.inv(box),
+                      precision=jax.lax.Precision.HIGHEST) * kvec
+
+
+def _local_window_weights(t, off, order: int, w_size: int, dtype):
+    """(..., w_size) one-hot spreading rows within a block-local window.
+
+    t: (...,) spline fraction in [0, 1); off: (...,) int32 local index of the
+    FIRST support point (base) inside the window. Support point j
+    (j = 0..order-1) of the dense formulation sits at grid (m0 - j), i.e.
+    local index off + (order-1) - j.
+    """
+    w = bspline_weights(t, order)  # (..., order)
+    iota = jnp.arange(w_size, dtype=jnp.int32)
+    out = jnp.zeros(t.shape + (w_size,), dtype)
+    for j in range(order):
+        idx = off + (order - 1 - j)
+        out = out + w[..., j : j + 1] * (iota == idx[..., None])
+    return out
+
+
+def _fold_axis(local, nb_axis: int, w_axis: int, b: int, s: int):
+    """Fold a (nb, W = b + s) blocked axis pair into length b per block,
+    adding each block's trailing s-point spill into the NEXT block's head
+    (periodic: jnp.roll wraps the last block onto block 0)."""
+    own = jax.lax.slice_in_dim(local, 0, b, axis=w_axis)
+    spill = jax.lax.slice_in_dim(local, b, b + s, axis=w_axis)
+    spill = jnp.roll(spill, 1, axis=nb_axis)
+    idx = [slice(None)] * local.ndim
+    idx[w_axis] = slice(0, s)
+    return own.at[tuple(idx)].add(spill)
+
+
+def spread_charges_blocked(x, box, q, grid_shape: Tuple[int, int, int],
+                           order: int, block: Tuple[int, int, int],
+                           cap: int):
+    """Block-binned B-spline charge spreading (same result as
+    spread_charges, ~10-50x fewer MACs at production grids).
+
+    The dense one-hot formulation costs N*K1*K2*K3 MACs because every atom's
+    weight row spans the FULL grid dimension even though only `order` entries
+    are nonzero. Here atoms are binned by the grid block containing their
+    spline support base (one int32 value sort, the neighbors.py
+    key-carries-payload idiom), the one-hot matmuls run inside
+    (B_d + order - 1) local windows, and the per-block local grids are folded
+    into the global grid with three axis-roll adds — no scatter anywhere in
+    the differentiated path, so jax.grad stays matmuls + FFTs. Cost:
+    nblocks * cap * W1*W2*W3 MACs.
+
+    Atoms beyond `cap` in a block are DROPPED from the sum — callers must
+    surface spread_block_overflow (forces.pme_coverage_flags does; the flag
+    is sticky and Context.step raises on it).
+    """
+    k1, k2, k3 = grid_shape
+    b1, b2, b3 = block
+    s = order - 1
+    if k1 % b1 or k2 % b2 or k3 % b3:
+        raise ValueError(f"block {block} must divide grid {grid_shape}")
+    if min(b1, b2, b3) < s:
+        # spill may only reach the immediately-next block
+        raise ValueError(f"block {block} must be >= order-1 = {s}")
+    nb1, nb2, nb3 = k1 // b1, k2 // b2, k3 // b3
+    w1, w2, w3 = b1 + s, b2 + s, b3 + s
+    nbtot = nb1 * nb2 * nb3
+    n = x.shape[0]
+    dtype = x.dtype
+
+    kvec = jnp.asarray([k1, k2, k3], dtype)
+    kint = jnp.asarray([k1, k2, k3], jnp.int32)
+    bint = jnp.asarray([b1, b2, b3], jnp.int32)
+    u = _frac_grid_coords(x, box, kvec)
+    m0 = jnp.floor(u)
+    t = u - m0  # (N, 3) spline fractions
+    base = jnp.mod(m0.astype(jnp.int32) - s, kint)  # first support point
+    blk = base // bint
+    off = base - blk * bint  # in [0, B_d)
+    bid = (blk[:, 0] * nb2 + blk[:, 1]) * nb3 + blk[:, 2]
+
+    # fixed-capacity buckets of atom ids (sentinel n), one packed value sort
+    idx_bits = max(n - 1, 1).bit_length()
+    if (nbtot << idx_bits) < 2**31:
+        packed = jnp.sort((bid << idx_bits) | jnp.arange(n, dtype=jnp.int32))
+        perm = packed & ((1 << idx_bits) - 1)
+        sorted_bid = packed >> idx_bits
+    else:
+        perm = jnp.argsort(bid).astype(jnp.int32)
+        sorted_bid = bid[perm]
+    iarr = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_bid[1:] != sorted_bid[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(first, iarr, 0))
+    rank = iarr - seg_start
+    ok = rank < cap
+    slot = jnp.where(ok, sorted_bid * cap + rank, nbtot * cap)
+    bucket = jnp.full((nbtot * cap,), n, jnp.int32)
+    bucket = bucket.at[slot].set(perm, mode="drop").reshape(nbtot, cap)
+
+    # gather per-slot data; index n lands on the zero pad row
+    qp = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
+    tp = jnp.concatenate([t, jnp.zeros((1, 3), t.dtype)])
+    op = jnp.concatenate([off, jnp.zeros((1, 3), off.dtype)])
+    g_q = qp[bucket]          # (nbtot, cap)
+    g_t = tp[bucket]          # (nbtot, cap, 3)
+    g_o = op[bucket]          # (nbtot, cap, 3)
+
+    wx = _local_window_weights(g_t[..., 0], g_o[..., 0], order, w1, dtype)
+    wy = _local_window_weights(g_t[..., 1], g_o[..., 1], order, w2, dtype)
+    wz = _local_window_weights(g_t[..., 2], g_o[..., 2], order, w3, dtype)
+    wyz = (wy[..., :, None] * wz[..., None, :]).reshape(nbtot, cap, w2 * w3)
+    # batched (W1, cap) @ (cap, W2*W3); Precision.HIGH — see spread_charges
+    local = jax.lax.dot_general(
+        wx, g_q[..., None] * wyz,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGH,
+    )  # (nbtot, W1, W2*W3)
+    local = local.reshape(nb1, nb2, nb3, w1, w2, w3)
+    local = _fold_axis(local, 0, 3, b1, s)
+    local = _fold_axis(local, 1, 4, b2, s)
+    local = _fold_axis(local, 2, 5, b3, s)
+    # (nb1, nb2, nb3, B1, B2, B3) -> (K1, K2, K3)
+    return local.transpose(0, 3, 1, 4, 2, 5).reshape(k1, k2, k3)
+
+
+def spread_block_overflow(x, box, grid_shape, order: int, block, cap: int):
+    """True when any spreading block holds more than `cap` atoms (those atoms
+    would be silently dropped by spread_charges_blocked). One bincount —
+    cheap enough to run every step from forces.pme_coverage_flags."""
+    k1, k2, k3 = grid_shape
+    b1, b2, b3 = block
+    nb2, nb3 = k2 // b2, k3 // b3
+    kint = jnp.asarray([k1, k2, k3], jnp.int32)
+    bint = jnp.asarray([b1, b2, b3], jnp.int32)
+    u = _frac_grid_coords(x, box, jnp.asarray([k1, k2, k3], x.dtype))
+    base = jnp.mod(jnp.floor(u).astype(jnp.int32) - (order - 1), kint)
+    blk = base // bint
+    bid = (blk[:, 0] * nb2 + blk[:, 1]) * nb3 + blk[:, 2]
+    nbtot = (k1 // b1) * nb2 * nb3
+    counts = jnp.zeros((nbtot,), jnp.int32).at[bid].add(1)
+    return jnp.max(counts) > cap
+
+
+def choose_spread_blocks(grid_shape, order: int, n: int,
+                         x=None, box=None, safety: float = 1.3):
+    """Static (block, cap) for spread_charges_blocked, or (None, 0) when
+    blocking cannot beat the dense one-hot path.
+
+    Host-side setup heuristic: enumerate divisor triples of the grid,
+    estimate MACs = nblocks * cap * prod(B_d + order - 1) with
+    cap = safety * max-block-occupancy (measured from `x` when given, else
+    2x the mean), and keep the cheapest triple that undercuts dense
+    (n * K1*K2*K3) by at least 2x. Occupancy is re-measurable later via
+    retune (forces.retune_pme_spread)."""
+    k1, k2, k3 = grid_shape
+    s = order - 1
+    lo = max(4, s)
+
+    def divisors(k):
+        return [d for d in range(lo, k + 1) if k % d == 0]
+
+    dense_macs = float(n) * k1 * k2 * k3
+    best = None
+    for d1 in divisors(k1):
+        for d2 in divisors(k2):
+            for d3 in divisors(k3):
+                nbtot = (k1 // d1) * (k2 // d2) * (k3 // d3)
+                if nbtot == 1:
+                    continue
+                if x is not None:
+                    occ = _max_block_occupancy(
+                        x, box, grid_shape, order, (d1, d2, d3))
+                    cap = int(math.ceil(safety * max(occ, 1)))
+                else:
+                    cap = int(math.ceil(2.0 * n / nbtot))
+                cap = max(cap, 8)
+                macs = nbtot * cap * (d1 + s) * (d2 + s) * (d3 + s)
+                if best is None or macs < best[0]:
+                    best = (macs, (d1, d2, d3), cap)
+    if best is None or best[0] * 2.0 > dense_macs:
+        return None, 0
+    return best[1], best[2]
+
+
+def _max_block_occupancy(x, box, grid_shape, order: int, block) -> int:
+    """Measured max atoms per spreading block (host-side numpy)."""
+    x = np.asarray(x, np.float64)
+    box = np.asarray(box, np.float64)
+    k = np.asarray(grid_shape)
+    if box.ndim == 1:
+        u = x / box * k
+    else:
+        u = x @ np.linalg.inv(box) * k
+    base = np.mod(np.floor(u).astype(np.int64) - (order - 1), k)
+    blk = base // np.asarray(block)
+    nb = k // np.asarray(block)
+    bid = (blk[:, 0] * nb[1] + blk[:, 1]) * nb[2] + blk[:, 2]
+    return int(np.bincount(bid, minlength=int(nb.prod())).max())
+
+
 def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
-                          chunk: int = 2048):
-    """Reciprocal-space PME energy [kJ/mol]."""
-    Q = spread_charges(x, box, q, grid_shape, order, chunk)
+                          chunk: int = 2048, spread_block=None,
+                          spread_cap: int = 0):
+    """Reciprocal-space PME energy [kJ/mol]. With spread_block/spread_cap
+    set (see choose_spread_blocks), spreading runs block-binned."""
+    if spread_block:
+        Q = spread_charges_blocked(
+            x, box, q, grid_shape, order, spread_block, spread_cap)
+    else:
+        Q = spread_charges(x, box, q, grid_shape, order, chunk)
     return pme_reciprocal_from_grid(Q, box, alpha, grid_shape, order)
 
 

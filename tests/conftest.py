@@ -20,3 +20,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite is compile-dominated on the
+# 1-core CI host (hundreds of small jitted step/energy functions), so warm
+# reruns skip most of that. Local-only (gitignored) — cache artifacts are
+# platform/version-specific. Harmless when cold.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

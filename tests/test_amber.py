@@ -877,6 +877,7 @@ def test_hydrogen_mass_target_semantics():
     np.testing.assert_allclose(ma * ra, 2 * 3.024 * rb, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_rigid_water_trajectory_holds_geometry():
     from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
     from atomsmm_tpu.ops.settle import settle_residual

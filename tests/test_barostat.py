@@ -107,6 +107,7 @@ def test_npt_water_stays_finite():
     assert int(ctx.state.extra[BARO_NATT]) == 100
 
 
+@pytest.mark.slow
 def test_overflowing_trial_is_rejected_not_mispriced():
     """r4: a volume-move trial rebuilds the pair list in-jit at fixed
     capacity; a compressing trial can overflow it and the trial energy

@@ -157,6 +157,7 @@ def test_maxwell_massless_rows_regression():
     assert float(jnp.max(jnp.abs(v[:4]))) > 0.0
 
 
+@pytest.mark.slow
 def test_scf_trajectory_stays_on_bo_surface():
     """DrudeSCFIntegrator (massless Drudes): after dynamics, the force on
     every Drude row is negligible vs typical atomic forces, geometry is

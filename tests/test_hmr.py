@@ -92,6 +92,7 @@ def test_potential_energy_is_mass_independent():
     assert e0 == e1
 
 
+@pytest.mark.slow
 def test_rigid_nve_4fs_stable_with_hmr():
     """4 fs NVE on rigid TIP3P: the HMR headline claim (bench config 6b)."""
     system, x, box = _rigid(m=64)

@@ -188,6 +188,7 @@ def test_sharded_pme_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_slab_fft_pme_matches_single_device():
     """The fully distributed reciprocal path (spreading reduce-scatter +
     slab-decomposed FFT + sharded convolution — VERDICT r3 #5) must match

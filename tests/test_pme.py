@@ -320,3 +320,168 @@ def test_nonbonded_pme_method_end_to_end():
     np.testing.assert_allclose(
         np.asarray(f_nbr), np.asarray(f_dense), rtol=1e-7, atol=1e-7
     )
+
+
+# --------------------------------------------------------------------------
+# Block-binned spreading (spread_charges_blocked) — round 4
+# --------------------------------------------------------------------------
+
+
+def _blocked_imports():
+    from atomsmm_tpu.ops.pme import (
+        choose_spread_blocks,
+        spread_block_overflow,
+        spread_charges,
+        spread_charges_blocked,
+    )
+    return (choose_spread_blocks, spread_block_overflow, spread_charges,
+            spread_charges_blocked)
+
+
+@pytest.mark.parametrize("order", [4, 6])
+def test_blocked_spreading_matches_dense(order):
+    """The block-binned spreading produces the SAME charge grid as the dense
+    one-hot path (same weights, different summation structure), including
+    atoms whose spline support wraps across the periodic boundary."""
+    _, _, spread, spread_blk = _blocked_imports()
+    x, q, box = random_neutral_system(n=96, seed=3)
+    # push some atoms right up against the box faces to exercise the wrap
+    x = jnp.concatenate([x, jnp.asarray([[1.999, 0.001, 1.998],
+                                         [0.0005, 1.9995, 0.001]])])
+    q = jnp.concatenate([q, jnp.asarray([0.5, -0.5])])
+    grid = (12, 12, 12)
+    qd = spread(x, box, q, grid, order)
+    qb = spread_blk(x, box, q, grid, order, block=(6, 6, 6), cap=64)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(qd),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_blocked_spreading_gradients_match_dense():
+    """Reciprocal energy AND its position gradient agree between the two
+    spreading formulations — including an atom sitting EXACTLY on a grid
+    plane (the custom_jvp hard case) placed on a block boundary."""
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+
+    x, q, box = random_neutral_system(n=48, seed=7)
+    # exactly on a grid plane AND a block boundary (grid 12, block 6)
+    x = x.at[0].set(jnp.asarray([1.0, 0.5, 1.5]))
+    grid, order, alpha = (12, 12, 12), 6, 2.2
+
+    def e_dense(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, grid, order)
+
+    def e_blocked(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, grid, order,
+                                     spread_block=(6, 6, 6), spread_cap=48)
+
+    ed, gd = jax.value_and_grad(e_dense)(x)
+    eb, gb = jax.value_and_grad(e_blocked)(x)
+    np.testing.assert_allclose(float(eb), float(ed), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_blocked_spreading_triclinic():
+    from atomsmm_tpu.ops.pbc import triclinic_from_lengths_angles
+    _, _, spread, spread_blk = _blocked_imports()
+    rs = np.random.RandomState(11)
+    box = jnp.asarray(
+        triclinic_from_lengths_angles(2.0, 2.1, 1.9, 80.0, 95.0, 70.0))
+    frac = rs.uniform(0, 1, (64, 3))
+    x = jnp.asarray(frac) @ box
+    q = jnp.asarray(rs.uniform(-1, 1, 64))
+    q = q - q.mean()
+    grid = (12, 12, 12)
+    qd = spread(x, box, q, grid, 6)
+    qb = spread_blk(x, box, q, grid, 6, block=(6, 6, 6), cap=48)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(qd),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_spread_block_overflow_flag():
+    _, overflow, _, _ = _blocked_imports()
+    x, q, box = random_neutral_system(n=64, seed=1)
+    grid, order, block = (12, 12, 12), 6, (6, 6, 6)
+    assert not bool(overflow(x, box, grid, order, block, cap=64))
+    # all atoms in one corner -> one block holds everything
+    x_tight = x * 0.01
+    assert bool(overflow(x_tight, box, grid, order, block, cap=8))
+
+
+def test_choose_spread_blocks_valid_and_beneficial():
+    choose, _, _, _ = _blocked_imports()
+    rs = np.random.RandomState(2)
+    n, grid, order = 30000, (48, 48, 48), 6
+    x = rs.uniform(0, 6.4, (n, 3))
+    box = np.full(3, 6.4)
+    block, cap = choose(grid, order, n, x=x, box=box)
+    assert block is not None
+    for k, b in zip(grid, block):
+        assert k % b == 0 and b >= order - 1
+    nbtot = int(np.prod([k // b for k, b in zip(grid, block)]))
+    assert cap * nbtot >= n  # capacity covers the atom count
+    macs = nbtot * cap * int(np.prod([b + order - 1 for b in block]))
+    assert macs * 2 <= n * int(np.prod(grid))  # >= 2x cheaper than dense
+    # tiny grids: blocking cannot win -> dense fallback
+    block_none, cap0 = choose((8, 8, 8), 6, 64)
+    assert block_none is None and cap0 == 0
+
+
+def test_retune_pme_spread_end_to_end():
+    """retune_pme_spread flips a PME water system to blocked spreading with
+    identical energies/forces, and Context seeds + trips the overflow flag."""
+    from atomsmm_tpu.forces import retune_pme_spread
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.potential import force_fn, potential_energy
+
+    system, x, box = water_system(
+        n_molecules=64, method="pme", r_cut=0.55, r_switch=0.45
+    )
+    tuned = retune_pme_spread(system, x, box)
+    carriers = [f for f in tuned.forces
+                if getattr(f, "spread_block", ())]
+    if not carriers:  # grid too small to benefit on this box — force it
+        from atomsmm_tpu.utils import replace
+        grid = next(f.grid_shape for f in tuned.forces
+                    if getattr(f, "method", None) == "pme")
+        block = tuple(min(d for d in range(5, k + 1) if k % d == 0)
+                      for k in grid)
+        tuned = tuned.replace_forces([
+            replace(f, spread_block=block, spread_cap=1024)
+            if getattr(f, "method", None) == "pme" else f
+            for f in tuned.forces
+        ])
+    e0 = potential_energy(system, x, box)
+    e1 = potential_energy(tuned, x, box)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-11)
+    _, f0 = force_fn(system)(x, box)
+    _, f1 = force_fn(tuned)(x, box)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_spread_overflow_raises_in_context():
+    """Context seeds the sticky spread-overflow flag and step() raises when
+    a block's capacity is exceeded (atoms dropped from the reciprocal sum
+    must be loud, never silent)."""
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.utils import replace
+
+    system, x, box = water_system(
+        n_molecules=64, method="pme", r_cut=0.55, r_switch=0.45
+    )
+    grid = next(f.grid_shape for f in system.forces
+                if getattr(f, "method", None) == "pme")
+    block = tuple(min(d for d in range(5, k + 1) if k % d == 0)
+                  for k in grid)
+    rigged = system.replace_forces([
+        replace(f, spread_block=block, spread_cap=1)  # guaranteed overflow
+        if getattr(f, "method", None) == "pme" else f
+        for f in system.forces
+    ])
+    ctx = Context(rigged, VelocityVerletIntegrator(dt=0.0005),
+                  make_state(x, box=box))
+    assert any(k.endswith("spread_overflow") for k in ctx.state.extra)
+    with pytest.raises(RuntimeError, match="spreading-block overflow"):
+        ctx.step(1)

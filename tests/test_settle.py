@@ -213,6 +213,7 @@ def test_rigid_water_npt_barostat_preserves_geometry():
     assert res < 1e-10, res
 
 
+@pytest.mark.slow
 def test_settle_and_shake_trajectories_agree():
     """analytic=True and analytic=False are the same physics: short NVE
     trajectories from identical states agree to SHAKE's convergence level."""

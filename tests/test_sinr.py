@@ -73,6 +73,7 @@ def test_isokinetic_kinetic_energy(argon_sinr):
     np.testing.assert_allclose(mv2, 0.5 * kT, rtol=0.08)
 
 
+@pytest.mark.slow
 def test_sinr_stable_large_outer_step():
     """SIN(R)'s selling point: large outer steps remain stable (water,
     15 fs outer with bonded at ~0.94 fs)."""

@@ -247,6 +247,7 @@ def test_triclinic_cell_list_matches_dense():
                                atol=1e-9 * scale)
 
 
+@pytest.mark.slow
 def test_triclinic_cell_list_nve_runs():
     """Short NVE on the triclinic cell-list path through the full Context
     machinery (rebuild gating, staleness, coverage guards on a matrix
