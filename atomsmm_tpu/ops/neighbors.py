@@ -391,11 +391,17 @@ def make_neighbor_spec(
     if backend == "auto":
         import jax
 
+        from .pallas_pair import pallas_fits
+
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # measured on v5e (30k water): XLA half-stencil 4.0 ms vs Pallas half
-        # 4.8 ms at cap 56 — the scan path wins when Newton maps exist
+        # 4.8 ms at cap 56 — the scan path wins when Newton maps exist.
+        # pallas_fits: very coarse grids (small boxes degenerating to a few
+        # huge cells) blow the kernel's scoped-VMEM tile budget at compile
+        # time — the XLA sweep handles those.
         backend = "xla" if (triclinic or not on_tpu
-                            or nbr_half is not None) else "pallas"
+                            or nbr_half is not None
+                            or not pallas_fits(cap)) else "pallas"
     return NeighborSpec(
         nbr_cells=jnp.asarray(_neighbor_cell_map(grid, reach)),
         exclusions=jnp.asarray(exclusions),

@@ -39,9 +39,46 @@ from .rv import Rv, make_rv
 
 LANE = 128
 
+# Scoped-VMEM working-set model: each program holds ~20 live (capP, JT) f32
+# tiles (r2, the three dx planes, masks, u, du/dr2, jvp temporaries). The
+# TPU scoped-vmem stack limit is 16 MB; budget 10 MB so the staged block
+# inputs/outputs fit beside the tile stack. Exceeding it is a COMPILE-time
+# OOM ("Ran out of memory in memory space vmem ... on stack"), so both the
+# tile sizing here and the backend auto-selection (ops/neighbors.py) gate
+# on this model.
+_VMEM_TILE_BUDGET = 10 << 20
+
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _fit_j_tile(capP: int, j_tile: int = 512) -> int:
+    """Largest power-of-two J-tile <= j_tile whose (capP, JT) working set
+    fits the scoped-VMEM budget (never below one lane tile)."""
+    while j_tile > LANE and capP * j_tile * 4 * 20 > _VMEM_TILE_BUDGET:
+        j_tile //= 2
+    return j_tile
+
+
+def pallas_fits(cap: int) -> bool:
+    """True when a cap-atom home cell's pair tile fits scoped VMEM at the
+    minimum J-tile. False for very coarse grids (e.g. a sub-1000-atom box
+    whose cell list degenerates to one cell) — the backend auto-selection
+    falls back to the XLA sweep there."""
+    return _round_up(cap, 8) * LANE * 4 * 20 <= _VMEM_TILE_BUDGET
+
+
+def _check_fits(capP: int, j_tile: int, where: str):
+    if capP * j_tile * 4 * 20 > _VMEM_TILE_BUDGET:
+        raise ValueError(
+            f"{where}: cell capacity {capP} needs "
+            f"{capP * j_tile * 4 * 20 / 2**20:.1f} MB of scoped VMEM per "
+            f"(capP, {j_tile}) pair tile, over the {_VMEM_TILE_BUDGET >> 20}"
+            " MB budget (TPU stack limit 16 MB) — the grid is too coarse "
+            "for the Pallas kernel; use backend='xla' (or 'auto', which "
+            "checks pallas_fits)"
+        )
 
 
 def _pair_kernel(pair_fn, takes_rv, n_consts, param_names, n_atoms, max_exc,
@@ -359,7 +396,8 @@ def stage_and_run_half(
     sj_used = s_half * capP
     # J-tile: big enough to amortize, small enough that ~20 live (capP, JT)
     # f32 tiles stay under the VMEM budget
-    j_tile = 512 if capP * 512 * 4 * 20 <= (10 << 20) else 256
+    j_tile = _fit_j_tile(capP)
+    _check_fits(capP, j_tile, "stage_and_run_half")
     sj = _round_up(sj_used, j_tile)
     nbr = spec.nbr_cells_half        # (ncells, S_half), always valid ids
     # candidate staging via the TRANSPOSED layout: the axis swap then moves
@@ -488,6 +526,8 @@ def stage_and_run(
 
     # candidate layout: (ncells, F8, SJ)
     f8 = 8
+    j_tile = _fit_j_tile(capP, j_tile)
+    _check_fits(capP, j_tile, "stage_and_run")
     sj = _round_up(s * capP, j_tile)
     cf_cells = hf[..., :f_cols]  # reuse home gather: (ncells, capP, f_cols)
     ci_cells = hm[..., :1]

@@ -295,3 +295,30 @@ def test_coverage_wrap_aware_and_effective_skin():
     s_edge = 0.95 * r_cut / (w_min * max(spec2.reach))
     assert float(effective_skin(spec2, box2 * s_edge)) == 0.0
     assert bool(coverage_deficient(spec2, box2 * s_edge))
+
+
+def test_pallas_vmem_budget_guard():
+    """Very coarse grids (a small box degenerating to a few huge cells) blow
+    the Pallas kernel's scoped-VMEM tile budget at COMPILE time (the 16 MB
+    stack limit; observed: 648-atom water -> capP 1112 -> 27.5 MB scoped
+    allocation). pallas_fits is the auto-backend guard; the stage functions
+    shrink the J-tile down to one lane and then refuse loudly."""
+    from atomsmm_tpu.ops.pallas_pair import (
+        LANE,
+        _check_fits,
+        _fit_j_tile,
+        pallas_fits,
+    )
+
+    # production headline shape (30k water, cap 56): fits at full tile
+    assert pallas_fits(56)
+    assert _fit_j_tile(56) == 512
+    # the observed failure shape: not even one lane tile fits
+    assert not pallas_fits(1112)
+    with pytest.raises(ValueError, match="scoped VMEM"):
+        _check_fits(1112, LANE, "stage_and_run")
+    # mid sizes: tile shrinks before the guard trips
+    capP = 640  # 640*512*80 = 25 MB -> halves to 256 (12.5 MB -> 128)
+    jt = _fit_j_tile(capP)
+    assert jt >= LANE and capP * jt * 4 * 20 <= (10 << 20)
+    _check_fits(capP, jt, "stage_and_run")  # no raise
