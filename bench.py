@@ -233,6 +233,12 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         # tight caps (safety 1.03, round-4): pair work ~ cap^2 and
         # Context.step auto-recovers from overflow (restore+retune+rerun)
         respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
+        if method == "pme":
+            # block-binned spreading from measured occupancy (ops/pme.py):
+            # 1.17x on the 30k reciprocal E+grad (tools/pme_spread_bench.py)
+            from atomsmm_tpu.forces import retune_pme_spread
+
+            respa = retune_pme_spread(respa, ex, ebox)
         # per-step neighbor updates (K=1): the maybe-update cond's keep path
         # measures ~0.05 ms/step when the extras flow through the loop carry
         # as runtime buffers (tools/nbr_update_bench.py) — the earlier
@@ -431,6 +437,9 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
         respa = retune_neighbor_specs(respa, ex, ebox)
+        from atomsmm_tpu.forces import retune_pme_spread
+
+        respa = retune_pme_spread(respa, ex, ebox)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=11))
         ctx.step(50)
     else:
@@ -662,6 +671,13 @@ def bench_npt_100k(steps=100, extras=None, method="cutoff",
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
         respa = retune_neighbor_specs(respa, ex, ebox)
+        if method == "pme":
+            # measured 1.33x on the 100k reciprocal E+grad; NPT volume
+            # moves re-choose blocks on regrid (Context.retune_pme) and
+            # the per-step overflow flag raises rather than dropping charge
+            from atomsmm_tpu.forces import retune_pme_spread
+
+            respa = retune_pme_spread(respa, ex, ebox)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
         ctx.step(100)
     else:
