@@ -224,21 +224,90 @@ def _fold_axis(local, nb_axis: int, w_axis: int, b: int, s: int):
     return own.at[tuple(idx)].add(spill)
 
 
+def _bucket_by_block(bid, n: int, nbtot: int, cap: int,
+                     binning: str = "sort"):
+    """Fixed-capacity (nbtot, cap) buckets of atom ids from per-atom block
+    ids (sentinel n in empty slots; atoms ranked past cap are dropped —
+    callers surface that via spread_block_overflow).
+
+    Both methods produce IDENTICAL buckets (ascending atom id within each
+    block), so downstream sums are bitwise-equal:
+
+    * 'sort' (default): one packed value sort (the neighbors.py
+      key-carries-payload idiom) + segment ranks. Measured 30k/729 blocks
+      on v5e: 1.81 ms for the full bucket build.
+    * 'hist': MXU histogram ranking — EXPERIMENTAL, measured SLOWER
+      (2.22 ms at 30k/729). Rank-within-block = (earlier same-block atoms
+      in my 128-atom chunk, via a strictly-lower-triangular matmul against
+      the chunk's block one-hot) + (same-block atoms in earlier chunks, via
+      an exclusive chunk-histogram prefix); every product is 0/1 and every
+      within-chunk count <= 127, so bf16 is exact. The hypothesis was that
+      replacing the VPU bitonic sort with MXU matmuls would win; it does
+      not — the (N, nbtot) one-hot CONSTRUCTION is itself VPU compare/select
+      work bigger than the sort, and it scales with nbtot where the sort
+      does not. Kept as the measured-negative alternate (KERNELS.md).
+    """
+    if binning == "sort":
+        idx_bits = max(n - 1, 1).bit_length()
+        if (nbtot << idx_bits) < 2**31:
+            packed = jnp.sort(
+                (bid << idx_bits) | jnp.arange(n, dtype=jnp.int32))
+            perm = packed & ((1 << idx_bits) - 1)
+            sorted_bid = packed >> idx_bits
+        else:
+            perm = jnp.argsort(bid).astype(jnp.int32)
+            sorted_bid = bid[perm]
+        iarr = jnp.arange(n, dtype=jnp.int32)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_bid[1:] != sorted_bid[:-1]]
+        )
+        seg_start = jax.lax.cummax(jnp.where(first, iarr, 0))
+        rank = iarr - seg_start
+        ok = rank < cap
+        slot = jnp.where(ok, sorted_bid * cap + rank, nbtot * cap)
+        bucket = jnp.full((nbtot * cap,), n, jnp.int32)
+        return bucket.at[slot].set(perm, mode="drop").reshape(nbtot, cap)
+    if binning != "hist":
+        raise ValueError(f"binning must be 'hist' or 'sort', got {binning!r}")
+    c = 128
+    nchunk = -(-n // c)
+    npad = nchunk * c
+    # padding rows get bid = nbtot: all-zero one-hot, masked at the scatter
+    bidp = jnp.concatenate(
+        [bid, jnp.full((npad - n,), nbtot, jnp.int32)]).reshape(nchunk, c)
+    iota = jnp.arange(nbtot, dtype=jnp.int32)
+    oh = (bidp[:, :, None] == iota).astype(jnp.bfloat16)  # (nchunk, c, nbtot)
+    counts = jnp.sum(oh.astype(jnp.float32), axis=1)      # (nchunk, nbtot)
+    pre = jnp.cumsum(counts, axis=0) - counts             # exclusive, f32
+    tri = jnp.tril(jnp.ones((c, c), jnp.bfloat16), -1)
+    within = jnp.einsum("ij,cjb->cib", tri, oh,
+                        preferred_element_type=jnp.bfloat16)
+    safe = jnp.minimum(bidp, nbtot - 1)[..., None]
+    rw = jnp.take_along_axis(within, safe, axis=2)[..., 0]
+    pc = jnp.take_along_axis(pre, jnp.minimum(bidp, nbtot - 1), axis=1)
+    rank = pc.astype(jnp.int32) + rw.astype(jnp.int32)    # (nchunk, c)
+    ids = jnp.arange(npad, dtype=jnp.int32).reshape(nchunk, c)
+    ok = (ids < n) & (rank < cap)
+    slot = jnp.where(ok, bidp * cap + rank, nbtot * cap).reshape(-1)
+    bucket = jnp.full((nbtot * cap,), n, jnp.int32)
+    return bucket.at[slot].set(ids.reshape(-1),
+                               mode="drop").reshape(nbtot, cap)
+
+
 def spread_charges_blocked(x, box, q, grid_shape: Tuple[int, int, int],
                            order: int, block: Tuple[int, int, int],
-                           cap: int):
+                           cap: int, binning: str = "sort"):
     """Block-binned B-spline charge spreading (same result as
     spread_charges, ~10-50x fewer MACs at production grids).
 
     The dense one-hot formulation costs N*K1*K2*K3 MACs because every atom's
     weight row spans the FULL grid dimension even though only `order` entries
     are nonzero. Here atoms are binned by the grid block containing their
-    spline support base (one int32 value sort, the neighbors.py
-    key-carries-payload idiom), the one-hot matmuls run inside
-    (B_d + order - 1) local windows, and the per-block local grids are folded
-    into the global grid with three axis-roll adds — no scatter anywhere in
-    the differentiated path, so jax.grad stays matmuls + FFTs. Cost:
-    nblocks * cap * W1*W2*W3 MACs.
+    spline support base (`_bucket_by_block`), the
+    one-hot matmuls run inside (B_d + order - 1) local windows, and the
+    per-block local grids are folded into the global grid with three
+    axis-roll adds — no scatter anywhere in the differentiated path, so
+    jax.grad stays matmuls + FFTs. Cost: nblocks * cap * W1*W2*W3 MACs.
 
     Atoms beyond `cap` in a block are DROPPED from the sum — callers must
     surface spread_block_overflow (forces.pme_coverage_flags does; the flag
@@ -268,26 +337,7 @@ def spread_charges_blocked(x, box, q, grid_shape: Tuple[int, int, int],
     blk = base // bint
     off = base - blk * bint  # in [0, B_d)
     bid = (blk[:, 0] * nb2 + blk[:, 1]) * nb3 + blk[:, 2]
-
-    # fixed-capacity buckets of atom ids (sentinel n), one packed value sort
-    idx_bits = max(n - 1, 1).bit_length()
-    if (nbtot << idx_bits) < 2**31:
-        packed = jnp.sort((bid << idx_bits) | jnp.arange(n, dtype=jnp.int32))
-        perm = packed & ((1 << idx_bits) - 1)
-        sorted_bid = packed >> idx_bits
-    else:
-        perm = jnp.argsort(bid).astype(jnp.int32)
-        sorted_bid = bid[perm]
-    iarr = jnp.arange(n, dtype=jnp.int32)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_bid[1:] != sorted_bid[:-1]]
-    )
-    seg_start = jax.lax.cummax(jnp.where(first, iarr, 0))
-    rank = iarr - seg_start
-    ok = rank < cap
-    slot = jnp.where(ok, sorted_bid * cap + rank, nbtot * cap)
-    bucket = jnp.full((nbtot * cap,), n, jnp.int32)
-    bucket = bucket.at[slot].set(perm, mode="drop").reshape(nbtot, cap)
+    bucket = _bucket_by_block(bid, n, nbtot, cap, binning)
 
     # gather per-slot data; index n lands on the zero pad row
     qp = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])

@@ -356,6 +356,7 @@ def test_blocked_spreading_matches_dense(order):
                                rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_blocked_spreading_gradients_match_dense():
     """Reciprocal energy AND its position gradient agree between the two
     spreading formulations — including an atom sitting EXACTLY on a grid
@@ -427,6 +428,7 @@ def test_choose_spread_blocks_valid_and_beneficial():
     assert block_none is None and cap0 == 0
 
 
+@pytest.mark.slow
 def test_retune_pme_spread_end_to_end():
     """retune_pme_spread flips a PME water system to blocked spreading with
     identical energies/forces, and Context seeds + trips the overflow flag."""
@@ -485,3 +487,23 @@ def test_spread_overflow_raises_in_context():
     assert any(k.endswith("spread_overflow") for k in ctx.state.extra)
     with pytest.raises(RuntimeError, match="spreading-block overflow"):
         ctx.step(1)
+
+
+def test_bucket_binning_methods_identical():
+    """'hist' (MXU histogram ranking) and 'sort' (packed value sort) produce
+    IDENTICAL buckets — both rank ascending-atom-id within a block — across
+    chunk boundaries (n > 128), empty blocks, and over-capacity drops."""
+    from atomsmm_tpu.ops.pme import _bucket_by_block
+
+    rs = np.random.RandomState(9)
+    nbtot, cap = 37, 6
+    for n in (5, 128, 129, 500):
+        bid = jnp.asarray(rs.randint(0, nbtot, n), jnp.int32)
+        bh = _bucket_by_block(bid, n, nbtot, cap, "hist")
+        bs = _bucket_by_block(bid, n, nbtot, cap, "sort")
+        np.testing.assert_array_equal(np.asarray(bh), np.asarray(bs))
+    # crowded: every atom in block 3 -> first cap ids kept, rest dropped
+    bid = jnp.full((300,), 3, jnp.int32)
+    bh = _bucket_by_block(bid, 300, nbtot, cap, "hist")
+    np.testing.assert_array_equal(np.asarray(bh[3]), np.arange(cap))
+    assert int((np.asarray(bh) != 300).sum()) == cap
