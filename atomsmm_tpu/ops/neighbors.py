@@ -248,7 +248,17 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "Neighbor
     s = spec.nbr_cells.shape[1]
     per_cell = cap * s * cap * 4
     chunk = max(1, min(spec.ncells, (48 << 20) // max(per_cell, 1)))
-    return dataclasses.replace(spec, cell_capacity=cap, cell_chunk=chunk)
+    changes = {"cell_capacity": cap, "cell_chunk": chunk}
+    if spec.backend == "pallas":
+        # capacity growth (e.g. overflow auto-recovery under NPT
+        # compression) can push the kernel past its scoped-VMEM tile
+        # budget; re-run the fit check and fall back to the XLA sweep
+        # rather than dying in _check_fits at the next compile
+        from .pallas_pair import pallas_fits
+
+        if not pallas_fits(cap):
+            changes["backend"] = "xla"
+    return dataclasses.replace(spec, **changes)
 
 
 def retune_neighbor_specs(system, x, box, safety: float = 1.15):

@@ -56,6 +56,9 @@ def _round_up(x, m):
 def _fit_j_tile(capP: int, j_tile: int = 512) -> int:
     """Largest power-of-two J-tile <= j_tile whose (capP, JT) working set
     fits the scoped-VMEM budget (never below one lane tile)."""
+    # snap any caller-supplied tile to a lane-aligned power of two first:
+    # halving e.g. 384 would yield 192, which violates TPU lane tiling
+    j_tile = max(LANE, 1 << (max(j_tile, 1).bit_length() - 1))
     while j_tile > LANE and capP * j_tile * 4 * 20 > _VMEM_TILE_BUDGET:
         j_tile //= 2
     return j_tile
@@ -426,7 +429,7 @@ def stage_and_run_half(
 
     # VMEM budget: ~20 live (capP, JT) f32 tiles per home cell
     per_cell = capP * j_tile * 4 * 20
-    cell_block = max(1, min(8, (10 << 20) // per_cell))
+    cell_block = max(1, min(8, _VMEM_TILE_BUDGET // per_cell))
     while ncells % cell_block:
         cell_block -= 1
 

@@ -322,3 +322,25 @@ def test_pallas_vmem_budget_guard():
     jt = _fit_j_tile(capP)
     assert jt >= LANE and capP * jt * 4 * 20 <= (10 << 20)
     _check_fits(capP, jt, "stage_and_run")  # no raise
+
+
+def test_retune_falls_back_to_xla_when_pallas_overflows_vmem():
+    """Overflow auto-recovery / NPT compression can grow cell_capacity past
+    the Pallas scoped-VMEM budget AFTER an explicit backend='pallas' spec
+    was built; retune_spec must re-check pallas_fits and fall back to the
+    XLA sweep instead of dying in _check_fits at the next compile."""
+    from atomsmm_tpu.ops.neighbors import make_neighbor_spec, retune_spec
+
+    box = np.asarray([2.0, 2.0, 2.0])
+    spec = make_neighbor_spec(box, n=1200, r_cut_max=0.9, backend="pallas")
+    assert spec.backend == "pallas"
+    # all atoms in one corner: measured occupancy 1200 -> cap > 1024
+    x = np.full((1200, 3), 0.1) + np.random.RandomState(0).uniform(
+        0, 0.01, (1200, 3))
+    tuned = retune_spec(spec, x, box)
+    assert tuned.cell_capacity > 1024
+    assert tuned.backend == "xla"
+    # a normal liquid-density retune keeps the requested backend
+    xs = np.random.RandomState(1).uniform(0, 2.0, (1200, 3))
+    ok = retune_spec(spec, xs, box)
+    assert ok.backend == "pallas"

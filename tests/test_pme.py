@@ -507,3 +507,59 @@ def test_bucket_binning_methods_identical():
     bh = _bucket_by_block(bid, 300, nbtot, cap, "hist")
     np.testing.assert_array_equal(np.asarray(bh[3]), np.arange(cap))
     assert int((np.asarray(bh) != 300).sum()) == cap
+
+
+def test_blocked_spreading_gradient_fast():
+    """Middle-tier gradient-parity guard for the default-enabled blocked
+    spreading (bench.py retunes PME configs onto this path): tiny order-4
+    system so the jit cost stays in seconds; the thorough order-6 grid-plane
+    case runs in the slow tier (test_blocked_spreading_gradients_match_dense).
+    """
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+
+    x, q, box = random_neutral_system(n=12, seed=4)
+    grid, order, alpha = (8, 8, 8), 4, 2.0
+
+    def e_dense(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, grid, order)
+
+    def e_blocked(xx):
+        return pme_reciprocal_energy(xx, box, q, alpha, grid, order,
+                                     spread_block=(4, 4, 4), spread_cap=12)
+
+    ed, gd = jax.value_and_grad(e_dense)(x)
+    eb, gb = jax.value_and_grad(e_blocked)(x)
+    np.testing.assert_allclose(float(eb), float(ed), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_retune_pme_spread_wiring_fast():
+    """Middle-tier wiring guard: retune_pme_spread attaches (block, cap) to
+    the PME carrier (or leaves the system unchanged when blocking cannot
+    win) and never changes the energy. End-to-end Context/overflow coverage
+    runs in the slow tier (test_retune_pme_spread_end_to_end)."""
+    from atomsmm_tpu.forces import retune_pme_spread
+    from atomsmm_tpu.potential import potential_energy
+    from atomsmm_tpu.utils import replace
+
+    x, q, box = random_neutral_system(n=40, seed=6)
+    from atomsmm_tpu.forces import PMEReciprocalForce
+    from atomsmm_tpu.system import System
+
+    f = PMEReciprocalForce(charge=q, ewald_alpha=2.0, grid_shape=(16, 16, 16),
+                           spline_order=4)
+    system = System(forces=(f,), masses=jnp.ones(40))
+    tuned = retune_pme_spread(system, np.asarray(x), np.asarray(box))
+    g = tuned.forces[0]
+    if g.spread_block:  # heuristic may decline tiny grids — both legal
+        assert g.spread_cap > 0
+        for k, b in zip(g.grid_shape, g.spread_block):
+            assert k % b == 0 and b >= g.spline_order - 1
+    e0 = potential_energy(system, x, box)
+    # force a known-valid blocked layout to pin the identity regardless of
+    # what the heuristic chose
+    forced = system.replace_forces(
+        [replace(f, spread_block=(8, 8, 8), spread_cap=40)])
+    e1 = potential_energy(forced, x, box)
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
