@@ -394,10 +394,18 @@ def choose_spread_blocks(grid_shape, order: int, n: int,
     cap = safety * max-block-occupancy (measured from `x` when given, else
     2x the mean), and keep the cheapest triple that undercuts dense
     (n * K1*K2*K3) by at least 2x. Occupancy is re-measurable later via
-    retune (forces.retune_pme_spread)."""
+    retune (forces.retune_pme_spread).
+
+    Declines outright when dense spreading is already cheap
+    (< 1 G MAC): the bucket build is a fixed ~1.4-1.8 ms of grid-
+    independent sort work, and below that scale it eats the whole win —
+    measured on v5e: 30k/45^3 (2.7 G) 1.29x faster blocked, but emim
+    5.2k/32^3 (0.17 G) neutral-to-slower."""
     k1, k2, k3 = grid_shape
     s = order - 1
     lo = max(4, s)
+    if float(n) * k1 * k2 * k3 < 1e9:
+        return None, 0
 
     def divisors(k):
         return [d for d in range(lo, k + 1) if k % d == 0]
