@@ -394,7 +394,16 @@ class Context:
                 stacklevel=2,
             )
             self.state = backup
-            self.retune_neighbors(safety=1.12)
+            # measured on the PRE-chunk state (the replay is deterministic:
+            # same RNG, same trajectory, same overflow event), so the
+            # capacity must strictly grow and the safety escalates per
+            # retry — a retune that shrank or reproduced the old capacity
+            # would overflow again by construction (observed: an NPT
+            # barostat trial rejected for overflow marks the sticky flag
+            # and replays identically; BENCH r4 lost the 100k cutoff row
+            # to exactly this livelock)
+            self.retune_neighbors(safety=1.15 * (1.2 ** _attempt),
+                                  grow_only=True)
         if self.check_overflow:
             for key, flag in self.state.extra.items():
                 if key.startswith("nbr") and key.endswith("undercover") and bool(flag):
@@ -470,7 +479,8 @@ class Context:
                                       self.parameters)
         return self._observe(self.system, self.state, self.parameters)
 
-    def retune_neighbors(self, safety: float = 1.15):
+    def retune_neighbors(self, safety: float = 1.15,
+                         grow_only: bool = False):
         """Resize every neighbor spec's cell capacity to the MEASURED max
         occupancy of the current configuration (ops.neighbors.retune_spec).
 
@@ -478,13 +488,17 @@ class Context:
         liquid needs ~40% less capacity, and pair work scales with cap^2 —
         call this once after equilibration for ~2x faster pair kernels.
         Static shapes change, so the next step() recompiles once.
+        grow_only floors each capacity at its current value + 4 (overflow
+        auto-recovery: the replayed chunk only stops overflowing if
+        capacities actually grow).
         """
         if self.system.neighbors is None:
             return self
         from .ops.neighbors import all_neighbor_extras, retune_neighbor_specs
 
         self.system = retune_neighbor_specs(
-            self.system, self.state.x, self.state.box, safety
+            self.system, self.state.x, self.state.box, safety,
+            grow_only=grow_only
         )
         kept = {
             k: v for k, v in self.state.extra.items()

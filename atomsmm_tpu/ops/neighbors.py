@@ -231,12 +231,20 @@ def _max_cell_occupancy(x, box, grid) -> int:
     return int(np.bincount(cid, minlength=int(np.prod(grid_a))).max())
 
 
-def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "NeighborSpec":
+def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15,
+                floor: int = 0) -> "NeighborSpec":
     """Resize a spec's cell capacity to the MEASURED max occupancy of `x`
     (same grid/stencil). Pair-slot work scales with capacity^2, and liquid
     density fluctuations are far below the cold-start sizing margin, so
     retuning on an equilibrated configuration is a ~2x throughput lever.
-    Returns a new spec (static shape change -> step recompiles once)."""
+    Returns a new spec (static shape change -> step recompiles once).
+
+    `floor` sets a minimum capacity. Overflow auto-recovery passes the
+    spec's current capacity + 4 here: the recovery loop restores the
+    PRE-chunk state and replays the chunk with the same RNG, so a retune
+    measured on the pre-chunk configuration that SHRANK capacity (or merely
+    reproduced it) would deterministically overflow again — capacities must
+    grow monotonically for the retry loop to make progress."""
     import dataclasses
 
     occ = _max_cell_occupancy(x, box, spec.grid)
@@ -244,7 +252,7 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "Neighbor
     # rounding is expensive — a 12^3 near grid quantized 32 -> 40 costs 56%
     # more slots. Tight safety is safe because Context.step auto-recovers
     # from capacity overflow (restore + retune + re-run).
-    cap = ((int(math.ceil(occ * safety)) + 1 + 3) // 4) * 4
+    cap = ((max(int(math.ceil(occ * safety)) + 1, floor) + 3) // 4) * 4
     s = spec.nbr_cells.shape[1]
     per_cell = cap * s * cap * 4
     chunk = max(1, min(spec.ncells, (48 << 20) // max(per_cell, 1)))
@@ -261,9 +269,13 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15) -> "Neighbor
     return dataclasses.replace(spec, **changes)
 
 
-def retune_neighbor_specs(system, x, box, safety: float = 1.15):
+def retune_neighbor_specs(system, x, box, safety: float = 1.15,
+                          grow_only: bool = False):
     """Retune every neighbor spec attached to a system (see retune_spec /
-    blocks.retune_block_spec)."""
+    blocks.retune_block_spec). grow_only floors each capacity at its
+    current value + 4 — required by overflow auto-recovery, whose
+    restore-and-replay loop only makes progress if capacities grow
+    monotonically (retune_spec docstring)."""
     from ..utils import replace as dreplace
     from .blocks import BlockNeighborSpec, retune_block_spec
 
@@ -273,7 +285,8 @@ def retune_neighbor_specs(system, x, box, safety: float = 1.15):
     def one(spec):
         if isinstance(spec, BlockNeighborSpec):
             return retune_block_spec(spec, x, box, max(safety, 1.15))
-        return retune_spec(spec, x, box, safety)
+        floor = spec.cell_capacity + 4 if grow_only else 0
+        return retune_spec(spec, x, box, safety, floor=floor)
 
     default = one(system.neighbors)
     extra = {

@@ -344,3 +344,33 @@ def test_retune_falls_back_to_xla_when_pallas_overflows_vmem():
     xs = np.random.RandomState(1).uniform(0, 2.0, (1200, 3))
     ok = retune_spec(spec, xs, box)
     assert ok.backend == "pallas"
+
+
+def test_retune_grow_only_floors_capacity():
+    """Overflow auto-recovery retunes on the PRE-chunk state and replays the
+    chunk with the same RNG; a retune that shrinks (or reproduces) capacity
+    would overflow again deterministically (the r4 NPT livelock). grow_only
+    must floor every capacity at current + 4 even when the measured
+    occupancy says less."""
+    from atomsmm_tpu.ops.neighbors import make_neighbor_spec, retune_spec
+
+    box = np.asarray([4.0, 4.0, 4.0])
+    rs = np.random.RandomState(3)
+    x = rs.uniform(0, 4.0, (500, 3))
+    spec = make_neighbor_spec(box, n=500, r_cut_max=0.9, density_safety=3.0)
+    shrunk = retune_spec(spec, x, box, safety=1.05)
+    assert shrunk.cell_capacity < spec.cell_capacity  # retune CAN shrink
+    floored = retune_spec(spec, x, box, safety=1.05,
+                          floor=spec.cell_capacity + 4)
+    assert floored.cell_capacity >= spec.cell_capacity + 4
+
+
+def test_retune_neighbor_specs_grow_only():
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.ops.neighbors import iter_specs, retune_neighbor_specs
+
+    system, x, box = water_system(n_molecules=216, neighbors=True)
+    caps0 = [s.cell_capacity for _, s in iter_specs(system)]
+    grown = retune_neighbor_specs(system, x, box, safety=1.0, grow_only=True)
+    caps1 = [s.cell_capacity for _, s in iter_specs(grown)]
+    assert all(b >= a + 4 for a, b in zip(caps0, caps1))
