@@ -219,6 +219,18 @@ def _max_cell_occupancy(x, box, grid) -> int:
     x = np.asarray(x)
     box = np.asarray(box, np.float64)
     grid_a = np.asarray(grid)
+    if not np.isfinite(x).all():
+        # Non-finite positions clip every NaN atom into cell 0, so the
+        # "measured" occupancy becomes ~N and the retuned capacity sizes a
+        # pair matrix quadratic in N (observed: a diverged 16 fs melt fed a
+        # 34504-capacity spec whose compile requested a 66 GB intermediate).
+        # Diverged dynamics must fail loudly, not as a compiler OOM.
+        bad = int((~np.isfinite(x).all(axis=-1)).sum())
+        raise FloatingPointError(
+            f"{bad}/{x.shape[0]} positions are non-finite — the trajectory "
+            "has diverged (timestep too large for this state?); refusing to "
+            "retune neighbor capacities from it"
+        )
     if box.ndim == 2:
         s = x @ np.linalg.inv(box)
         s -= np.floor(s)

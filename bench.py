@@ -548,6 +548,7 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
         system = HydrogenMassRepartitionedSystem(system, factor=hmr_factor)
     n = system.num_particles
     dof = 3 * n - system.num_constraints - 3
+    base_system = system  # pre-RESPA-wrap, for the stable-dt melt fallback
     if respa_loops:
         from atomsmm_tpu import MultipleTimeScaleIntegrator, RESPASystem
 
@@ -575,13 +576,28 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
         sync(ctx)
         ctx.step(250)
     else:
-        ctx = Context(system, integ, make_state(x, box=box))
-        ctx.set_velocities_to_temperature(300.0, seed=9)
-        ctx.step(1)
-        sync(ctx)
-        _melt_equilibrate(ctx, 300.0, 600)
-        ctx.retune_neighbors()
-        ctx.step(1)
+        # No frozen state: melt the lattice at a conservative 2 fs VV+NHC on
+        # the unsplit system first — a cold lattice stepped directly at a
+        # 16 fs RESPA outer step diverges to NaN (and retune now refuses
+        # non-finite positions loudly) — then hand the equilibrated state to
+        # the measurement integrator.
+        from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
+
+        eq_integ = GlobalThermostatIntegrator(
+            0.002, NoseHooverChainPropagator(300.0, dof, 0.1))
+        eq_ctx = Context(base_system, eq_integ, make_state(x, box=box))
+        eq_ctx.set_velocities_to_temperature(300.0, seed=9)
+        eq_ctx.step(1)
+        sync(eq_ctx)
+        _melt_equilibrate(eq_ctx, 300.0, 600)
+        ex = np.asarray(eq_ctx.state.x)
+        ev = np.asarray(eq_ctx.state.v)
+        ebox = np.asarray(eq_ctx.state.box)
+        system = retune_neighbor_specs(system, ex, ebox, safety=1.05)
+        ctx = Context(system, integ, make_state(ex, v=ev, box=ebox))
+        if hmr_factor:
+            ctx.set_velocities_to_temperature(300.0, seed=9)
+        ctx.step(250)
     sync(ctx)
     best = _best_rate(ctx, steps)
     ms = best / steps * 1e3

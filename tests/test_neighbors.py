@@ -374,3 +374,19 @@ def test_retune_neighbor_specs_grow_only():
     grown = retune_neighbor_specs(system, x, box, safety=1.0, grow_only=True)
     caps1 = [s.cell_capacity for _, s in iter_specs(grown)]
     assert all(b >= a + 4 for a, b in zip(caps0, caps1))
+
+
+def test_retune_refuses_nonfinite_positions():
+    """A diverged trajectory (NaN positions) must fail loudly at retune: NaN
+    atoms all clip into cell 0, so the 'measured' occupancy is ~N and the
+    retuned capacity would size a pair matrix quadratic in N (observed as a
+    66 GB compile-time allocation on the 30k rigid-water bench)."""
+    from atomsmm_tpu.ops.neighbors import make_neighbor_spec, retune_spec
+
+    box = np.asarray([4.0, 4.0, 4.0])
+    x = np.random.RandomState(0).uniform(0, 4.0, (500, 3))
+    spec = make_neighbor_spec(box, n=500, r_cut_max=0.9)
+    xbad = x.copy()
+    xbad[17] = np.nan
+    with pytest.raises(FloatingPointError, match="diverged"):
+        retune_spec(spec, xbad, box)
