@@ -194,13 +194,14 @@ class Context:
         )
         self._has_pme_guard = has_pme_guard
 
-        def maybe_update_neighbors(system, s):
+        def maybe_update_neighbors(system, s, force: bool = False):
             if system.neighbors is None:
                 return s
             from .ops.neighbors import update_all_neighbors
 
             return s.with_extra(
-                **update_all_neighbors(system, s.extra, s.x, s.box)
+                **update_all_neighbors(system, s.extra, s.x, s.box,
+                                       force=force)
             )
 
         def flag_pme(system, s):
@@ -255,7 +256,13 @@ class Context:
                     s = s.with_extra(
                         **staleness_flags(system, s.extra, s.x, s.box)
                     )
-                return maybe_update_neighbors(system, s)
+                # boundary rebuild is FORCED: the conditional skin/2 trigger
+                # races the d1+d2 staleness bound (d2 tracks skin/2 right
+                # behind d1 at steady state; both cross mid-group and the
+                # guard trips on ordinary thermal motion). Forcing resets the
+                # reference every K steps, so the guard only ever measures
+                # K-step windows — the classic fixed-cadence Verlet list.
+                return maybe_update_neighbors(system, s, force=True)
 
             state = jax.lax.fori_loop(0, n // k_update, body_k, state)
 

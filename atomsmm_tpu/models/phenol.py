@@ -140,6 +140,7 @@ def phenol_in_water(
     seed: int = 0,
     dtype=None,
     neighbors: bool = False,
+    skin: float = 0.1,
 ):
     """Build (System, positions, box, solute_atoms): one phenol centered in a
     water box (waters overlapping the solute are removed, so the actual water
@@ -281,8 +282,8 @@ def phenol_in_water(
         from ..ops.neighbors import make_neighbor_spec
 
         system = system.with_neighbors(
-            make_neighbor_spec(np.full(3, box_l), n, r_cut, exclusions=exclusions,
-                               occupancy_floor_from=x)
+            make_neighbor_spec(np.full(3, box_l), n, r_cut, skin=skin,
+                               exclusions=exclusions, occupancy_floor_from=x)
         )
     solute_atoms = jnp.arange(n_s, dtype=jnp.int32)
     return system, jnp.asarray(x, dtype), box, solute_atoms

@@ -155,7 +155,12 @@ def needs_rebuild(spec, extra, x, box, name: str = "default"):
     return moved_beyond_half_skin(spec.skin, extra[kx], extra[kbox], x, box)
 
 
-def update_blocks(spec, extra, x, box, name: str = "default"):
+def update_blocks(spec, extra, x, box, name: str = "default",
+                  force: bool = False):
+    """force=True rebuilds unconditionally — see
+    neighbors.update_neighbors: grouped update loops must force at group
+    boundaries or the skin/2 rebuild trigger races the d1+d2 staleness
+    bound."""
     ko, kc, kx, kbox, kov = _keys(name)
 
     def rebuild(_):
@@ -165,9 +170,12 @@ def update_blocks(spec, extra, x, box, name: str = "default"):
     def keep(_):
         return extra[ko], extra[kc], extra[kx], extra[kbox], extra[kov]
 
-    order, cand, xref, boxref, overflow = jax.lax.cond(
-        needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
-    )
+    if force:
+        order, cand, xref, boxref, overflow = rebuild(None)
+    else:
+        order, cand, xref, boxref, overflow = jax.lax.cond(
+            needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
+        )
     return {ko: order, kc: cand, kx: xref, kbox: boxref, kov: overflow}
 
 

@@ -644,8 +644,19 @@ def needs_rebuild(spec: NeighborSpec, extra, x, box, name: str = "default"):
                                   extra[kbox], x, box)
 
 
-def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):
-    """Conditionally re-bin (lax.cond — static shapes both ways)."""
+def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default",
+                     force: bool = False):
+    """Conditionally re-bin (lax.cond — static shapes both ways).
+
+    force=True rebuilds unconditionally (no cond). Grouped update loops
+    (Context(neighbor_update_every=K), hrex.make_replica_run) MUST use it at
+    group boundaries: the conditional trigger (max displacement > skin/2)
+    races the two-displacement staleness bound (d1 + d2 > skin) — at steady
+    state d2 tracks skin/2 right behind d1, so with boundary-only checks
+    both cross mid-group and the guard trips on ordinary thermal motion.
+    Forced boundary rebuilds reset the reference every K steps, so the
+    guard only ever measures K-step windows (thermally far below any sane
+    skin). Sticky flags still OR across the rebuild."""
     kb, kx, kbox, kov = _keys(name)
     kcv = _cover_key(name)
     cover_prev = extra.get(kcv, jnp.zeros((), bool))
@@ -658,14 +669,17 @@ def update_neighbors(spec: NeighborSpec, extra, x, box, name: str = "default"):
     def keep(_):
         return extra[kb], extra[kx], extra[kbox], extra[kov], cover_prev
 
-    bucket, xref, boxref, overflow, undercover = jax.lax.cond(
-        needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
-    )
+    if force:
+        bucket, xref, boxref, overflow, undercover = rebuild(None)
+    else:
+        bucket, xref, boxref, overflow, undercover = jax.lax.cond(
+            needs_rebuild(spec, extra, x, box, name), rebuild, keep, None
+        )
     return {kb: bucket, kx: xref, kbox: boxref, kov: overflow,
             kcv: undercover}
 
 
-def update_all_neighbors(system, extra, x, box):
+def update_all_neighbors(system, extra, x, box, force: bool = False):
     from . import blocks as blk
 
     out = {}
@@ -673,11 +687,13 @@ def update_all_neighbors(system, extra, x, box):
         if isinstance(spec, blk.BlockNeighborSpec):
             ko, *_ = blk._keys(name)
             if ko in extra:
-                out.update(blk.update_blocks(spec, extra, x, box, name))
+                out.update(blk.update_blocks(spec, extra, x, box, name,
+                                             force=force))
             continue
         kb, *_ = _keys(name)
         if kb in extra:
-            out.update(update_neighbors(spec, extra, x, box, name))
+            out.update(update_neighbors(spec, extra, x, box, name,
+                                        force=force))
     return out
 
 

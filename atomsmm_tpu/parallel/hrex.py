@@ -127,23 +127,32 @@ def make_hrex_swap(system, temperature):
     return swap
 
 
-def make_replica_run(system_template, integrator):
+def make_replica_run(system_template, integrator, update_every: int = 1):
     """run(system, states, globalss, n): advance every replica n steps with
     its OWN globals row — the replica analog of Context._make_run (chunk-
     start neighbor update + force-cache refresh, then a device-side
-    fori_loop)."""
+    fori_loop).
+
+    update_every > 1 groups neighbor rebuilds like
+    Context(neighbor_update_every=K): K steps, one rebuild, with the sticky
+    per-step staleness bound sampled after EVERY step (same guard as
+    context.py — a transient skin excursion mid-group must not escape).
+    The rebuild is the dominant per-step cost for small replicas, so this
+    is the main single-chip HREX throughput lever; HREXSampler.run raises
+    on a tripped flag."""
     from ..context import refresh_force_caches
 
     step_fn = integrator.make_step()
     has_neighbors = system_template.neighbors is not None
+    k_update = max(int(update_every), 1)
 
-    def maybe_update(system, s):
+    def maybe_update(system, s, force: bool = False):
         if not has_neighbors:
             return s
         from ..ops.neighbors import update_all_neighbors
 
         return s.with_extra(
-            **update_all_neighbors(system, s.extra, s.x, s.box)
+            **update_all_neighbors(system, s.extra, s.x, s.box, force=force)
         )
 
     def run(system, states, globalss, n):
@@ -151,10 +160,31 @@ def make_replica_run(system_template, integrator):
             s = maybe_update(system, s)
             s = refresh_force_caches(system, s, g)
 
-            def body(i, s):
+            if k_update == 1 or not has_neighbors:
+                def body(i, s):
+                    return maybe_update(system, step_fn(system, s, g))
+
+                return jax.lax.fori_loop(0, n, body, s)
+
+            from ..ops.neighbors import staleness_flags
+
+            def body_k(i, s):
+                for _ in range(k_update):
+                    s = step_fn(system, s, g)
+                    s = s.with_extra(
+                        **staleness_flags(system, s.extra, s.x, s.box))
+                # forced boundary rebuild — see ops.neighbors
+                # .update_neighbors: the conditional skin/2 trigger races
+                # the d1+d2 staleness bound in grouped mode
+                return maybe_update(system, s, force=True)
+
+            s = jax.lax.fori_loop(0, n // k_update, body_k, s)
+
+            def body_1(i, s):
                 return maybe_update(system, step_fn(system, s, g))
 
-            return jax.lax.fori_loop(0, n, body, s)
+            return jax.lax.fori_loop(0, n - (n // k_update) * k_update,
+                                     body_1, s)
 
         return jax.vmap(one)(states, globalss)
 
@@ -171,12 +201,16 @@ class HREXSampler:
     def __init__(self, system, x0, box, lambdas: Dict[str, jnp.ndarray],
                  temperature, mesh: Optional[Mesh] = None, axis: str = "dp",
                  dt=0.001, friction=5.0, seed: int = 0,
-                 temperatures=None):
+                 temperatures=None, neighbor_update_every: int = 1):
         """temperatures: optional (K,) ladder for temperature-REMD — each
         replica's OU bath reads its own setpoint from the traced globals
         row ('bath_T'), and swaps use the per-row β criterion with
         sqrt(T_new/T_old) velocity rescaling. lambdas may be {} for pure
-        T-REMD (one Hamiltonian, many temperatures)."""
+        T-REMD (one Hamiltonian, many temperatures).
+
+        neighbor_update_every: group neighbor rebuilds every K steps (the
+        Context(neighbor_update_every=...) analog; guarded by the same
+        per-step sticky staleness bound, which run() checks)."""
         from ..integrate.integrators import GlobalThermostatIntegrator
         from ..integrate.propagators import (
             OrnsteinUhlenbeckPropagator,
@@ -203,12 +237,22 @@ class HREXSampler:
             ),
         )
 
+        self.neighbor_update_every = max(int(neighbor_update_every), 1)
         state = make_state(x0, box=box, seed=seed)
         if system.neighbors is not None:
-            from ..ops.neighbors import all_neighbor_extras
+            from ..ops.neighbors import all_neighbor_extras, iter_specs
 
             state = state.with_extra(
                 **all_neighbor_extras(system, state.x, state.box))
+            if self.neighbor_update_every > 1:
+                # seed the sticky staleness flags so the run() input pytree
+                # structure is stable from the first call (context.py does
+                # the same)
+                state = state.with_extra(**{
+                    ("nbr_stale" if name == "default"
+                     else f"nbr_{name}_stale"): jnp.zeros((), bool)
+                    for name, _ in iter_specs(system)
+                })
         state = integ.initialize(system, state)
         states = replicate_state(state, self.k_states, seed)
         # independent Maxwell-Boltzmann draw PER REPLICA — a tiled single
@@ -230,7 +274,8 @@ class HREXSampler:
             )(v_rows)
         states = replace(states, v=v_rows)
         self.states = self._shard(states)
-        self._run = jax.jit(make_replica_run(system, integ))
+        self._run = jax.jit(make_replica_run(
+            system, integ, update_every=self.neighbor_update_every))
         self._swap = jax.jit(make_hrex_swap(
             system,
             self.temperature if temperatures is None else self.temperatures,
@@ -262,13 +307,21 @@ class HREXSampler:
             # the sticky flags so a busted cell capacity raises instead of
             # silently dropping pairs in some replica
             for key, flag in self.states.extra.items():
-                if (key.startswith("nbr") and key.endswith("overflow")
-                        and bool(jnp.any(flag))):
+                if not key.startswith("nbr"):
+                    continue
+                if key.endswith("overflow") and bool(jnp.any(flag)):
                     raise RuntimeError(
                         f"cell-list capacity overflow in a replica ({key}): "
                         "retune the NeighborSpec capacities (e.g. "
                         "retune_neighbor_specs on an equilibrated "
                         "configuration) before HREX sampling"
+                    )
+                if key.endswith("stale") and bool(jnp.any(flag)):
+                    raise RuntimeError(
+                        f"neighbor staleness in a replica ({key}): an atom "
+                        "moved beyond the full skin between grouped "
+                        "neighbor updates — reduce neighbor_update_every "
+                        "or enlarge the skin"
                     )
 
     def anneal(self, n_steps: int, chunks: int = 8):
@@ -322,7 +375,8 @@ class HREXSampler:
 def hrex_sample_lambda_states(system, x0, box, lambdas, temperature,
                               mesh: Optional[Mesh] = None, dt=0.001,
                               friction=5.0, n_equil=200, n_samples=20,
-                              sample_interval=25, swap_every=1, seed=0):
+                              sample_interval=25, swap_every=1, seed=0,
+                              neighbor_update_every: int = 1):
     """Drop-in replica-parallel replacement for
     alchemy.sample_lambda_states: same (xs, n_k) contract (samples ordered
     by state index), K-fold fewer sequential MD steps, plus HREX mixing.
@@ -332,7 +386,8 @@ def hrex_sample_lambda_states(system, x0, box, lambdas, temperature,
     with info carrying the swap acceptance statistics.
     """
     sampler = HREXSampler(system, x0, box, lambdas, temperature, mesh=mesh,
-                          dt=dt, friction=friction, seed=seed)
+                          dt=dt, friction=friction, seed=seed,
+                          neighbor_update_every=neighbor_update_every)
     # melt at the coupled state, then anneal each replica to its own λ
     sampler.run(2 * n_equil, {
         k: jnp.full((sampler.k_states,), v[-1])

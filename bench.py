@@ -345,12 +345,26 @@ def bench_alchemy(n_water=1000, k_states=16, evals=50):
     return rows_per_s
 
 
-def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None):
+def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None,
+               update_every=5):
     """Config 3b (round 4): replica-parallel λ-state sampling throughput
     (parallel/hrex.py). Measures state-steps/s of the K-replica HREX batch
-    vs the single-Context sequential rate on the same system — the
-    wall-clock win of sampling all K λ-states at once (VERDICT r3 #3).
-    Includes one jitted neighbor-swap Metropolis move per chunk."""
+    vs the single-Context sequential rate on the same system (VERDICT r3
+    #3). Includes one jitted neighbor-swap Metropolis move per chunk. Both
+    paths group neighbor rebuilds every `update_every` steps (the same
+    staleness-guarded lever, same value — the comparison stays fair).
+
+    Reading the ratio: par_rate/seq_rate ≈ 1 on ONE chip means the vmapped
+    16-replica batch steps at the same aggregate rate as the sequential
+    context — i.e. a single 3k-atom replica already saturates the chip's
+    pair kernel (measured 0.9x on v5e; the cell sweep is compute-bound at
+    this size, so batching replicas cannot beat it on shared silicon).
+    The K-fold wall-clock win is the MESH story: replicas are independent
+    except the O(K)-scalar swap reduction, so sharding the replica axis
+    over K chips multiplies par_rate by ~K (mesh parity is tested on the
+    8-device virtual mesh, tests/test_hrex.py; the swap collective is
+    validated in dryrun_multichip). On one chip the value of HREX is
+    sampling quality (exchange mixing), not wall-clock."""
     import jax.numpy as jnp
 
     from atomsmm_tpu import (
@@ -367,16 +381,29 @@ def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None):
     from atomsmm_tpu.models import phenol_in_water
     from atomsmm_tpu.parallel.hrex import HREXSampler
 
-    system, x, box, solute = phenol_in_water(n_water=n_water, neighbors=True)
+    # skin 0.2 is free at this box (same 3^3 cell grid as 0.1 — coverage and
+    # capacity unchanged) and doubles the grouped-update staleness margin:
+    # at dt=1 fs / groups of 5 the two-fastest-atom bound never gets near it
+    system, x, box, solute = phenol_in_water(n_water=n_water, neighbors=True,
+                                             skin=0.2)
     solv = SolvationSystem(system, solute_atoms=solute)
     lams = coupling_path(jnp.linspace(0.0, 1.0, k_states))
 
-    # sequential comparator: one Context stepping one state
     integ = GlobalThermostatIntegrator(
         0.001, VelocityVerletPropagator(),
         OrnsteinUhlenbeckPropagator(300.0, 5.0))
-    ctx = Context(solv, integ, make_state(x, box=box, seed=1))
-    ctx.set_velocities_to_temperature(300.0, seed=2)
+    # warm the raw packed configuration at update_every=1 first: the melt
+    # transient moves atoms fast enough to trip the grouped-update
+    # staleness guard (correctly), so the measured segment starts warm
+    warm = Context(solv, integ, make_state(x, box=box, seed=1))
+    warm.set_velocities_to_temperature(300.0, seed=2)
+    warm.step(200)
+    x = np.asarray(warm.state.x)
+    v = np.asarray(warm.state.v)
+
+    # sequential comparator: one Context stepping one state
+    ctx = Context(solv, integ, make_state(x, v=v, box=box, seed=1),
+                  neighbor_update_every=update_every)
     ctx.step(1)
     sync(ctx)
     best = None
@@ -388,7 +415,8 @@ def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None):
         best = el if best is None else min(best, el)
     seq_rate = chunk * reps / best  # steps/s, one state
 
-    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001, seed=3)
+    sampler = HREXSampler(solv, x, box, lams, 300.0, dt=0.001, seed=3,
+                          neighbor_update_every=update_every)
     sampler.run(1)
     sampler.attempt_swaps()  # compile both kernels
     float(sampler.states.x[0, 0, 0])
@@ -402,13 +430,15 @@ def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None):
         el = time.perf_counter() - t0
         best = el if best is None else min(best, el)
     par_rate = k_states * chunk * reps / best  # state-steps/s, all K
-    win = par_rate / seq_rate
+    ratio = par_rate / seq_rate
     log(f"hrex phenol+{n_water}w x {k_states} states: "
         f"{par_rate:.0f} state-steps/s vs {seq_rate:.0f} sequential "
-        f"({win:.1f}x win, swap acc {sampler.acceptance_rate:.2f})")
+        f"(ratio {ratio:.2f} on one chip — ~1 = kernel-saturated, the "
+        f"K-fold win is the mesh replica axis; "
+        f"swap acc {sampler.acceptance_rate:.2f})")
     if extras is not None:
         extras["hrex_16state_state_steps_per_s"] = round(par_rate, 1)
-        extras["hrex_vs_sequential_win"] = round(win, 2)
+        extras["hrex_vs_sequential_ratio_1chip"] = round(ratio, 2)
         extras["hrex_swap_acceptance"] = round(sampler.acceptance_rate, 3)
     return par_rate
 

@@ -273,3 +273,50 @@ def test_attempt_swaps_refuses_mid_anneal_globals(solvated):
     # a full anneal ends exactly at the target ladder -> swaps allowed
     sampler.anneal(8, chunks=4)
     sampler.attempt_swaps()
+
+
+# ---- grouped neighbor updates (Context.neighbor_update_every analog) ----
+
+
+@pytest.fixture(scope="module")
+def solvated_nbr():
+    system, x, box, solute = phenol_in_water(n_water=60, r_cut=0.5,
+                                             r_switch=0.42, seed=5,
+                                             neighbors=True)
+    return SolvationSystem(system, solute_atoms=solute), x, box
+
+
+def _ladder(k):
+    from atomsmm_tpu.alchemy import coupling_path
+
+    return coupling_path(jnp.linspace(0.0, 1.0, k))
+
+
+def test_grouped_updates_match_every_step(solvated_nbr):
+    """neighbor_update_every=4 must produce the same trajectory as =1 over a
+    window where the lists stay valid (same pair coverage -> same forces to
+    summation-order roundoff)."""
+    solv, x, box = solvated_nbr
+    runs = {}
+    for k_upd in (1, 4):
+        s = HREXSampler(solv, x, box, _ladder(4), 300.0, dt=0.0005, seed=7,
+                        neighbor_update_every=k_upd)
+        s.run(12)
+        runs[k_upd] = np.asarray(s.states.x)
+    np.testing.assert_allclose(runs[1], runs[4], atol=1e-8)
+
+
+def test_grouped_updates_staleness_guard_trips(solvated_nbr):
+    """Shrinking the spec's skin to ~0 must trip the sticky staleness flag
+    inside a grouped run and surface as a loud error (the same guard
+    contract as Context.step)."""
+    import dataclasses
+
+    solv, x, box = solvated_nbr
+    tiny = dataclasses.replace(solv.neighbors,
+                               skin=jnp.asarray(1e-5, jnp.float64))
+    solv_tiny = dataclasses.replace(solv, neighbors=tiny)
+    s = HREXSampler(solv_tiny, x, box, _ladder(4), 300.0, dt=0.001, seed=7,
+                    neighbor_update_every=6)
+    with pytest.raises(RuntimeError, match="staleness"):
+        s.run(30)
