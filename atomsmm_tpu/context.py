@@ -172,14 +172,37 @@ class Context:
             if g is None:
                 continue
             pme_seed[f"pme_{i}_undercover"] = jnp.zeros((), bool)
-            if g.spread_block:
+            if g.spread_block and not g.spread_pad:
                 pme_seed[f"pme_{i}_spread_overflow"] = jnp.zeros((), bool)
         if pme_seed:
             self.state = self.state.with_extra(**pme_seed)
+        self._seed_spread_buckets()
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         self._observe = jax.jit(self._make_observe())
         self._observe_lite = jax.jit(self._make_observe(lite=True))
         self.check_overflow = system.neighbors is not None
+
+    def _seed_spread_buckets(self):
+        """Seed the amortized PME spreading buckets
+        (forces.pme_spread_extras — spread_pad >= 1 set via
+        retune_pme_spread(pad=...)) into the state pytree, raising loudly
+        on build-time capacity overflow (dropped charges are never
+        silent). No-op when no force amortizes its bucket."""
+        from .forces import _spread_layouts, pme_spread_extras
+
+        self._has_spread_buckets = bool(_spread_layouts(self.system))
+        if not self._has_spread_buckets:
+            return
+        extras = jax.jit(pme_spread_extras)(
+            self.system, self.state.x, self.state.box)
+        for k, v in extras.items():
+            if k.endswith("spread_overflow") and bool(v):
+                raise RuntimeError(
+                    f"PME spreading-bucket build overflow ({k}): re-run "
+                    "forces.retune_pme_spread at the current configuration "
+                    "with a larger safety"
+                )
+        self.state = self.state.with_extra(**extras)
 
     # -- construction of jitted entry points -------------------------------
 
@@ -194,15 +217,27 @@ class Context:
         )
         self._has_pme_guard = has_pme_guard
 
-        def maybe_update_neighbors(system, s, force: bool = False):
-            if system.neighbors is None:
-                return s
-            from .ops.neighbors import update_all_neighbors
+        has_spread_buckets = getattr(self, "_has_spread_buckets", False)
 
-            return s.with_extra(
-                **update_all_neighbors(system, s.extra, s.x, s.box,
-                                       force=force)
-            )
+        def maybe_update_neighbors(system, s, force: bool = False):
+            if system.neighbors is not None:
+                from .ops.neighbors import update_all_neighbors
+
+                s = s.with_extra(
+                    **update_all_neighbors(system, s.extra, s.x, s.box,
+                                           force=force)
+                )
+            if has_spread_buckets:
+                # amortized PME spreading buckets ride the same cadence
+                # (forces.update_pme_spread: drift > pad/2 cond rebuild,
+                # forced at group boundaries, exact-drift sticky flag)
+                from .forces import update_pme_spread
+
+                s = s.with_extra(
+                    **update_pme_spread(system, s.extra, s.x, s.box,
+                                        force=force)
+                )
+            return s
 
         def flag_pme(system, s):
             # NPT guard: a grown box can silently exceed the static PME
@@ -231,7 +266,8 @@ class Context:
             state = maybe_update_neighbors(system, state)
             state = refresh_force_caches(system, state, globals)
 
-            if k_update == 1 or system.neighbors is None:
+            if k_update == 1 or (system.neighbors is None
+                                 and not has_spread_buckets):
                 def body(i, s):
                     return maybe_update_neighbors(
                         system, one_step(system, s, globals)
@@ -256,6 +292,11 @@ class Context:
                     s = s.with_extra(
                         **staleness_flags(system, s.extra, s.x, s.box)
                     )
+                    if has_spread_buckets:
+                        from .forces import pme_spread_stale_flags
+
+                        s = s.with_extra(**pme_spread_stale_flags(
+                            system, s.extra, s.x, s.box))
                 # boundary rebuild is FORCED: the conditional skin/2 trigger
                 # races the d1+d2 staleness bound (d2 tracks skin/2 right
                 # behind d1 at steady state; both cross mid-group and the
@@ -473,6 +514,16 @@ class Context:
                         "configuration (larger safety), or clear spread_block "
                         "to fall back to the dense spreading path"
                     )
+                if (key.startswith("pme") and key.endswith("spread_stale")
+                        and bool(flag)):
+                    raise RuntimeError(
+                        f"PME spreading-bucket staleness ({key}): an atom "
+                        "drifted beyond the padded spreading window before "
+                        "the bucket rebuilt, so its charge was dropped from "
+                        "the reciprocal sum at some step. Increase "
+                        "retune_pme_spread(pad=...) or reduce "
+                        "Context(neighbor_update_every=...)"
+                    )
         return self
 
     def get_state(self, lite: bool = False) -> StateSnapshot:
@@ -549,11 +600,14 @@ class Context:
                 # the current configuration (or fall back to dense)
                 from .ops.pme import choose_spread_blocks
 
+                pad = int(getattr(g, "spread_pad", 0))
                 block, cap = choose_spread_blocks(
                     grid, int(g.spline_order), int(self.state.x.shape[0]),
-                    x=np.asarray(self.state.x), box=np.asarray(self.state.box))
+                    x=np.asarray(self.state.x), box=np.asarray(self.state.box),
+                    pad=pad)
                 changes["spread_block"] = block or ()
                 changes["spread_cap"] = cap
+                changes["spread_pad"] = pad if block else 0
             regrids[float(g.ewald_alpha)] = changes
             if g is f:
                 new_forces.append(replace(f, **changes))
@@ -576,6 +630,20 @@ class Context:
         }
         if cleared:
             self.state = self.state.with_extra(**cleared)
+        if getattr(self, "_has_spread_buckets", False):
+            # layouts changed with the grid: drop the old bucket extras and
+            # reseed at the current configuration (the pytree structure
+            # changes, but so did the static grids — recompile regardless)
+            extra = {
+                k: v for k, v in self.state.extra.items()
+                if not k.startswith("pmesp_")
+                and not (k.startswith("pme") and (
+                    k.endswith("spread_overflow")
+                    or k.endswith("spread_stale")))
+            }
+            self.state = replace(self.state, extra=extra)
+            self._seed_spread_buckets()
+            self._run = jax.jit(self._make_run(), donate_argnums=(1,))
         return self
 
     # -- openmm-style camelCase aliases (the reference's users call these

@@ -141,8 +141,30 @@ def _spatial_mesh():
     return active_spatial_mesh()
 
 
+def _spread_sig(grid_shape, order, block, cap, pad):
+    """Deterministic extras-key signature for an amortized spreading bucket.
+    Derived from exactly the static fields that determine the bucket, so a
+    Far wrapper and its companion PMEReciprocalForce (same grid/order/
+    block/cap/pad) naturally SHARE one bucket."""
+    k1, k2, k3 = grid_shape
+    b1, b2, b3 = block
+    return f"{k1}x{k2}x{k3}o{order}b{b1}x{b2}x{b3}c{cap}p{pad}"
+
+
+def _spread_bucket_from_aux(aux, grid_shape, order, block, cap, pad):
+    """The frozen spreading bucket for this layout, or None (fresh-bucket
+    blocked path) when amortization is off or aux has no bucket (direct
+    energy calls outside a Context)."""
+    if not pad or not block or not isinstance(aux, dict):
+        return None
+    return aux.get(
+        "pmesp_" + _spread_sig(grid_shape, order, block, cap, pad)
+        + "_bucket")
+
+
 def _pme_reciprocal(x, box, q, alpha, grid_shape, order,
-                    spread_block=(), spread_cap=0):
+                    spread_block=(), spread_cap=0, spread_pad=0,
+                    spread_bucket=None):
     """Reciprocal PME sum, sharded over the active spatial mesh when one is
     set (parallel/spatial.py), else single-device (ops/pme.py). On a mesh
     the slab-decomposed FFT path is used whenever the grid divides the
@@ -168,7 +190,9 @@ def _pme_reciprocal(x, box, q, alpha, grid_shape, order,
 
     return pme_reciprocal_energy(x, box, q, alpha, grid_shape, order,
                                  spread_block=spread_block,
-                                 spread_cap=spread_cap)
+                                 spread_cap=spread_cap,
+                                 spread_pad=spread_pad,
+                                 spread_bucket=spread_bucket)
 
 
 def _lj_combiner(pair_sigma, pair_epsilon):
@@ -332,9 +356,12 @@ class NonbondedForce(_PairForceMixin, Force):
     spline_order: int = static_field(default=4)
     chunk: int = static_field(default=256)
     # block-binned spreading (ops/pme.py::spread_charges_blocked): () = the
-    # dense one-hot path; set via forces.retune_pme_spread at setup
+    # dense one-hot path; set via forces.retune_pme_spread at setup.
+    # spread_pad >= 1 additionally amortizes the bucket across steps
+    # (spread_charges_stale; Context maintains the bucket + drift guards)
     spread_block: Tuple[int, ...] = static_field(default=())
     spread_cap: int = static_field(default=0)
+    spread_pad: int = static_field(default=0)
 
     def _effective_charge(self, globals):
         """Per-particle charge, with SolvationSystem's lambda_coul scaling of
@@ -394,7 +421,8 @@ class NonbondedForce(_PairForceMixin, Force):
         pair.takes_rv = True
         return pair
 
-    def _recip_energy(self, x, box, globals=None, include_reciprocal=True):
+    def _recip_energy(self, x, box, globals=None, include_reciprocal=True,
+                      aux=None):
         from .ops.pme import pme_corrections
 
         q = self._effective_charge(globals)
@@ -403,6 +431,10 @@ class NonbondedForce(_PairForceMixin, Force):
             e = e + _pme_reciprocal(
                 x, box, q, self.ewald_alpha, self.grid_shape,
                 self.spline_order, self.spread_block, self.spread_cap,
+                self.spread_pad,
+                _spread_bucket_from_aux(
+                    aux, self.grid_shape, self.spline_order,
+                    self.spread_block, self.spread_cap, self.spread_pad),
             )
         return e
 
@@ -410,7 +442,7 @@ class NonbondedForce(_PairForceMixin, Force):
         r_cut = jnp.inf if self.method == "nocutoff" else self.r_cut
         e = self._nb_energy(x, box, globals, aux, r_cut)
         if self.method == "pme":
-            e = e + self._recip_energy(x, box, globals)
+            e = e + self._recip_energy(x, box, globals, aux=aux)
         if self.dispersion_coeff is not None:
             # long-range LJ tail: E = coeff / V; its box dependence feeds the
             # virial/pressure automatically (computers.py scaling trick)
@@ -422,7 +454,7 @@ class NonbondedForce(_PairForceMixin, Force):
         e, f = self._nb_energy_forces(x, box, globals, aux, r_cut)
         if self.method == "pme":
             e2, g2 = jax.value_and_grad(
-                lambda xx: self._recip_energy(xx, box, globals)
+                lambda xx: self._recip_energy(xx, box, globals, aux=aux)
             )(x)
             e, f = e + e2, f - g2
         if self.dispersion_coeff is not None:
@@ -626,7 +658,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
             ) + self.minus_near.energy(x, box, globals, aux)
             if self.full.method == "pme":
                 e = e + self.full._recip_energy(
-                    x, box, globals, self.include_reciprocal
+                    x, box, globals, self.include_reciprocal, aux=aux
                 )
             if self.full.dispersion_coeff is not None:
                 e = e + self.full.dispersion_coeff / box_volume(box)
@@ -634,7 +666,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
         e = self._nb_energy(x, box, globals, aux, self.full.r_cut)
         if self.full.method == "pme":
             e = e + self.full._recip_energy(
-                x, box, globals, self.include_reciprocal
+                x, box, globals, self.include_reciprocal, aux=aux
             )
         if self.full.dispersion_coeff is not None:
             e = e + self.full.dispersion_coeff / box_volume(box)
@@ -653,6 +685,11 @@ class FarNonbondedForce(_PairForceMixin, Force):
                         xx, box, q, self.full.ewald_alpha,
                         self.full.grid_shape, self.full.spline_order,
                         self.full.spread_block, self.full.spread_cap,
+                        self.full.spread_pad,
+                        _spread_bucket_from_aux(
+                            aux, self.full.grid_shape,
+                            self.full.spline_order, self.full.spread_block,
+                            self.full.spread_cap, self.full.spread_pad),
                     )
                 )(x)
                 e1, f1 = e1 - er, f1 + gr
@@ -661,7 +698,7 @@ class FarNonbondedForce(_PairForceMixin, Force):
         if self.full.method == "pme":
             e2, g2 = jax.value_and_grad(
                 lambda xx: self.full._recip_energy(
-                    xx, box, globals, self.include_reciprocal
+                    xx, box, globals, self.include_reciprocal, aux=aux
                 )
             )(x)
             e, f = e + e2, f - g2
@@ -690,6 +727,7 @@ class PMEReciprocalForce(Force):
     charge_scale_name: str = static_field(default="lambda_coul")
     spread_block: Tuple[int, ...] = static_field(default=())
     spread_cap: int = static_field(default=0)
+    spread_pad: int = static_field(default=0)
 
     def _effective_charge(self, globals):
         q = self.charge
@@ -702,7 +740,10 @@ class PMEReciprocalForce(Force):
         return _pme_reciprocal(
             x, box, self._effective_charge(globals), self.ewald_alpha,
             self.grid_shape, self.spline_order,
-            self.spread_block, self.spread_cap,
+            self.spread_block, self.spread_cap, self.spread_pad,
+            _spread_bucket_from_aux(
+                aux, self.grid_shape, self.spline_order,
+                self.spread_block, self.spread_cap, self.spread_pad),
         )
 
     def energy_and_forces(self, x, box, globals, aux=None):
@@ -762,9 +803,13 @@ def pme_coverage_flags(system, extra, x, box):
         key = f"pme_{idx}_undercover"
         prev = extra.get(key, jnp.zeros((), bool))
         out[key] = prev | jnp.any(lengths > 1.05 * bounds)
-        if g.spread_block:
+        if g.spread_block and not g.spread_pad:
             # block-binned spreading drops atoms beyond the per-block
-            # capacity; flagged-never-silent (one bincount per step)
+            # capacity; flagged-never-silent (one bincount per step).
+            # (With spread_pad >= 1 the bucket is FROZEN, so capacity
+            # matters only at build time — update_pme_spread carries that
+            # flag; a fresh-binning check here would false-positive on
+            # transiently overfull blocks that drop nothing.)
             from .ops.pme import spread_block_overflow
 
             okey = f"pme_{idx}_spread_overflow"
@@ -774,14 +819,129 @@ def pme_coverage_flags(system, extra, x, box):
     return out
 
 
-def retune_pme_spread(system, x, box, safety: float = 1.3):
+def _spread_layouts(system):
+    """Unique amortized spreading layouts in `system`:
+    {sig: (grid_shape, order, block, cap, pad)} over every PME carrier and
+    PMEReciprocalForce with spread_pad >= 1."""
+    layouts = {}
+    for f in system.forces:
+        g = _pme_carrier(f)
+        if g is None and isinstance(f, PMEReciprocalForce):
+            g = f
+        if g is None or not g.spread_block or not g.spread_pad:
+            continue
+        sig = _spread_sig(g.grid_shape, int(g.spline_order),
+                          g.spread_block, int(g.spread_cap),
+                          int(g.spread_pad))
+        layouts[sig] = (g.grid_shape, int(g.spline_order), g.spread_block,
+                        int(g.spread_cap), int(g.spread_pad))
+    return layouts
+
+
+def _spread_keys(sig):
+    return (f"pmesp_{sig}_bucket", f"pmesp_{sig}_x", f"pmesp_{sig}_box",
+            f"pme_{sig}_spread_overflow", f"pme_{sig}_spread_stale")
+
+
+def pme_spread_extras(system, x, box):
+    """Initial State.extra entries for every amortized spreading bucket
+    (spread_pad >= 1): the frozen bucket, its reference configuration, and
+    the sticky build-overflow / drift-staleness flags. The Context seeds
+    these at construction and maintains them via update_pme_spread — the
+    PME analog of ops.neighbors.all_neighbor_extras."""
+    from .ops.pme import build_spread_bucket
+
+    out = {}
+    for sig, (gs, order, block, cap, pad) in _spread_layouts(system).items():
+        kb, kx, kbox, kov, kst = _spread_keys(sig)
+        bucket, overflow = build_spread_bucket(x, box, gs, order, block, cap)
+        out[kb] = bucket
+        out[kx] = x
+        out[kbox] = jnp.asarray(box)
+        out[kov] = overflow
+        out[kst] = jnp.zeros((), bool)
+    return out
+
+
+def update_pme_spread(system, extra, x, box, force: bool = False):
+    """Conditionally rebuild every amortized spreading bucket (lax.cond —
+    static shapes both ways), mirroring ops.neighbors.update_neighbors:
+    trigger = some atom drifted beyond pad/2 grid cells since the reference
+    build, or the box changed; force=True rebuilds unconditionally (grouped
+    update loops use it at group boundaries). The EXACT drift bound is
+    sampled against the OLD reference first, so a violation that slipped
+    past the conservative trigger is never erased by the rebuild (sticky
+    pme_*_spread_stale; Context.step raises on it)."""
+    from .ops.pme import (
+        build_spread_bucket,
+        spread_bucket_rebuild_trigger,
+        spread_stale_exceeded,
+    )
+
+    out = {}
+    for sig, (gs, order, block, cap, pad) in _spread_layouts(system).items():
+        kb, kx, kbox, kov, kst = _spread_keys(sig)
+        if kb not in extra:
+            continue
+        ref_x, ref_box = extra[kx], extra[kbox]
+        ov_prev = extra[kov]
+        stale = extra[kst] | spread_stale_exceeded(
+            x, box, gs, order, block, pad, ref_x, ref_box)
+
+        def rebuild(_, gs=gs, order=order, block=block, cap=cap,
+                    ov_prev=ov_prev):
+            bucket, ov = build_spread_bucket(x, box, gs, order, block, cap)
+            return bucket, x, jnp.asarray(box), ov_prev | ov
+
+        def keep(_, kb=kb, ref_x=ref_x, ref_box=ref_box, ov_prev=ov_prev):
+            return extra[kb], ref_x, ref_box, ov_prev
+
+        if force:
+            bucket, xr, br, ov = rebuild(None)
+        else:
+            bucket, xr, br, ov = jax.lax.cond(
+                spread_bucket_rebuild_trigger(x, box, gs, pad, ref_x,
+                                              ref_box),
+                rebuild, keep, None)
+        out[kb], out[kx], out[kbox], out[kov], out[kst] = (
+            bucket, xr, br, ov, stale)
+    return out
+
+
+def pme_spread_stale_flags(system, extra, x, box):
+    """Sticky exact-drift flags only (no rebuild) — sampled after every
+    step inside grouped update loops, the PME analog of
+    ops.neighbors.staleness_flags."""
+    from .ops.pme import spread_stale_exceeded
+
+    out = {}
+    for sig, (gs, order, block, cap, pad) in _spread_layouts(system).items():
+        kb, kx, kbox, kov, kst = _spread_keys(sig)
+        if kst not in extra:
+            continue
+        out[kst] = extra[kst] | spread_stale_exceeded(
+            x, box, gs, order, block, pad, extra[kx], extra[kbox])
+    return out
+
+
+def retune_pme_spread(system, x, box, safety: float = 1.3, pad: int = 0):
     """Enable/retune block-binned PME charge spreading
     (ops/pme.py::spread_charges_blocked) from measured block occupancy at
     the given configuration — the PME analog of retune_neighbor_specs.
     Returns a system with every PME carrier (and any companion
     PMEReciprocalForce sharing its alpha) switched to the cheapest blocked
     layout, or unchanged forces where blocking cannot beat the dense
-    one-hot path (small grids)."""
+    one-hot path (small grids).
+
+    pad >= 1 additionally AMORTIZES the bucket across steps
+    (ops/pme.py::spread_charges_stale): spreading windows are padded by
+    `pad` grid cells each side and the bucket is rebuilt only when some
+    atom drifts beyond pad/2 cells (a Verlet-skin cadence — typically tens
+    of steps at 300 K production grids, vs every step at pad=0), at the
+    cost of ((B+s+2 pad)/(B+s))^3 more spreading MACs. Requires running
+    under a Context (it owns the bucket lifecycle: seeding, conditional
+    rebuilds, drift guards); direct energy calls outside a Context fall
+    back to per-step fresh buckets and stay exact."""
     from .ops.pme import choose_spread_blocks
 
     chosen = {}  # alpha -> (block, cap)
@@ -793,20 +953,21 @@ def retune_pme_spread(system, x, box, safety: float = 1.3):
             continue
         block, cap = choose_spread_blocks(
             g.grid_shape, int(g.spline_order), int(x.shape[0]),
-            x=x, box=box, safety=safety)
+            x=x, box=box, safety=safety, pad=pad)
         if block is None:
             new_forces.append(f)
             continue
         chosen[float(g.ewald_alpha)] = (block, cap)
+        changes = {"spread_block": block, "spread_cap": cap,
+                   "spread_pad": pad}
         if g is f:
-            new_forces.append(replace(f, spread_block=block,
-                                      spread_cap=cap))
+            new_forces.append(replace(f, **changes))
         else:  # Far wrapper: the carrier is the nested full force
-            new_forces.append(replace(f, full=replace(
-                f.full, spread_block=block, spread_cap=cap)))
+            new_forces.append(replace(f, full=replace(f.full, **changes)))
     new_forces = [
         replace(f, spread_block=chosen[float(f.ewald_alpha)][0],
-                spread_cap=chosen[float(f.ewald_alpha)][1])
+                spread_cap=chosen[float(f.ewald_alpha)][1],
+                spread_pad=pad)
         if isinstance(f, PMEReciprocalForce)
         and float(f.ewald_alpha) in chosen else f
         for f in new_forces

@@ -586,6 +586,11 @@ def make_aux(system, extra):
         kb, *_ = _keys(name)
         if kb in extra:
             aux[name] = {"spec": spec, "bucket": extra[kb]}
+    for k, v in extra.items():
+        # amortized PME spreading buckets (forces.pme_spread_extras) ride
+        # the same extras->aux path; forces look them up by layout key
+        if k.startswith("pmesp_") and k.endswith("_bucket"):
+            aux[k] = v
     return aux or None
 
 

@@ -384,13 +384,197 @@ def spread_block_overflow(x, box, grid_shape, order: int, block, cap: int):
     return jnp.max(counts) > cap
 
 
+def _spread_frac_base(x, box, grid_shape, order: int):
+    """(t, base): per-atom spline fractions in [0, 1) and the grid index of
+    the FIRST support point (mod K) — shared by every spreading
+    formulation."""
+    k1, k2, k3 = grid_shape
+    kint = jnp.asarray([k1, k2, k3], jnp.int32)
+    u = _frac_grid_coords(x, box, jnp.asarray([k1, k2, k3], x.dtype))
+    m0 = jnp.floor(u)
+    t = u - m0
+    base = jnp.mod(m0.astype(jnp.int32) - (order - 1), kint)
+    return t, base
+
+
+def build_spread_bucket(x, box, grid_shape, order: int, block, cap: int,
+                        binning: str = "sort"):
+    """(bucket, overflow): fixed-capacity (nbtot, cap) block buckets of atom
+    ids at the CURRENT configuration, plus the build-time capacity-overflow
+    flag (atoms ranked past cap are dropped from the bucket — never
+    silently: the flag is sticky through forces.update_pme_spread and
+    Context.step raises on it).
+
+    The bucket stays EXACT for spread_charges_stale while every atom's
+    support base remains within `pad` grid cells of its build-time block —
+    the PME analog of a Verlet list's skin."""
+    k1, k2, k3 = grid_shape
+    b1, b2, b3 = block
+    nb2, nb3 = k2 // b2, k3 // b3
+    nbtot = (k1 // b1) * nb2 * nb3
+    _, base = _spread_frac_base(x, box, grid_shape, order)
+    blk = base // jnp.asarray(block, jnp.int32)
+    bid = (blk[:, 0] * nb2 + blk[:, 1]) * nb3 + blk[:, 2]
+    n = x.shape[0]
+    bucket = _bucket_by_block(bid, n, nbtot, cap, binning)
+    counts = jnp.zeros((nbtot,), jnp.int32).at[bid].add(1)
+    return bucket, jnp.max(counts) > cap
+
+
+def _fold_axis_padded(local, nb_axis: int, w_axis: int, b: int, s: int,
+                      pad: int):
+    """Fold a (nb, W = pad + b + s + pad) padded blocked axis pair into
+    length b per block. The leading `pad` points belong to the PREVIOUS
+    block's tail (roll -1); the trailing s + pad points spill into the
+    following block(s) — two of them when s + pad > b (roll +1, +2, ...).
+    Periodic throughout: jnp.roll wraps, which is also correct when the
+    spill distance wraps clear around a small axis (block i+nb ≡ i)."""
+    own = jax.lax.slice_in_dim(local, pad, pad + b, axis=w_axis)
+    if pad:
+        head = jnp.roll(
+            jax.lax.slice_in_dim(local, 0, pad, axis=w_axis), -1,
+            axis=nb_axis)
+        idx = [slice(None)] * local.ndim
+        idx[w_axis] = slice(b - pad, b)
+        own = own.at[tuple(idx)].add(head)
+    start, shift, remaining = pad + b, 1, s + pad
+    while remaining > 0:
+        chunk = min(remaining, b)
+        spill = jnp.roll(
+            jax.lax.slice_in_dim(local, start, start + chunk, axis=w_axis),
+            shift, axis=nb_axis)
+        idx = [slice(None)] * local.ndim
+        idx[w_axis] = slice(0, chunk)
+        own = own.at[tuple(idx)].add(spill)
+        start, shift, remaining = start + chunk, shift + 1, remaining - chunk
+    return own
+
+
+def _wrap_grid_delta(delta, kint):
+    """Minimum-image wrap of integer grid-index differences to
+    [-K/2, K/2)."""
+    m = jnp.mod(delta, kint)
+    return jnp.where(m > kint // 2, m - kint, m)
+
+
+def spread_charges_stale(x, box, q, grid_shape: Tuple[int, int, int],
+                         order: int, block: Tuple[int, int, int],
+                         cap: int, pad: int, bucket):
+    """Block-binned spreading against a FROZEN bucket (build_spread_bucket,
+    up to `pad` grid cells of drift ago) — the amortized variant of
+    spread_charges_blocked (KERNELS.md "next lever": the bucket build is
+    ~1.8 ms of grid-independent sort work per eval, while atoms move far
+    less than a grid cell per step).
+
+    Local windows are padded by `pad` cells on EACH side, so an atom whose
+    support base drifted at most `pad` cells from its build-time block
+    still lands EXACTLY (this is not an approximation — the result equals
+    spread_charges while the drift bound holds). Atoms drifted beyond the
+    pad contribute ZERO; callers must surface that through
+    forces.pme_spread_stale_flags (sticky; Context.step raises) and
+    rebuild the bucket via forces.update_pme_spread well before the bound
+    (trigger: drift > pad/2, the Verlet skin/2 idiom)."""
+    k1, k2, k3 = grid_shape
+    b1, b2, b3 = block
+    s = order - 1
+    if k1 % b1 or k2 % b2 or k3 % b3:
+        raise ValueError(f"block {block} must divide grid {grid_shape}")
+    if pad < 1:
+        raise ValueError("spread_charges_stale requires pad >= 1; use "
+                         "spread_charges_blocked for per-step buckets")
+    if min(b1, b2, b3) < pad:
+        # the head spill reaches only the immediately-previous block
+        raise ValueError(f"block {block} must be >= pad = {pad}")
+    nb1, nb2, nb3 = k1 // b1, k2 // b2, k3 // b3
+    w1, w2, w3 = b1 + s + 2 * pad, b2 + s + 2 * pad, b3 + s + 2 * pad
+    nbtot = nb1 * nb2 * nb3
+    n = x.shape[0]
+    dtype = x.dtype
+
+    kint = jnp.asarray([k1, k2, k3], jnp.int32)
+    t, base = _spread_frac_base(x, box, grid_shape, order)
+
+    # static per-row block origins in grid coordinates
+    r = jnp.arange(nbtot, dtype=jnp.int32)
+    blk = jnp.stack(
+        [r // (nb2 * nb3), (r // nb3) % nb2, r % nb3], axis=-1)
+    origin = blk * jnp.asarray(block, jnp.int32)  # (nbtot, 3)
+
+    # gather per-slot data; index n lands on the zero pad row
+    qp = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
+    tp = jnp.concatenate([t, jnp.zeros((1, 3), t.dtype)])
+    bp = jnp.concatenate([base, jnp.zeros((1, 3), base.dtype)])
+    g_q = qp[bucket]              # (nbtot, cap)
+    g_t = tp[bucket]              # (nbtot, cap, 3)
+    g_b = bp[bucket]              # (nbtot, cap, 3)
+
+    delta = _wrap_grid_delta(g_b - origin[:, None, :], kint)
+    off = delta + pad             # local index of the support base
+    bvec = jnp.asarray(block, jnp.int32)
+    valid = jnp.all((off >= 0) & (off <= bvec + 2 * pad - 1), axis=-1)
+    g_q = g_q * valid             # drifted-out atoms are dropped, flagged
+
+    wx = _local_window_weights(g_t[..., 0], off[..., 0], order, w1, dtype)
+    wy = _local_window_weights(g_t[..., 1], off[..., 1], order, w2, dtype)
+    wz = _local_window_weights(g_t[..., 2], off[..., 2], order, w3, dtype)
+    wyz = (wy[..., :, None] * wz[..., None, :]).reshape(nbtot, -1, w2 * w3)
+    local = jax.lax.dot_general(
+        wx, g_q[..., None] * wyz,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGH,
+    )  # (nbtot, W1, W2*W3)
+    local = local.reshape(nb1, nb2, nb3, w1, w2, w3)
+    local = _fold_axis_padded(local, 0, 3, b1, s, pad)
+    local = _fold_axis_padded(local, 1, 4, b2, s, pad)
+    local = _fold_axis_padded(local, 2, 5, b3, s, pad)
+    return local.transpose(0, 3, 1, 4, 2, 5).reshape(k1, k2, k3)
+
+
+def spread_stale_exceeded(x, box, grid_shape, order: int, block, pad: int,
+                          x_ref, box_ref):
+    """EXACT per-step validity check for spread_charges_stale: True when
+    some atom's support base drifted beyond the representable window of the
+    block it was bucketed under at the reference configuration. O(N)
+    compares — cheap enough to sample after every step (the PME analog of
+    ops.neighbors.staleness_flags)."""
+    kint = jnp.asarray(grid_shape, jnp.int32)
+    bvec = jnp.asarray(block, jnp.int32)
+    _, base_now = _spread_frac_base(x, box, grid_shape, order)
+    _, base_ref = _spread_frac_base(
+        x_ref, jnp.asarray(box_ref, x_ref.dtype), grid_shape, order)
+    delta_ref = base_ref - (base_ref // bvec) * bvec  # in [0, B)
+    d = delta_ref + _wrap_grid_delta(base_now - base_ref, kint)
+    bad = (d < -pad) | (d > bvec + 2 * pad - 1)
+    return jnp.any(bad) | jnp.any(
+        jnp.asarray(box) != jnp.asarray(box_ref))
+
+
+def spread_bucket_rebuild_trigger(x, box, grid_shape, pad: int,
+                                  x_ref, box_ref):
+    """Conservative rebuild predicate for the amortized bucket: some atom's
+    fractional grid coordinate drifted beyond pad/2 cells (minimum-image),
+    or the box changed — the skin/2 idiom of ops.neighbors.needs_rebuild,
+    leaving half the pad as margin for motion between the check and the
+    force evaluations it guards."""
+    kvec = jnp.asarray(grid_shape, x.dtype)
+    du = (_frac_grid_coords(x, box, kvec)
+          - _frac_grid_coords(x_ref, jnp.asarray(box_ref, x_ref.dtype),
+                              kvec))
+    du = du - kvec * jnp.round(du / kvec)
+    moved = jnp.max(jnp.abs(du)) > 0.5 * pad
+    return moved | jnp.any(jnp.asarray(box) != jnp.asarray(box_ref))
+
+
 def choose_spread_blocks(grid_shape, order: int, n: int,
-                         x=None, box=None, safety: float = 1.3):
-    """Static (block, cap) for spread_charges_blocked, or (None, 0) when
-    blocking cannot beat the dense one-hot path.
+                         x=None, box=None, safety: float = 1.3,
+                         pad: int = 0):
+    """Static (block, cap) for spread_charges_blocked (pad=0) or
+    spread_charges_stale (pad>=1), or (None, 0) when blocking cannot beat
+    the dense one-hot path.
 
     Host-side setup heuristic: enumerate divisor triples of the grid,
-    estimate MACs = nblocks * cap * prod(B_d + order - 1) with
+    estimate MACs = nblocks * cap * prod(B_d + order - 1 + 2*pad) with
     cap = safety * max-block-occupancy (measured from `x` when given, else
     2x the mean), and keep the cheapest triple that undercuts dense
     (n * K1*K2*K3) by at least 2x. Occupancy is re-measurable later via
@@ -400,10 +584,12 @@ def choose_spread_blocks(grid_shape, order: int, n: int,
     (< 1 G MAC): the bucket build is a fixed ~1.4-1.8 ms of grid-
     independent sort work, and below that scale it eats the whole win —
     measured on v5e: 30k/45^3 (2.7 G) 1.29x faster blocked, but emim
-    5.2k/32^3 (0.17 G) neutral-to-slower."""
+    5.2k/32^3 (0.17 G) neutral-to-slower. (With pad>=1 the bucket is
+    amortized across steps, but the padded-window MAC growth still makes
+    blocking a loss below that scale.)"""
     k1, k2, k3 = grid_shape
     s = order - 1
-    lo = max(4, s)
+    lo = max(4, s, pad)
     if float(n) * k1 * k2 * k3 < 1e9:
         return None, 0
 
@@ -411,6 +597,7 @@ def choose_spread_blocks(grid_shape, order: int, n: int,
         return [d for d in range(lo, k + 1) if k % d == 0]
 
     dense_macs = float(n) * k1 * k2 * k3
+    w_extra = s + 2 * pad
     best = None
     for d1 in divisors(k1):
         for d2 in divisors(k2):
@@ -425,7 +612,8 @@ def choose_spread_blocks(grid_shape, order: int, n: int,
                 else:
                     cap = int(math.ceil(2.0 * n / nbtot))
                 cap = max(cap, 8)
-                macs = nbtot * cap * (d1 + s) * (d2 + s) * (d3 + s)
+                macs = (nbtot * cap
+                        * (d1 + w_extra) * (d2 + w_extra) * (d3 + w_extra))
                 if best is None or macs < best[0]:
                     best = (macs, (d1, d2, d3), cap)
     if best is None or best[0] * 2.0 > dense_macs:
@@ -451,10 +639,18 @@ def _max_block_occupancy(x, box, grid_shape, order: int, block) -> int:
 
 def pme_reciprocal_energy(x, box, q, alpha, grid_shape, order: int = 4,
                           chunk: int = 2048, spread_block=None,
-                          spread_cap: int = 0):
+                          spread_cap: int = 0, spread_pad: int = 0,
+                          spread_bucket=None):
     """Reciprocal-space PME energy [kJ/mol]. With spread_block/spread_cap
-    set (see choose_spread_blocks), spreading runs block-binned."""
-    if spread_block:
+    set (see choose_spread_blocks), spreading runs block-binned; with
+    spread_pad >= 1 AND a frozen spread_bucket it additionally amortizes
+    the bucket across steps (spread_charges_stale — exact while the drift
+    bound holds; Context maintains the bucket + guards)."""
+    if spread_block and spread_pad and spread_bucket is not None:
+        Q = spread_charges_stale(
+            x, box, q, grid_shape, order, spread_block, spread_cap,
+            spread_pad, spread_bucket)
+    elif spread_block:
         Q = spread_charges_blocked(
             x, box, q, grid_shape, order, spread_block, spread_cap)
     else:

@@ -141,26 +141,39 @@ def make_replica_run(system_template, integrator, update_every: int = 1):
     is the main single-chip HREX throughput lever; HREXSampler.run raises
     on a tripped flag."""
     from ..context import refresh_force_caches
+    from ..forces import _spread_layouts
 
     step_fn = integrator.make_step()
     has_neighbors = system_template.neighbors is not None
+    has_spread_buckets = bool(_spread_layouts(system_template))
     k_update = max(int(update_every), 1)
 
     def maybe_update(system, s, force: bool = False):
-        if not has_neighbors:
-            return s
-        from ..ops.neighbors import update_all_neighbors
+        if has_neighbors:
+            from ..ops.neighbors import update_all_neighbors
 
-        return s.with_extra(
-            **update_all_neighbors(system, s.extra, s.x, s.box, force=force)
-        )
+            s = s.with_extra(
+                **update_all_neighbors(system, s.extra, s.x, s.box,
+                                       force=force)
+            )
+        if has_spread_buckets:
+            # amortized PME spreading buckets (forces.update_pme_spread);
+            # the cond rebuild + drift guard run per replica under the vmap
+            from ..forces import update_pme_spread
+
+            s = s.with_extra(
+                **update_pme_spread(system, s.extra, s.x, s.box,
+                                    force=force)
+            )
+        return s
 
     def run(system, states, globalss, n):
         def one(s, g):
             s = maybe_update(system, s)
             s = refresh_force_caches(system, s, g)
 
-            if k_update == 1 or not has_neighbors:
+            if k_update == 1 or (not has_neighbors
+                                 and not has_spread_buckets):
                 def body(i, s):
                     return maybe_update(system, step_fn(system, s, g))
 
@@ -173,6 +186,11 @@ def make_replica_run(system_template, integrator, update_every: int = 1):
                     s = step_fn(system, s, g)
                     s = s.with_extra(
                         **staleness_flags(system, s.extra, s.x, s.box))
+                    if has_spread_buckets:
+                        from ..forces import pme_spread_stale_flags
+
+                        s = s.with_extra(**pme_spread_stale_flags(
+                            system, s.extra, s.x, s.box))
                 # forced boundary rebuild — see ops.neighbors
                 # .update_neighbors: the conditional skin/2 trigger races
                 # the d1+d2 staleness bound in grouped mode
@@ -253,6 +271,11 @@ class HREXSampler:
                      else f"nbr_{name}_stale"): jnp.zeros((), bool)
                     for name, _ in iter_specs(system)
                 })
+        from ..forces import _spread_layouts, pme_spread_extras
+
+        if _spread_layouts(system):
+            state = state.with_extra(
+                **pme_spread_extras(system, state.x, state.box))
         state = integ.initialize(system, state)
         states = replicate_state(state, self.k_states, seed)
         # independent Maxwell-Boltzmann draw PER REPLICA — a tiled single
@@ -323,6 +346,15 @@ class HREXSampler:
                         "neighbor updates — reduce neighbor_update_every "
                         "or enlarge the skin"
                     )
+        for key, flag in self.states.extra.items():
+            if (key.startswith("pme") and (key.endswith("spread_overflow")
+                                           or key.endswith("spread_stale"))
+                    and bool(jnp.any(flag))):
+                raise RuntimeError(
+                    f"PME spreading-bucket flag in a replica ({key}): "
+                    "rebuild with a larger retune_pme_spread safety/pad "
+                    "or reduce neighbor_update_every"
+                )
 
     def anneal(self, n_steps: int, chunks: int = 8):
         """Gentle decoupling: every replica starts at the COUPLED λ (the

@@ -563,3 +563,218 @@ def test_retune_pme_spread_wiring_fast():
         [replace(f, spread_block=(8, 8, 8), spread_cap=40)])
     e1 = potential_energy(forced, x, box)
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Amortized spreading buckets (spread_charges_stale) — round 4
+# --------------------------------------------------------------------------
+
+
+def _stale_imports():
+    from atomsmm_tpu.ops.pme import (
+        build_spread_bucket,
+        spread_bucket_rebuild_trigger,
+        spread_charges,
+        spread_charges_stale,
+        spread_stale_exceeded,
+    )
+    return (build_spread_bucket, spread_bucket_rebuild_trigger,
+            spread_charges, spread_charges_stale, spread_stale_exceeded)
+
+
+def test_stale_spreading_exact_within_pad():
+    """The frozen-bucket spreading is EXACT (not approximate) while every
+    atom's support base stays within `pad` grid cells of its build-time
+    block — including atoms whose spline support wraps the periodic
+    boundary and atoms that crossed a block boundary since the build."""
+    build, _, spread, spread_stale, exceeded = _stale_imports()
+    x0, q, box = random_neutral_system(n=96, seed=3)
+    x0 = jnp.concatenate([x0, jnp.asarray([[1.999, 0.001, 1.998],
+                                           [0.0005, 1.9995, 0.001]])])
+    q = jnp.concatenate([q, jnp.asarray([0.5, -0.5])])
+    grid, order, block, cap, pad = (12, 12, 12), 6, (6, 6, 6), 98, 2
+    bucket, ov = build(x0, box, grid, order, block, cap)
+    assert not bool(ov)
+    # fresh positions: parity with the dense one-hot path
+    np.testing.assert_allclose(
+        np.asarray(spread_stale(x0, box, q, grid, order, block, cap, pad,
+                                bucket)),
+        np.asarray(spread(x0, box, q, grid, order)),
+        rtol=1e-12, atol=1e-13)
+    # drift every atom by up to (pad - 0.7) cells in a random direction:
+    # many cross block boundaries, none leaves the padded window
+    rs = np.random.RandomState(5)
+    cell = 2.0 / 12
+    x1 = x0 + jnp.asarray(rs.uniform(-1, 1, x0.shape)) * (pad - 0.7) * cell
+    assert not bool(exceeded(x1, box, grid, order, block, pad, x0, box))
+    np.testing.assert_allclose(
+        np.asarray(spread_stale(x1, box, q, grid, order, block, cap, pad,
+                                bucket)),
+        np.asarray(spread(x1, box, q, grid, order)),
+        rtol=1e-12, atol=1e-13)
+
+
+def test_stale_spreading_two_block_spill():
+    """Small blocks (B < order - 1 + pad) make the padded window spill into
+    TWO following blocks; the generalized fold must still reproduce the
+    dense grid exactly."""
+    build, _, spread, spread_stale, _ = _stale_imports()
+    x, q, box = random_neutral_system(n=64, seed=9)
+    grid, order, block, cap, pad = (12, 12, 12), 6, (4, 4, 4), 64, 1
+    bucket, ov = build(x, box, grid, order, block, cap)
+    assert not bool(ov)
+    np.testing.assert_allclose(
+        np.asarray(spread_stale(x, box, q, grid, order, block, cap, pad,
+                                bucket)),
+        np.asarray(spread(x, box, q, grid, order)),
+        rtol=1e-12, atol=1e-13)
+
+
+def test_stale_spreading_flags_and_drops_beyond_pad():
+    """An atom that drifts beyond the padded window trips the EXACT
+    staleness flag and contributes ZERO to the grid (dropped, never
+    mis-placed); the conservative rebuild trigger fires well before."""
+    build, trigger, spread, spread_stale, exceeded = _stale_imports()
+    x0, q, box = random_neutral_system(n=64, seed=1)
+    grid, order, block, cap, pad = (12, 12, 12), 6, (6, 6, 6), 64, 1
+    bucket, _ = build(x0, box, grid, order, block, cap)
+    cell = 2.0 / 12
+    x2 = x0.at[7].add(jnp.asarray([10 * cell, 0.0, 0.0]))
+    assert bool(exceeded(x2, box, grid, order, block, pad, x0, box))
+    assert bool(trigger(x2, box, grid, pad, x0, box))
+    qs = spread_stale(x2, box, q, grid, order, block, cap, pad, bucket)
+    qd = spread(x2, box, q, grid, order)
+    np.testing.assert_allclose(float(qs.sum()), float(qd.sum() - q[7]),
+                               rtol=1e-10, atol=1e-12)
+    # tiny drift: neither the trigger nor the exact bound fires
+    x3 = x0 + 0.05 * cell
+    assert not bool(trigger(x3, box, grid, pad, x0, box))
+    assert not bool(exceeded(x3, box, grid, order, block, pad, x0, box))
+    # a box change always fires both
+    assert bool(trigger(x0, box * 1.01, grid, pad, x0, box))
+    assert bool(exceeded(x0, box * 1.01, grid, order, block, pad, x0, box))
+
+
+def test_stale_spreading_gradient_matches_dense():
+    from atomsmm_tpu.ops.pme import pme_reciprocal_energy
+
+    build, _, _, _, _ = _stale_imports()
+    x, q, box = random_neutral_system(n=48, seed=7)
+    x = x.at[0].set(jnp.asarray([1.0, 0.5, 1.5]))  # grid plane + boundary
+    grid, order, alpha, block, cap, pad = (12, 12, 12), 6, 2.2, (6, 6, 6), 48, 1
+    bucket, _ = build(x, box, grid, order, block, cap)
+
+    ed, gd = jax.value_and_grad(
+        lambda xx: pme_reciprocal_energy(xx, box, q, alpha, grid, order))(x)
+    eb, gb = jax.value_and_grad(
+        lambda xx: pme_reciprocal_energy(
+            xx, box, q, alpha, grid, order, spread_block=block,
+            spread_cap=cap, spread_pad=pad, spread_bucket=bucket))(x)
+    np.testing.assert_allclose(float(eb), float(ed), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_update_pme_spread_lifecycle():
+    """forces.update_pme_spread: keep path preserves the reference build,
+    a past-trigger drift rebuilds (new reference, fresh validity), and a
+    teleport beyond the pad sets the sticky exact-staleness flag."""
+    import jax as _jax
+
+    from atomsmm_tpu.forces import (
+        NonbondedForce,
+        pme_spread_extras,
+        pme_spread_stale_flags,
+        update_pme_spread,
+    )
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.utils import replace as _replace
+
+    system, x, box = water_system(n_molecules=48, method="pme", r_cut=0.45,
+                                  r_switch=0.4)
+    [nb] = [f for f in system.forces if isinstance(f, NonbondedForce)]
+    grid = nb.grid_shape
+    order = int(nb.spline_order)
+    block = tuple(next(b for b in range(max(4, order - 1), k + 1)
+                       if k % b == 0) for k in grid)
+    n = int(x.shape[0])
+    sys2 = system.replace_forces([
+        _replace(f, spread_block=block, spread_cap=n, spread_pad=1)
+        if f is nb else f for f in system.forces
+    ])
+    extras = pme_spread_extras(sys2, x, box)
+    [kb] = [k for k in extras if k.endswith("_bucket")]
+    [kx] = [k for k in extras if k.endswith("_x")]
+    assert not any(bool(v) for k, v in extras.items() if k.endswith("flow"))
+
+    cell = float(np.min(np.asarray(box) / np.asarray(grid)))
+    # tiny drift: keep (reference unchanged)
+    out = update_pme_spread(sys2, extras, x + 0.05 * cell, box)
+    assert np.allclose(np.asarray(out[kx]), np.asarray(extras[kx]))
+    assert not bool(out[kb] is None)
+    # past-trigger drift (> pad/2 cells): rebuild, new reference
+    x_far = x + 0.7 * cell
+    out = update_pme_spread(sys2, extras, x_far, box)
+    assert np.allclose(np.asarray(out[kx]), np.asarray(x_far))
+    [kst] = [k for k in out if k.endswith("spread_stale")]
+    assert not bool(out[kst])
+    # teleport one atom beyond the pad: the EXACT sticky flag trips
+    x_tel = x.at[0].add(jnp.asarray([5 * cell, 0.0, 0.0]))
+    flags = pme_spread_stale_flags(sys2, extras, x_tel, box)
+    assert bool(flags[kst])
+    del _jax
+
+
+def test_amortized_context_matches_per_step_spreading():
+    """End-to-end: a Context whose PME force amortizes its spreading bucket
+    (spread_pad=1) steps the SAME trajectory as the dense-spreading
+    baseline — the amortized path is exact, not an approximation, while
+    the drift guard holds (which the run verifies via the sticky flags)."""
+    from atomsmm_tpu import Context, VelocityVerletIntegrator
+    from atomsmm_tpu.forces import NonbondedForce
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.state import make_state
+    from atomsmm_tpu.utils import replace as _replace
+
+    system, x, box = water_system(n_molecules=48, method="pme", r_cut=0.45,
+                                  r_switch=0.4, neighbors=True)
+    [nb] = [f for f in system.forces if isinstance(f, NonbondedForce)]
+    grid = nb.grid_shape
+    order = int(nb.spline_order)
+    block = tuple(next(b for b in range(max(4, order - 1), k + 1)
+                       if k % b == 0) for k in grid)
+    n = int(x.shape[0])
+    sys_am = system.replace_forces([
+        _replace(f, spread_block=block, spread_cap=n, spread_pad=1)
+        if f is nb else f for f in system.forces
+    ])
+
+    def run(sys_):
+        ctx = Context(sys_, VelocityVerletIntegrator(0.0005),
+                      make_state(x, box=box))
+        ctx.set_velocities_to_temperature(300.0, seed=11)
+        ctx.step(10)
+        snap = ctx.get_state(lite=True)
+        return np.asarray(snap.positions), float(snap.potential_energy)
+
+    x_base, e_base = run(system)
+    x_am, e_am = run(sys_am)
+    np.testing.assert_allclose(e_am, e_base, rtol=1e-8)
+    np.testing.assert_allclose(x_am, x_base, rtol=0, atol=1e-8)
+
+
+def test_choose_spread_blocks_pad_aware():
+    from atomsmm_tpu.ops.pme import choose_spread_blocks
+
+    rs = np.random.RandomState(2)
+    n, grid, order = 30000, (48, 48, 48), 6
+    x = rs.uniform(0, 6.4, (n, 3))
+    box = np.full(3, 6.4)
+    block, cap = choose_spread_blocks(grid, order, n, x=x, box=box, pad=1)
+    assert block is not None
+    for k, b in zip(grid, block):
+        assert k % b == 0 and b >= 1
+    # the pad-aware cost model prices the bigger windows
+    nbtot = int(np.prod([k // b for k, b in zip(grid, block)]))
+    macs = nbtot * cap * int(np.prod([b + order - 1 + 2 for b in block]))
+    assert macs * 2 <= n * int(np.prod(grid))

@@ -92,10 +92,54 @@ def study(x, box, q, alpha, grid, order, label):
     ms_b = time_grad(e_blocked, x)
     log(f"[{label}] E+grad ms/eval: dense {ms_d:.3f}, blocked {ms_b:.3f} "
         f"({ms_d/ms_b:.2f}x)")
-    return {"label": label, "n": n, "grid": list(grid), "block": list(block),
-            "cap": cap, "rel_dE": rel, "dense_ms": round(ms_d, 3),
-            "blocked_ms": round(ms_b, 3),
-            "speedup": round(ms_d / ms_b, 2)}
+    out = {"label": label, "n": n, "grid": list(grid), "block": list(block),
+           "cap": cap, "rel_dE": rel, "dense_ms": round(ms_d, 3),
+           "blocked_ms": round(ms_b, 3),
+           "speedup": round(ms_d / ms_b, 2)}
+
+    # amortized bucket (spread_charges_stale): steady-state cost = stale
+    # E+grad (bucket frozen) + build/cadence + the O(N) drift check; the
+    # bucket sort (~1.8 ms) drops off the per-step path for the price of
+    # ((B+s+2p)/(B+s))^3 more window MACs (KERNELS.md "next lever")
+    import jax
+
+    from atomsmm_tpu.ops.pme import build_spread_bucket
+
+    for pad in (1, 2):
+        blk_p, cap_p = choose_spread_blocks(
+            grid, order, n, x=np.asarray(x), box=np.asarray(box), pad=pad)
+        if blk_p is None:
+            log(f"[{label}] pad={pad}: blocking declined")
+            continue
+        build = jax.jit(lambda xx, b=blk_p, c=cap_p: build_spread_bucket(
+            xx, box, grid, order, b, c))
+        bucket, ov = build(x)
+        jax.block_until_ready(bucket)
+        assert not bool(ov)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            bucket, ov = build(x)
+        jax.block_until_ready(bucket)
+        ms_build = (time.perf_counter() - t0) / 5 * 1e3
+
+        def e_stale(xx, b=blk_p, c=cap_p, p=pad, bk=bucket):
+            return pme_reciprocal_energy(
+                xx, box, q, alpha, grid, order, spread_block=b,
+                spread_cap=c, spread_pad=p, spread_bucket=bk)
+
+        es = float(e_stale(x))
+        rel_s = abs(es - ed) / max(abs(ed), 1e-30)
+        ms_s = time_grad(e_stale, x)
+        w_p = [b + order - 1 + 2 * pad for b in blk_p]
+        log(f"[{label}] pad={pad} block={blk_p} cap={cap_p} windows={w_p}: "
+            f"E rel {rel_s:.2e}; stale E+grad {ms_s:.3f} ms "
+            f"+ build {ms_build:.3f} ms/rebuild "
+            f"(blocked-every-step {ms_b:.3f})")
+        out[f"stale_p{pad}_ms"] = round(ms_s, 3)
+        out[f"stale_p{pad}_build_ms"] = round(ms_build, 3)
+        out[f"stale_p{pad}_block"] = list(blk_p)
+        out[f"stale_p{pad}_rel_dE"] = rel_s
+    return out
 
 
 def main():
