@@ -492,7 +492,13 @@ class Context:
                     "NeighborSpec with a larger min_skin for NPT headroom",
                     stacklevel=2,
                 )
-        if getattr(self, "_has_pme_guard", False):
+        # pme_*_undercover flags exist only under the carrier-force guard,
+        # but spread buckets are also seeded for a standalone
+        # PMEReciprocalForce (_spread_layouts) — gate the spread-flag checks
+        # on the buckets themselves or their drops become silent for such
+        # systems (ADVICE r4 low)
+        if (getattr(self, "_has_pme_guard", False)
+                or getattr(self, "_has_spread_buckets", False)):
             for key, flag in self.state.extra.items():
                 if key.startswith("pme") and key.endswith("undercover") and bool(flag):
                     raise RuntimeError(

@@ -178,21 +178,37 @@ def _pme_reciprocal(x, box, q, alpha, grid_shape, order,
         if grid_shape[0] % ndev == 0 and grid_shape[1] % ndev == 0:
             from .parallel.spatial import sharded_pme_reciprocal_energy_fft
 
+            _RECIPROCAL_DISPATCH["path"] = "slab_fft"
             return sharded_pme_reciprocal_energy_fft(
                 x, box, q, alpha, grid_shape, mesh[0], mesh[1], order=order
             )
         from .parallel.spatial import sharded_pme_reciprocal_energy
 
+        _RECIPROCAL_DISPATCH["path"] = "atom_sharded_psum"
         return sharded_pme_reciprocal_energy(
             x, box, q, alpha, grid_shape, mesh[0], mesh[1], order=order
         )
     from .ops.pme import pme_reciprocal_energy
 
+    _RECIPROCAL_DISPATCH["path"] = "single_device"
     return pme_reciprocal_energy(x, box, q, alpha, grid_shape, order,
                                  spread_block=spread_block,
                                  spread_cap=spread_cap,
                                  spread_pad=spread_pad,
                                  spread_bucket=spread_bucket)
+
+
+# Trace-time record of the most recent reciprocal-path choice above —
+# static dispatch on (grid, mesh), so recording it at trace time is exact.
+# Lets harnesses (dryrun_multichip) ASSERT the slab-FFT path actually
+# engaged instead of inferring it from the grid arithmetic (VERDICT r4 #4).
+_RECIPROCAL_DISPATCH = {"path": None}
+
+
+def last_reciprocal_dispatch():
+    """'slab_fft' | 'atom_sharded_psum' | 'single_device' | None — which
+    reciprocal-space path the most recent PME trace dispatched to."""
+    return _RECIPROCAL_DISPATCH["path"]
 
 
 def _lj_combiner(pair_sigma, pair_epsilon):
@@ -868,14 +884,18 @@ def update_pme_spread(system, extra, x, box, force: bool = False):
     static shapes both ways), mirroring ops.neighbors.update_neighbors:
     trigger = some atom drifted beyond pad/2 grid cells since the reference
     build, or the box changed; force=True rebuilds unconditionally (grouped
-    update loops use it at group boundaries). The EXACT drift bound is
-    sampled against the OLD reference first, so a violation that slipped
-    past the conservative trigger is never erased by the rebuild (sticky
-    pme_*_spread_stale; Context.step raises on it)."""
+    update loops use it at group boundaries).
+
+    Like update_all_neighbors, this NEVER samples the exact-drift staleness
+    bound: sampling belongs after integration steps (pme_spread_stale_flags
+    in Context's grouped loop), where a violation means forces actually ran
+    against a stale bucket. Sampling here would instead flag legitimate
+    teleports — set_positions / a run-start reference refresh — whose
+    rebuild happens before any force evaluation uses the bucket
+    (ADVICE r4 medium). The sticky flag passes through unchanged."""
     from .ops.pme import (
         build_spread_bucket,
         spread_bucket_rebuild_trigger,
-        spread_stale_exceeded,
     )
 
     out = {}
@@ -885,8 +905,7 @@ def update_pme_spread(system, extra, x, box, force: bool = False):
             continue
         ref_x, ref_box = extra[kx], extra[kbox]
         ov_prev = extra[kov]
-        stale = extra[kst] | spread_stale_exceeded(
-            x, box, gs, order, block, pad, ref_x, ref_box)
+        stale = extra[kst]
 
         def rebuild(_, gs=gs, order=order, block=block, cap=cap,
                     ov_prev=ov_prev):

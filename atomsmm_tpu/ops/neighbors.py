@@ -282,27 +282,34 @@ def retune_spec(spec: "NeighborSpec", x, box, safety: float = 1.15,
 
 
 def retune_neighbor_specs(system, x, box, safety: float = 1.15,
-                          grow_only: bool = False):
+                          grow_only: bool = False, floors=None):
     """Retune every neighbor spec attached to a system (see retune_spec /
     blocks.retune_block_spec). grow_only floors each capacity at its
     current value + 4 — required by overflow auto-recovery, whose
     restore-and-replay loop only makes progress if capacities grow
-    monotonically (retune_spec docstring)."""
+    monotonically (retune_spec docstring).
+
+    `floors` optionally maps spec key ("default" or an extra-spec name) to a
+    minimum cell capacity — used by bench.py to replay the high-water
+    capacities a prior full run settled on (bench_data/caps.json), so a
+    capture run does zero overflow->retune recompiles (VERDICT r4 #1d)."""
     from ..utils import replace as dreplace
     from .blocks import BlockNeighborSpec, retune_block_spec
 
     if getattr(system, "neighbors", None) is None:
         return system
+    floors = floors or {}
 
-    def one(spec):
+    def one(spec, key):
         if isinstance(spec, BlockNeighborSpec):
             return retune_block_spec(spec, x, box, max(safety, 1.15))
         floor = spec.cell_capacity + 4 if grow_only else 0
+        floor = max(floor, int(floors.get(key, 0)))
         return retune_spec(spec, x, box, safety, floor=floor)
 
-    default = one(system.neighbors)
+    default = one(system.neighbors, "default")
     extra = {
-        name: one(spec)
+        name: one(spec, name)
         for name, spec in (system.extra_neighbor_specs or {}).items()
     }
     return dreplace(

@@ -543,11 +543,22 @@ def spread_stale_exceeded(x, box, grid_shape, order: int, block, pad: int,
     _, base_now = _spread_frac_base(x, box, grid_shape, order)
     _, base_ref = _spread_frac_base(
         x_ref, jnp.asarray(box_ref, x_ref.dtype), grid_shape, order)
-    delta_ref = base_ref - (base_ref // bvec) * bvec  # in [0, B)
-    d = delta_ref + _wrap_grid_delta(base_now - base_ref, kint)
-    bad = (d < -pad) | (d > bvec + 2 * pad - 1)
-    return jnp.any(bad) | jnp.any(
-        jnp.asarray(box) != jnp.asarray(box_ref))
+    # the kernel's EXACT predicate in the kernel's EXACT frame: the bucket
+    # binned each atom under origin = (base_ref // B) * B at build time, and
+    # spread_charges_stale keeps an atom iff every axis of
+    # d = wrap(base_now - origin) lies in [-pad, B + pad - 1] (its `valid`
+    # mask: off = d + pad in [0, B + 2*pad - 1]). Using the same bound and
+    # the same wrap means NO drift can be dropped-but-unflagged (the old
+    # bound B + 2*pad - 1 left a pad-wide silent gap — ADVICE r4 high).
+    # Note no box != box_ref term: binning is by FRACTIONAL grid position,
+    # which an affine box rescale (MC barostat move) preserves, so a box
+    # change invalidates nothing that the base comparison does not already
+    # catch — and the blanket term falsely tripped the sticky flag on every
+    # accepted volume move (ADVICE r4 medium).
+    origin = (base_ref // bvec) * bvec
+    d = _wrap_grid_delta(base_now - origin, kint)
+    bad = (d < -pad) | (d > bvec + pad - 1)
+    return jnp.any(bad)
 
 
 def spread_bucket_rebuild_trigger(x, box, grid_shape, pad: int,

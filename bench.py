@@ -1,15 +1,23 @@
-"""Benchmark harness — prints ONE JSON line on stdout:
+"""Benchmark harness — prints JSON lines on stdout; the LAST line wins:
 
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+
+Kill-proof capture contract (VERDICT r4 #1): the line is emitted the moment
+the headline config completes and RE-emitted after every secondary config,
+so an external kill (SIGTERM/SIGKILL/timeout) at ANY moment after the
+headline leaves a complete, parseable record of everything measured so far
+on stdout. SIGTERM/SIGINT are additionally trapped to flush the current
+partial record before exiting. Consumers must parse the LAST JSON line.
 
 Headline metric (BASELINE.md): ns/day, 30k-atom q-SPC/Fw water, 2-level
 RESPA (near/far split) + Nosé-Hoover NVT, on the real TPU chip. The
 `extras` dict carries the full BASELINE.md config matrix (argon NVE, water
 RESPA cutoff + PME, alchemical λ-sweep throughput, SIN(R) ionic liquid,
 100k NPT), one entry per config, **plus correctness telemetry per MD
-config** (mean T, PE per atom, conserved-quantity drift) so a perf gain
+config** (mean T, PE per atom, conserved-quantity drift) with
+self-asserting expected bands (`*_ok` flags, VERDICT r4 #3) so a perf gain
 bought with a physics regression is self-incriminating (VERDICT r2 #8).
-Details go to stderr; stdout carries exactly the one JSON line.
+Details go to stderr; stdout carries only the JSON lines.
 
 Equilibration: each MD config starts from a frozen pre-equilibrated state in
 bench_data/*.npz (generated once on TPU by tools/gen_eq_states.py following
@@ -33,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import threading
@@ -52,6 +61,12 @@ METRIC = ("ns/day, 30k-atom q-SPC/Fw water, 2-level RESPA "
 # value (tools/openmm_comparator.py on an OpenMM machine; COMPARATOR.md)
 # via the env var.
 COMPARATOR_NS_DAY = float(os.environ.get("BENCH_COMPARATOR_NS_DAY", "5.0"))
+# Amortized stale-bucket PME spreading pad (ops/pme.py::spread_charges_stale):
+# pad >= 1 rebuilds the spreading bucket only when atoms drift beyond pad/2
+# grid cells instead of every step, at the cost of a padded spreading
+# window. Measured on v5e (tools/pme_pad_study below, r5): see KERNELS.md —
+# default is the winning setting for the 30k/100k production grids.
+PME_PAD = int(os.environ.get("BENCH_PME_PAD", "0"))
 
 
 def log(*a):
@@ -59,7 +74,12 @@ def log(*a):
 
 
 def emit(value, extras=None, error=None):
-    """The ONE stdout JSON line. Called exactly once per process."""
+    """Emit/refresh the stdout JSON record. May be called MANY times per
+    process (after the headline, then after every secondary config, and
+    from the signal/watchdog paths); each call prints a complete record and
+    the LAST stdout line is the authoritative one. Every line is flushed,
+    so a SIGKILL between calls still leaves the previous complete record
+    parseable."""
     rec = {
         "metric": METRIC,
         "value": round(float(value), 2),
@@ -137,6 +157,23 @@ def arm_watchdog(seconds):
     t.start()
     return t
 
+
+def trap_kill_signals():
+    """SIGTERM/SIGINT → flush the current partial record and exit. An
+    external `timeout`-style kill then yields a parseable final line instead
+    of discarding everything measured (the r3/r4 failure mode). Note a
+    handler only runs between Python bytecodes — a kill landing inside a
+    long C call (XLA compile) waits for it — which is why emit() is ALSO
+    called eagerly after every completed config: the already-flushed lines
+    survive even SIGKILL."""
+    def _bail(signum, frame):  # pragma: no cover - signal path
+        emit(_PARTIAL["value"], _PARTIAL["extras"],
+             error=f"killed by signal {signum}; partial record flushed")
+        os._exit(3)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGINT, _bail)
+
 # NOTE: do NOT enable jax_compilation_cache_dir on the axon backend — cache
 # WRITES work, but a process that HITS a cached executable hangs in
 # deserialization (observed 2026-08-17: identical-HLO bench froze >15 min
@@ -167,6 +204,93 @@ def load_eq(name):
     return d["x"], d["v"], d["box"]
 
 
+# --- capacity replay (VERDICT r4 #1d) -------------------------------------
+# A frozen-snapshot retune at tight safety leaves no margin for the warm-up
+# and telemetry dynamics: r4 burned five overflow->retune recompiles inside
+# the driver window. Fix: a full run with BENCH_RECORD_CAPS=1 persists the
+# final (post-any-auto-recovery) cell capacities per config into
+# bench_data/caps.json; subsequent runs floor their retunes at those
+# high-water values, so the same trajectory replays with zero recompiles.
+CAPS_PATH = os.path.join(BENCH_DATA, "caps.json")
+RECORD_CAPS = bool(os.environ.get("BENCH_RECORD_CAPS"))
+try:
+    with open(CAPS_PATH) as _f:
+        _CAPS = json.load(_f)
+except (OSError, ValueError):
+    _CAPS = {}
+
+
+def caps_floors(tag):
+    return _CAPS.get(tag or "", {})
+
+
+def record_caps(tag, ctx):
+    if not (RECORD_CAPS and tag):
+        return
+    system = ctx.system
+    if getattr(system, "neighbors", None) is None:
+        return
+    caps = {"default": int(getattr(system.neighbors, "cell_capacity", 0))}
+    for name, spec in (system.extra_neighbor_specs or {}).items():
+        caps[name] = int(getattr(spec, "cell_capacity", 0))
+    old = _CAPS.get(tag, {})
+    _CAPS[tag] = {k: max(int(old.get(k, 0)), v) for k, v in caps.items()}
+    with open(CAPS_PATH, "w") as f:
+        json.dump(_CAPS, f, indent=1, sort_keys=True)
+    log(f"  caps[{tag}] recorded: {_CAPS[tag]}")
+
+
+# --- self-asserting telemetry bands (VERDICT r4 #3) -----------------------
+# Expected physics per config, so a reader can grade the capture red/green
+# from the JSON alone. T bands come from the thermostat setpoint — or, for
+# SIN(R), the ISOKINETIC kinetic temperature kT/2 per DOF (L=1) plus the
+# measured large-outer-step discretization tilt (SINR_TIMESTEP.md bath
+# scan). PE/N bands come from the frozen-state provenance runs (r4 tail);
+# drift bounds from TIMESTEP.md. A miss sets {tag}_ok=false and lands in
+# extras["telemetry_misses"]; it never aborts the bench.
+EXPECT = {
+    "water30k_respa_cutoff": {"T": (294.0, 306.0), "pe": (-14.5, -13.9),
+                              "drift": 0.1},
+    "water30k_respa_pme": {"T": (294.0, 306.0), "pe": (-14.5, -13.9),
+                           "drift": 0.1},
+    "water30k_sinr": {"T": (143.0, 172.0), "pe": (-14.8, -14.1)},
+    "emim_bf4_sinr_pme": {"T": (168.0, 195.0), "pe": (-33.2, -31.2)},
+    "tip3p30k_settle_nvt": {"T": (294.0, 308.0), "pe": (-15.1, -14.3),
+                            "drift": 0.15},
+    "tip3p30k_settle_hmr_respa16fs": {"T": (294.0, 308.0),
+                                      "pe": (-13.7, -12.8), "drift": 0.1},
+    "tip3p30k_settle_hmr_4fs": {"T": (292.0, 308.0), "pe": (-13.7, -12.8),
+                                "drift": 0.1},
+    "argon4k_nve": {"T": (100.0, 140.0), "drift": 0.02},
+    "water100k_npt": {"T": (294.0, 306.0), "pe": (-14.6, -13.8)},
+    "water100k_npt_pme": {"T": (294.0, 306.0), "pe": (-14.6, -13.8)},
+    "swm4_10k_drude_el": {"T": (280.0, 320.0)},
+}
+
+
+def grade(tag, extras):
+    """Compare {tag}_T_K / {tag}_PE_per_atom / {tag}_drift_* against the
+    EXPECT bands; write {tag}_expected (the bands) and {tag}_ok."""
+    exp = EXPECT.get(tag)
+    if not exp:
+        return
+    ok = True
+    if "T" in exp and f"{tag}_T_K" in extras:
+        lo, hi = exp["T"]
+        ok &= lo <= extras[f"{tag}_T_K"] <= hi
+    if "pe" in exp and f"{tag}_PE_per_atom" in extras:
+        lo, hi = exp["pe"]
+        ok &= lo <= extras[f"{tag}_PE_per_atom"] <= hi
+    key = f"{tag}_drift_kJ_mol_atom_ps"
+    if "drift" in exp and key in extras:
+        ok &= abs(extras[key]) <= exp["drift"]
+    extras[f"{tag}_expected"] = exp
+    extras[f"{tag}_ok"] = bool(ok)
+    if not ok:
+        extras.setdefault("telemetry_misses", []).append(tag)
+        log(f"  TELEMETRY MISS [{tag}]: outside {exp}")
+
+
 def telemetry(ctx, steps, chunk, dt_ps, tag, extras, drift=True):
     """Correctness telemetry over a post-measurement segment: mean
     instantaneous T, PE per atom, and (where the integrator defines one)
@@ -189,6 +313,7 @@ def telemetry(ctx, steps, chunk, dt_ps, tag, extras, drift=True):
             (e1 - e0) / (n * span_ps), 6)
         msg += f" drift={extras[f'{tag}_drift_kJ_mol_atom_ps']:.2e}"
     log(msg)
+    grade(tag, extras)
 
 
 def _melt_equilibrate(ctx, temperature, steps):
@@ -231,14 +356,17 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
         # tight caps (safety 1.03, round-4): pair work ~ cap^2 and
-        # Context.step auto-recovers from overflow (restore+retune+rerun)
-        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
+        # Context.step auto-recovers from overflow (restore+retune+rerun);
+        # caps.json floors replay a prior run's high-water capacities so
+        # the capture run does zero overflow recompiles
+        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03,
+                                      floors=caps_floors(tag))
         if method == "pme":
             # block-binned spreading from measured occupancy (ops/pme.py):
             # 1.17x on the 30k reciprocal E+grad (tools/pme_spread_bench.py)
             from atomsmm_tpu.forces import retune_pme_spread
 
-            respa = retune_pme_spread(respa, ex, ebox)
+            respa = retune_pme_spread(respa, ex, ebox, pad=PME_PAD)
         # per-step neighbor updates (K=1): the maybe-update cond's keep path
         # measures ~0.05 ms/step when the extras flow through the loop carry
         # as runtime buffers (tools/nbr_update_bench.py) — the earlier
@@ -276,6 +404,7 @@ def bench_water_respa(n_molecules=10000, steps=200, dt=HEADLINE_DT,
         f"{ms_per_step:.2f} ms/step, {ns_day:.2f} ns/day")
     if extras is not None and tag is not None:
         telemetry(ctx, 2000, 250, dt, tag, extras)
+    record_caps(tag, ctx)
     return ns_day, ms_per_step
 
 
@@ -438,6 +567,11 @@ def bench_hrex(n_water=1000, k_states=16, chunk=25, reps=4, extras=None,
         f"swap acc {sampler.acceptance_rate:.2f})")
     if extras is not None:
         extras["hrex_16state_state_steps_per_s"] = round(par_rate, 1)
+        # the sequential-equivalent baseline measured in the SAME process on
+        # the SAME system (one Context stepping one state = 1 state-step per
+        # step), so the batched row is interpretable from the JSON alone
+        # (VERDICT r4 #8); the replica-axis mesh story is in KERNELS.md
+        extras["hrex_seq_baseline_state_steps_per_s"] = round(seq_rate, 1)
         extras["hrex_vs_sequential_ratio_1chip"] = round(ratio, 2)
         extras["hrex_swap_acceptance"] = round(sampler.acceptance_rate, 3)
     return par_rate
@@ -466,10 +600,11 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
         ex, ev, ebox = eq
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
-        respa = retune_neighbor_specs(respa, ex, ebox)
+        respa = retune_neighbor_specs(respa, ex, ebox,
+                                      floors=caps_floors(tag))
         from atomsmm_tpu.forces import retune_pme_spread
 
-        respa = retune_pme_spread(respa, ex, ebox)
+        respa = retune_pme_spread(respa, ex, ebox, pad=PME_PAD)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=11))
         ctx.step(50)
     else:
@@ -494,6 +629,7 @@ def bench_sinr_ionic(n_pairs=400, steps=100, dt=0.030, loops=None,
         # DOF (L = 1), NOT the 353 K thermodynamic setpoint — config
         # averages are canonical at 353 K (SINR_TIMESTEP.md protocol note)
         extras[f"{tag}_T_K_isokinetic_expected"] = 176.5
+    record_caps(tag, ctx)
     return ns_day, ms
 
 
@@ -522,7 +658,8 @@ def bench_water_sinr(n_molecules=10000, steps=100, dt=0.024, loops=None,
         ex, ev, ebox = eq
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
-        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03)
+        respa = retune_neighbor_specs(respa, ex, ebox, safety=1.03,
+                                      floors=caps_floors(tag))
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox, seed=13))
         ctx.step(1)
         sync(ctx)
@@ -545,6 +682,7 @@ def bench_water_sinr(n_molecules=10000, steps=100, dt=0.024, loops=None,
         # configurational averages are canonical at 300 K
         telemetry(ctx, 1000, 250, dt, tag, extras, drift=False)
         extras[f"{tag}_T_K_isokinetic_expected"] = 150.0
+    record_caps(tag, ctx)
     return ns_day, ms
 
 
@@ -596,7 +734,8 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
         ex, ev, ebox = eq
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
-        system = retune_neighbor_specs(system, ex, ebox, safety=1.03)
+        system = retune_neighbor_specs(system, ex, ebox, safety=1.03,
+                                       floors=caps_floors(tag))
         ctx = Context(system, integ, make_state(ex, v=ev, box=ebox))
         if hmr_factor:
             # eq velocities were drawn for physical masses; resample for
@@ -639,6 +778,7 @@ def bench_rigid_water(n_molecules=10000, steps=200, dt=0.002, extras=None,
         telemetry(ctx, 2000, 250, dt, tag, extras)
         extras[f"{tag}_geometry_residual"] = float(
             settle_residual(system.settle, ctx.state.x))
+    record_caps(tag, ctx)
     return ns_day, ms
 
 
@@ -716,14 +856,15 @@ def bench_npt_100k(steps=100, extras=None, method="cutoff",
         ex, ev, ebox = eq
         from atomsmm_tpu.ops.neighbors import retune_neighbor_specs
 
-        respa = retune_neighbor_specs(respa, ex, ebox)
+        respa = retune_neighbor_specs(respa, ex, ebox,
+                                      floors=caps_floors(tag))
         if method == "pme":
             # measured 1.33x on the 100k reciprocal E+grad; NPT volume
             # moves re-choose blocks on regrid (Context.retune_pme) and
             # the per-step overflow flag raises rather than dropping charge
             from atomsmm_tpu.forces import retune_pme_spread
 
-            respa = retune_pme_spread(respa, ex, ebox)
+            respa = retune_pme_spread(respa, ex, ebox, pad=PME_PAD)
         ctx = Context(respa, integ, make_state(ex, v=ev, box=ebox))
         ctx.step(100)
     else:
@@ -752,6 +893,8 @@ def bench_npt_100k(steps=100, extras=None, method="cutoff",
             float(np.mean(pe_s)) / n, 4)
         log(f"  telemetry[{tag}]: T={extras[f'{tag}_T_K']}K "
             f"PE/N={extras[f'{tag}_PE_per_atom']}")
+        grade(tag, extras)
+    record_caps(tag, ctx)
     return ns_day, ms
 
 
@@ -775,17 +918,22 @@ def main():
     }
     extras.update(provenance)
     _PARTIAL["extras"] = extras
+    trap_kill_signals()
     t_main0 = time.perf_counter()
-    deadline = int(os.environ.get("BENCH_DEADLINE_S", "3300"))
-    watchdog = arm_watchdog(deadline)
-    err = probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "300")))
+    # 900 s default (VERDICT r4 #1c): the driver has externally killed two
+    # rounds at budgets below the old 3300 s watchdog. The budget gates
+    # which secondary configs START; the watchdog (the wedge backstop)
+    # fires 180 s later so an in-flight config can finish and re-emit.
+    deadline = int(os.environ.get("BENCH_DEADLINE_S", "900"))
+    watchdog = arm_watchdog(deadline + 180)
+    err = probe_backend(int(os.environ.get("BENCH_PROBE_TIMEOUT_S", "240")))
     # Patient mode (r4): the axon tunnel FLAPS — observed up at 09:48 and
     # down again by 09:56 within one session. When the wall-clock deadline
     # leaves more budget than the headline needs, keep re-probing for a live
     # window instead of forfeiting the round's bench to a transient outage.
     # `reserve` is what a cold headline run costs (compile + equilibrated
     # state + 250 steps ≈ 6-7 min) plus margin for the top secondary rows.
-    reserve = 600 if os.environ.get("BENCH_HEADLINE_ONLY") else 1500
+    reserve = 420
     while err is not None and \
             deadline - (time.perf_counter() - t_main0) > reserve + 180:
         patience = deadline - (time.perf_counter() - t_main0) - reserve
@@ -815,6 +963,9 @@ def main():
     extras["water30k_respa_cutoff_ns_day"] = round(ns_day, 2)
     extras["water30k_respa_cutoff_ms_step"] = round(ms_step, 3)
     _PARTIAL["value"], _PARTIAL["extras"] = ns_day, extras
+    # Kill-proofing (VERDICT r4 #1a): the headline is on stdout NOW; every
+    # later kill still leaves this complete record parseable.
+    emit(ns_day, extras)
 
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         # Secondary configs in JUDGE-VALUE order: if the wall-clock budget
@@ -881,6 +1032,10 @@ def main():
                 record(a, b)
             except Exception as e:  # pragma: no cover - bench resilience
                 log(f"{label} bench failed: {e}")
+                extras.setdefault("failed", []).append(label)
+            # last-line-wins refresh: everything measured so far survives
+            # an external kill during the NEXT config
+            emit(ns_day, extras)
 
     emit(ns_day, extras)
     watchdog.cancel()

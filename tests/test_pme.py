@@ -650,9 +650,46 @@ def test_stale_spreading_flags_and_drops_beyond_pad():
     x3 = x0 + 0.05 * cell
     assert not bool(trigger(x3, box, grid, pad, x0, box))
     assert not bool(exceeded(x3, box, grid, order, block, pad, x0, box))
-    # a box change always fires both
+    # a box change fires the conservative rebuild trigger, but NOT the
+    # exact bound by itself: binning is by fractional grid position, which
+    # an affine rescale preserves — only actual base drift can drop charge
+    # (ADVICE r4: the blanket box term falsely tripped the sticky flag on
+    # every accepted MC-barostat move)
     assert bool(trigger(x0, box * 1.01, grid, pad, x0, box))
-    assert bool(exceeded(x0, box * 1.01, grid, order, block, pad, x0, box))
+    assert bool(
+        exceeded(x0 * 1.01, box * 1.01, grid, order, block, pad, x0, box)
+    ) is False  # barostat-style affine move: fractional coords unchanged
+
+
+def test_stale_exceeded_matches_kernel_drop_boundary():
+    """Regression for the ADVICE r4 high finding: the exact staleness bound
+    must use the KERNEL's predicate (d in [-pad, B + pad - 1] in the
+    wrap(base_now - origin) frame). The old bound B + 2*pad - 1 left a
+    pad-wide gap where spread_charges_stale silently dropped a drifted
+    charge without flagging. Sweep an atom from the end of its block
+    across the boundary and assert flag <-> drop at every point."""
+    build, _, spread, spread_stale, exceeded = _stale_imports()
+    grid, order, block, cap, pad = (12, 12, 12), 6, (6, 6, 6), 8, 1
+    box = jnp.asarray([2.0, 2.0, 2.0])
+    cell = 2.0 / 12
+    # one probe atom near the END of block 0 along x (base = b - 1 = 5
+    # requires t in cell 5 + (order-1)/2 = 7 -> x ~ 7.5 cells), plus a far
+    # spectator so the system is neutral
+    x0 = jnp.asarray([[7.45 * cell, 0.3, 0.3], [1.7, 1.7, 1.7]])
+    q = jnp.asarray([1.0, -1.0])
+    bucket, ov = build(x0, box, grid, order, block, cap)
+    assert not bool(ov)
+    for drift_cells in (0.0, 0.4, pad - 0.1, pad + 0.1, pad + 1.0,
+                        pad + 2.5, 2 * pad + 1.5):
+        x1 = x0.at[0, 0].add(drift_cells * cell)
+        flagged = bool(exceeded(x1, box, grid, order, block, pad, x0, box))
+        qs = np.asarray(spread_stale(x1, box, q, grid, order, block, cap,
+                                     pad, bucket))
+        qd = np.asarray(spread(x1, box, q, grid, order))
+        dropped = not np.allclose(qs, qd, rtol=1e-10, atol=1e-12)
+        assert flagged == dropped, (
+            f"drift {drift_cells} cells: flagged={flagged} "
+            f"dropped={dropped} — flag must track the kernel exactly")
 
 
 def test_stale_spreading_gradient_matches_dense():
