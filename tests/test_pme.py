@@ -800,6 +800,55 @@ def test_amortized_context_matches_per_step_spreading():
     np.testing.assert_allclose(x_am, x_base, rtol=0, atol=1e-8)
 
 
+@pytest.mark.slow
+def test_amortized_spreading_survives_npt_volume_moves():
+    """NPT + amortized spreading buckets (ADVICE r4 medium): an ACCEPTED
+    MC-barostat volume move rescales positions and box affinely, which
+    preserves fractional grid coordinates — the frozen bucket stays exact
+    and the sticky stale flag must NOT trip. Before the r5 fix, the blanket
+    box!=box_ref term in spread_stale_exceeded made every accepted move
+    raise spuriously and unrecoverably."""
+    from atomsmm_tpu import (
+        Context,
+        GlobalThermostatIntegrator,
+        MonteCarloBarostat,
+        make_state,
+    )
+    from atomsmm_tpu.forces import NonbondedForce
+    from atomsmm_tpu.integrate.barostat import BARO_NACC
+    from atomsmm_tpu.integrate.propagators import NoseHooverChainPropagator
+    from atomsmm_tpu.models import water_system
+    from atomsmm_tpu.state import make_state as _mk  # noqa: F401
+    from atomsmm_tpu.utils import replace as _replace
+
+    system, x, box = water_system(n_molecules=48, method="pme", r_cut=0.45,
+                                  r_switch=0.4, neighbors=True)
+    [nb] = [f for f in system.forces if isinstance(f, NonbondedForce)]
+    grid = nb.grid_shape
+    order = int(nb.spline_order)
+    block = tuple(next(b for b in range(max(4, order - 1), k + 1)
+                       if k % b == 0) for k in grid)
+    n = int(x.shape[0])
+    sys_am = system.replace_forces([
+        _replace(f, spread_block=block, spread_cap=n, spread_pad=1)
+        if f is nb else f for f in system.forces
+    ]).add_force(
+        # high pressure + frequency 2 so accepted moves certainly happen
+        # within the short run
+        MonteCarloBarostat(pressure=1000.0, temperature=300.0, frequency=2)
+    )
+    dof = 3 * system.num_particles - 3
+    ctx = Context(sys_am, GlobalThermostatIntegrator(
+        0.0005, NoseHooverChainPropagator(300.0, dof, 0.1)),
+        make_state(x, box=box, seed=3))
+    ctx.set_velocities_to_temperature(300.0, seed=4)
+    ctx.step(30)  # raises on any sticky spread_stale/overflow flag
+    assert int(ctx.state.extra[BARO_NACC]) > 0, (
+        "no volume move accepted — the regression scenario was not "
+        "exercised; raise the pressure or steps")
+    assert np.isfinite(float(ctx.get_state(lite=True).potential_energy))
+
+
 def test_choose_spread_blocks_pad_aware():
     from atomsmm_tpu.ops.pme import choose_spread_blocks
 

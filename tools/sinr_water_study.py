@@ -173,6 +173,13 @@ CANDIDATES = [
     (0.024, [4, 12, 1], 1500),   # bonded 0.5, near 2, far 24
     (0.030, [5, 15, 1], 1200),   # bonded 0.4, near 2, far 30
     (0.030, [4, 10, 1], 1200),   # bonded 0.75, near 3 — the cheap variant
+    # round-5 near-work scan (VERDICT r4 #7): the near sweep dominates the
+    # SIN(R) water cost (12 sweeps/outer at [4,12,1]); push the NEAR step
+    # with the same isokinetic suppression that freed the outer step
+    (0.024, [6, 8, 1], 1500),    # bonded 0.5, near 3, far 24 — 8 sweeps
+    (0.030, [6, 10, 1], 1200),   # bonded 0.5, near 3, far 30
+    (0.024, [8, 6, 1], 1500),    # bonded 0.5, near 4, far 24 — 6 sweeps
+    (0.036, [6, 12, 1], 1000),   # bonded 0.5, near 3, far 36
 ]
 
 
