@@ -178,6 +178,9 @@ class Context:
             self.state = self.state.with_extra(**pme_seed)
         self._seed_spread_buckets()
         self._run = jax.jit(self._make_run(), donate_argnums=(1,))
+        self._attempt_run = (
+            jax.jit(self._make_attempt_step(), donate_argnums=(1,))
+            if self._barostat is not None else None)
         self._observe = jax.jit(self._make_observe())
         self._observe_lite = jax.jit(self._make_observe(lite=True))
         self.check_overflow = system.neighbors is not None
@@ -250,14 +253,19 @@ class Context:
                 **pme_coverage_flags(system, s.extra, s.x, s.box))
 
         def one_step(system, s, globals):
-            s = step_fn(system, s, globals)
-            if barostat is not None:
-                from .integrate.propagators import StepContext
-
-                ctx = StepContext(system, globals, 0.0)
-                s = barostat.apply(ctx, s, 1.0)
-                s = flag_pme(system, s)
-            return s
+            # NOTE the barostat is NOT applied here. It used to ride inside
+            # this body behind lax.cond(due, _attempt, ...), but on the axon
+            # TPU backend the packed cell-bucket sort MISCOMPILES inside a
+            # rarely-taken cond branch at production sizes (measured, r5:
+            # the in-cond trial bucket loses pairs — trial energy off by
+            # 4.5e4 kJ/mol on the 100k water state and the rank-based
+            # overflow flag fires spuriously while a histogram recount of
+            # the same positions shows occupancy well under capacity; the
+            # identical program OUTSIDE the cond is exact). Volume moves now
+            # run as their own UNCONDITIONAL jitted program dispatched by
+            # host-side frequency segmentation (Context._advance), which
+            # removes lax.cond from the barostat path entirely.
+            return step_fn(system, s, globals)
 
         def run(system, state, globals, n):
             # `system` is an argument (not a closed-over constant) so its
@@ -316,6 +324,54 @@ class Context:
                                      body_1, state)
 
         return run
+
+    def _make_attempt_step(self):
+        """One outer step ENDING in an MC volume-move attempt, as its own
+        jitted program with the attempt UNCONDITIONAL (no lax.cond — see
+        the miscompile note in _make_run.one_step). Context._advance calls
+        this exactly at the barostat frequency, so the due-predicate lives
+        on the host where it is free, and the device program is straight-
+        line. Entry mirrors run()'s entry block so the program is correct
+        as the first call after any host-side state change."""
+        step_fn = self._step_fn
+        barostat = self._barostat
+        has_pme_guard = self._has_pme_guard
+        has_spread_buckets = getattr(self, "_has_spread_buckets", False)
+
+        def flag_pme(system, s):
+            if not has_pme_guard:
+                return s
+            from .forces import pme_coverage_flags
+
+            return s.with_extra(
+                **pme_coverage_flags(system, s.extra, s.x, s.box))
+
+        def maybe_update_neighbors(system, s):
+            if system.neighbors is not None:
+                from .ops.neighbors import update_all_neighbors
+
+                s = s.with_extra(
+                    **update_all_neighbors(system, s.extra, s.x, s.box))
+            if has_spread_buckets:
+                from .forces import update_pme_spread
+
+                s = s.with_extra(
+                    **update_pme_spread(system, s.extra, s.x, s.box))
+            return s
+
+        def attempt_step(system, state, globals):
+            from .integrate.propagators import StepContext
+
+            state = flag_pme(system, state)
+            state = maybe_update_neighbors(system, state)
+            state = refresh_force_caches(system, state, globals)
+            state = step_fn(system, state, globals)
+            ctx = StepContext(system, globals, 0.0)
+            state = barostat._attempt(ctx, state)
+            state = flag_pme(system, state)
+            return maybe_update_neighbors(system, state)
+
+        return attempt_step
 
     def _make_observe(self, lite: bool = False):
         def observe(system, state, globals):
@@ -401,6 +457,43 @@ class Context:
     def get_parameter(self, name: str):
         return self.parameters[name]
 
+    def _advance(self, n: int):
+        """Run n outer steps: one device-side loop when no barostat is
+        attached; otherwise host-side segmentation at the barostat
+        frequency — plain-run segments between volume attempts, each
+        attempt its own unconditional jitted step (_make_attempt_step).
+        The due-predicate is host arithmetic on the step counter (one
+        device fetch per _advance), never a device-side lax.cond — see the
+        axon cond-branch sort miscompile note in _make_run.one_step."""
+        if self._barostat is None:
+            self.state = self._run(
+                self.system, self.state, self.parameters, jnp.int32(n)
+            )
+            return
+        freq = self._barostat.frequency
+        s0 = int(self.state.step)
+        done = 0
+        while done < n:
+            # the next attempt belongs to the step whose POST-increment
+            # counter hits freq-1 (mod freq) — openmm's step%freq==freq-1
+            until = (freq - 1 - (s0 + done + 1)) % freq
+            if until >= n - done:
+                self.state = self._run(
+                    self.system, self.state, self.parameters,
+                    jnp.int32(n - done)
+                )
+                break
+            if until > 0:
+                self.state = self._run(
+                    self.system, self.state, self.parameters,
+                    jnp.int32(until)
+                )
+                done += until
+            self.state = self._attempt_run(
+                self.system, self.state, self.parameters
+            )
+            done += 1
+
     def step(self, n: int):
         """Advance n outer steps entirely on device.
 
@@ -416,9 +509,7 @@ class Context:
                 backup = jax.tree.map(
                     lambda a: jnp.array(a, copy=True), self.state
                 )
-            self.state = self._run(
-                self.system, self.state, self.parameters, jnp.int32(n)
-            )
+            self._advance(n)
             if not self.check_overflow:
                 break
             overflowed = [
@@ -650,6 +741,9 @@ class Context:
             self.state = replace(self.state, extra=extra)
             self._seed_spread_buckets()
             self._run = jax.jit(self._make_run(), donate_argnums=(1,))
+            if self._barostat is not None:
+                self._attempt_run = jax.jit(self._make_attempt_step(),
+                                            donate_argnums=(1,))
         return self
 
     # -- openmm-style camelCase aliases (the reference's users call these

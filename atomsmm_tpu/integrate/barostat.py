@@ -165,6 +165,16 @@ class MonteCarloBarostatPropagator(Propagator):
         return refresh_force_caches(system, state, ctx.globals)
 
     def apply(self, ctx, state, fraction):
+        """Propagator-algebra composition hook (lax.cond on the device-side
+        step counter). WARNING — do not run this inside jit on the axon TPU
+        backend: the cell-bucket sort MISCOMPILES inside the rarely-taken
+        cond branch at production sizes (r5 finding; the trial bucket loses
+        pairs and the Metropolis energies go wrong). Context does NOT use
+        this path — it dispatches _attempt as its own unconditional jitted
+        program at host-segmented frequency boundaries (Context._advance),
+        which is both correct and cheaper (no giant dead branch in the hot
+        program). This method remains for CPU-backend propagator
+        composition and describe() parity."""
         due = state.step % self.frequency == self.frequency - 1
         return jax.lax.cond(due, lambda s: self._attempt(ctx, s), lambda s: s, state)
 

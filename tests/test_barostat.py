@@ -238,3 +238,46 @@ def test_attempt_rejects_overflowing_trial_directly():
         for key, val in out.extra.items():
             if key.startswith("nbr") and key.endswith("overflow"):
                 assert not bool(val), key
+
+
+def test_attempt_segmentation_matches_frequency():
+    """Context._advance runs volume attempts via host-side frequency
+    segmentation (the r5 replacement for the in-program lax.cond, which
+    miscompiles the trial bucket sort on the axon TPU backend). Attempts
+    must land exactly at post-increment step % freq == freq-1, whatever
+    chunk sizes step() is called with, and the plain/attempt program split
+    must agree with the monolithic count."""
+    import jax.numpy as jnp
+
+    from atomsmm_tpu import Context, VelocityVerletIntegrator, make_state
+    from atomsmm_tpu.integrate.barostat import BARO_NATT
+    from atomsmm_tpu.system import System
+    from atomsmm_tpu.forces import MonteCarloBarostat
+
+    n, freq = 16, 7
+    box0 = jnp.full((3,), 4.0)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.uniform(0, 4.0, (n, 3)))
+    system = System(
+        masses=jnp.full((n,), 40.0),
+        forces=(MonteCarloBarostat(pressure=1.0, temperature=120.0,
+                                   frequency=freq),),
+        molecule=jnp.arange(n, dtype=jnp.int32),
+        default_box=box0,
+        num_molecules=n,
+    )
+    ctx = Context(system, VelocityVerletIntegrator(0.002),
+                  make_state(x, box=box0))
+    ctx.set_velocities_to_temperature(120.0, seed=2)
+    total = 0
+    for chunk in (3, 1, 11, 6, 20, 2, 30):
+        ctx.step(chunk)
+        total += chunk
+        # attempts completed = steps whose post-increment counter hit
+        # freq-1 (mod freq) = floor((total + 1) / freq) with counter from 0
+        expected = (total - (freq - 1) + freq) // freq if total >= freq - 1 \
+            else 0
+        assert int(ctx.state.extra[BARO_NATT]) == expected, (
+            f"after {total} steps at freq {freq}: "
+            f"{int(ctx.state.extra[BARO_NATT])} attempts != {expected}")
+    assert int(ctx.state.step) == total

@@ -202,6 +202,11 @@ def main():
                     help="water mode: max molecules entering the RDF "
                     "histograms (random subset; diffusion uses all)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--candidate-dt-fs", type=float, default=24.0,
+                    help="water mode: candidate outer step [fs]")
+    ap.add_argument("--candidate-loops", type=str, default="4,12,1",
+                    help="water mode: candidate RESPA loops, e.g. 8,6,1 "
+                    "(r5 near-work scan, VERDICT r4 #7)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -287,9 +292,11 @@ def main_water(args):
     mol_o = o_idx // 3
     mol_h = h_idx // 3
 
+    cand_loops = [int(v) for v in args.candidate_loops.split(",")]
+    cand_label = f"{args.candidate_dt_fs:.0f}fs {cand_loops}"
     configs = [
         ("4fs ref", 0.004, [4, 2, 1]),
-        ("24fs", 0.024, [4, 12, 1]),
+        (cand_label, args.candidate_dt_fs * 1e-3, cand_loops),
     ]
     results = {}
     for name, dt, loops in configs:
@@ -322,10 +329,11 @@ def main_water(args):
 
     print(f"\n# SIN(R) water ensemble validation, {m} molecules, "
           f"{args.ps:.0f} ps per config\n")
-    print("| observable | 4 fs ref | 24 fs | agreement |")
+    print(f"| observable | 4 fs ref | {cand_label} | agreement |")
     print("|---|---|---|---|")
     for tag in ("O-O", "O-H", "H-H"):
-        (r4, g4), (r24, g24) = results["4fs ref"][tag], results["24fs"][tag]
+        (r4, g4), (r24, g24) = (results["4fs ref"][tag],
+                                results[cand_label][tag])
         # skip the r=0 region (empty below first contact) for the first peak
         sel = r4 > 0.15
         p4, h4 = first_peak(r4[sel], g4[sel])
@@ -333,7 +341,7 @@ def main_water(args):
         rms = float(np.sqrt(np.mean((g4 - g24) ** 2)))
         print(f"| g(r) {tag} first peak | {p4:.3f} nm / {h4:.2f} | "
               f"{p24:.3f} nm / {h24:.2f} | RMS Δg = {rms:.3f} |")
-    d4, d24 = results["4fs ref"]["D"], results["24fs"]["D"]
+    d4, d24 = results["4fs ref"]["D"], results[cand_label]["D"]
     rel = abs(d24 - d4) / max(abs(d4), 1e-12)
     print(f"| D(H2O) [nm²/ps] | {d4:.2e} | {d24:.2e} | "
           f"{rel * 100:.0f}% rel diff |")
