@@ -204,15 +204,23 @@ def load_eq(name):
     return d["x"], d["v"], d["box"]
 
 
-# --- capacity replay (VERDICT r4 #1d) -------------------------------------
-# A frozen-snapshot retune at tight safety leaves no margin for the warm-up
-# and telemetry dynamics: r4 burned five overflow->retune recompiles inside
-# the driver window. Fix: a full run with BENCH_RECORD_CAPS=1 persists the
-# final (post-any-auto-recovery) cell capacities per config into
-# bench_data/caps.json; subsequent runs floor their retunes at those
-# high-water values, so the same trajectory replays with zero recompiles.
+# --- capacity replay (VERDICT r4 #1d — measured, now OPT-IN) ---------------
+# A full run with BENCH_RECORD_CAPS=1 persists each config's final
+# (post-any-auto-recovery) cell capacities into bench_data/caps.json;
+# BENCH_CAPS_REPLAY=1 then floors the retunes at those high-water values so
+# a capture run does ZERO overflow recompiles. Replay is OFF by default
+# because it was measured to cost more than it saves (r5, on-chip,
+# tools-level A/B): the high-water caps come from the long telemetry
+# segments, and pair work scales with cap^2 — the headline reads 14.5
+# ms/step at the replayed 128/40 caps vs 12.2 at the tight snapshot tune
+# (-17%, which alone flips vs_baseline from 5.66x to 4.70x), while the
+# recompiles the floors avoid cost ~20-25 s each, land mostly AFTER the
+# rate is captured (telemetry), and lose no data under the re-emission
+# contract. Tight caps stay safe: capacity overflow auto-recovers
+# (restore + retune + re-run), so pairs are never dropped.
 CAPS_PATH = os.path.join(BENCH_DATA, "caps.json")
 RECORD_CAPS = bool(os.environ.get("BENCH_RECORD_CAPS"))
+CAPS_REPLAY = bool(os.environ.get("BENCH_CAPS_REPLAY"))
 try:
     with open(CAPS_PATH) as _f:
         _CAPS = json.load(_f)
@@ -221,7 +229,7 @@ except (OSError, ValueError):
 
 
 def caps_floors(tag):
-    return _CAPS.get(tag or "", {})
+    return _CAPS.get(tag or "", {}) if CAPS_REPLAY else {}
 
 
 def record_caps(tag, ctx):
@@ -923,10 +931,10 @@ def main():
             "round": 2, "headline_ns_day": 23.07, "vs_baseline": 4.61,
             "source": "BENCH_r02.json (rc=0)"},
         "last_builder_measured": {
-            "round": 5, "headline_ns_day": 28.41, "vs_baseline": 5.68,
+            "round": 5, "headline_ns_day": 28.17, "vs_baseline": 5.63,
             "source": "bench.py full capture on the live chip, 2026-08-20 "
-                      "(bench_data/last_capture.json; 11 configs + "
-                      "telemetry, rc=0)"},
+                      "(bench_data/last_capture.json; all 12 configs, "
+                      "every telemetry band ok, rc=0)"},
     }
     extras.update(provenance)
     _PARTIAL["extras"] = extras
