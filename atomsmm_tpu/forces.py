@@ -892,7 +892,18 @@ def update_pme_spread(system, extra, x, box, force: bool = False):
     against a stale bucket. Sampling here would instead flag legitimate
     teleports — set_positions / a run-start reference refresh — whose
     rebuild happens before any force evaluation uses the bucket
-    (ADVICE r4 medium). The sticky flag passes through unchanged."""
+    (ADVICE r4 medium). The sticky flag passes through unchanged.
+
+    Axon-backend caveat (r5, TPU_GATE.md): the rebuild branch contains a
+    bucket SORT inside a rarely-taken lax.cond — the structural pattern
+    the MC barostat's trial build miscompiled under at production sizes
+    before it was hoisted out of device control flow. The per-step
+    neighbor-update cond behaves (axon flattens it to both-branch
+    execution, KERNELS.md), and this path is exactness-tested on CPU with
+    sticky drift/overflow guards on top — but amortized spreading is also
+    a measured LOSS on this hardware (KERNELS.md r5), so bench/production
+    leave spread_pad=0 (no cond, fresh bucket per step). Re-audit this
+    cond if pad>=1 is ever enabled on axon at scale."""
     from .ops.pme import (
         build_spread_bucket,
         spread_bucket_rebuild_trigger,
